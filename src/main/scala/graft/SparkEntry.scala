@@ -1,13 +1,41 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY §2 (plus the dedup / similarity / text
+  * extensions) is registered as a named query over the driver's parquet
+  * tables; each SQL-expressible one carries a DuckDB oracle that
+  * hash-matches bit-for-bit (determinism strategy in [[graft.queries.QDef]]).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+  private val all: Seq[QDef] =
+    Relational.defs ++ TimeSeries.defs ++ Scalers.defs ++
+      DedupQ.defs ++ TextQ.defs ++ SimilarityQ.defs
+
+  require(all.map(_.name).distinct.size == all.size, "duplicate query names")
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * per-user hourly tumbling aggregation over events (W1 + A3/A4).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    // the events parquet stores TIMESTAMP(NANOS); a session without this
+    // legacy conf refuses the scan (Verify/Bench set it at build time, but
+    // entry runs on the driver's own session)
+    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Throwable => () }
+    queries("w1_tumble_agg")(spark, "/root/testdata/sf0.001")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

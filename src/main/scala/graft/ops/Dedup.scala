@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators: exact, n-gram Jaccard, MinHash+LSH and SimHash —
+  * the dedup family a 100 TB training-data pipeline needs.
+  *
+  * Scale design: nothing here ever compares all pairs. Exact dedup is one
+  * hash-groupBy; Jaccard joins only docs sharing a shingle; MinHash/LSH joins
+  * only docs sharing a band bucket. The hash primitive is md5 (byte-stable
+  * across engines), so "minimum md5-hex of the seeded shingle" is a valid
+  * min-wise hash permutation that the DuckDB oracle reproduces exactly —
+  * no engine-specific murmur involved.
+  */
+object Dedup {
+
+  /** Exact dedup groups: fingerprint → group size + kept (minimum) id. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(Text.fingerprint(col(textCol)).as("fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keeper_id"))
+
+  /** Pairwise Jaccard over k-shingle sets, restricted to pairs sharing at
+    * least one shingle (inverted-index join — never all pairs). Emits
+    * a_id < b_id with shared/na/nb counts and the jaccard ratio.
+    */
+  def jaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      minJaccard: Double): DataFrame = {
+    val sh = Text.shingleSet(df, idCol, textCol, k)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.withColumnRenamed(idCol, "a_id").withColumnRenamed("n_sh", "na"), "a_id")
+      .join(sizes.withColumnRenamed(idCol, "b_id").withColumnRenamed("n_sh", "nb"), "b_id")
+      .withColumn(
+        "jaccard",
+        col("shared").cast("double") / (col("na") + col("nb") - col("shared")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("a_id", "b_id", "shared", "na", "nb", "jaccard")
+  }
+
+  /** MinHash signature: for each of `nHashes` seeded permutations, the
+    * minimum md5 hex of "seed:shingle" — one row per id with columns
+    * mh_0 … mh_{n-1}.
+    */
+  def minhashSignatures(sh: DataFrame, idCol: String, nHashes: Int): DataFrame =
+    sh.groupBy(col(idCol))
+      .agg(
+        min(md5(concat(lit("0:"), col("shingle")))).as("mh_0"),
+        (1 until nHashes).map(j =>
+          min(md5(concat(lit(s"$j:"), col("shingle")))).as(s"mh_$j")): _*)
+
+  /** LSH candidate pairs: signatures are cut into `nBands` bands of
+    * `rowsPerBand`; a pair is a candidate iff some band hashes equal.
+    * Returns distinct (a_id, b_id, n_equal, est_jaccard) where n_equal is
+    * the number of agreeing minhashes (the unbiased Jaccard estimate).
+    */
+  def lshCandidates(
+      sig: DataFrame,
+      idCol: String,
+      nHashes: Int,
+      nBands: Int): DataFrame = {
+    require(nHashes % nBands == 0, "nHashes must divide into nBands")
+    val rowsPerBand = nHashes / nBands
+    val banded = sig.select(
+      col(idCol) +:
+        (0 until nBands).map { b =>
+          val cols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+          md5(concat(cols: _*)).as(s"band_$b")
+        }: _*)
+    val bandRows = banded.select(
+      col(idCol),
+      explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("band_idx"), col(s"band_$b").as("band_hash"))): _*)).as("bd"))
+      .select(col(idCol), col("bd.band_idx"), col("bd.band_hash"))
+    val cand = bandRows.as("a")
+      .join(
+        bandRows.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"))
+      .distinct()
+    val agree = (0 until nHashes)
+      .map(j => when(col(s"sa.mh_$j") === col(s"sb.mh_$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sig.as("sa"), col("a_id") === col(s"sa.$idCol"))
+      .join(sig.as("sb"), col("b_id") === col(s"sb.$idCol"))
+      .select(
+        col("a_id"),
+        col("b_id"),
+        agree.cast("long").as("n_equal"),
+        (agree.cast("double") / lit(nHashes.toDouble)).as("est_jaccard"))
+  }
+
+  /** SimHash over the distinct-token set: each token votes ±1 on `bits` bit
+    * positions taken from the first 4 hex chars of its md5; the fingerprint
+    * sets bit i iff the vote sum is positive. Integer arithmetic only.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
+    require(bits <= 16, "simhash bits derive from 4 md5 hex chars")
+    // first 16 bits of md5(token), parsed hex-char-by-hex-char with the same
+    // instr arithmetic DuckDB's strpos reproduces (no engine-specific hash)
+    val hexDigit = (p: Int) => s"(instr('0123456789abcdef', substr(md, $p, 1)) - 1)"
+    val tok = Text.tokenSet(df, idCol, textCol).withColumn("md", md5(col("token")))
+    val h = tok.withColumn(
+      "h",
+      expr(s"${hexDigit(1)} * 4096 + ${hexDigit(2)} * 256 + ${hexDigit(3)} * 16 + ${hexDigit(4)}"))
+    val votes = (0 until bits).map { i =>
+      sum(((col("h") / lit(1 << i)).cast("long") % 2) * 2 - 1).as(s"s_$i")
+    }
+    val voted = h.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val fp = (0 until bits)
+      .map(i => when(col(s"s_$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    voted.select(col(idCol), fp.as("simhash"))
+  }
+}

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Cross-engine-deterministic floating-point aggregation helpers.
+  *
+  * Summing doubles is order-dependent in the last ulp, and Spark's partial
+  * aggregation order differs run-to-run and engine-to-engine (the DuckDB
+  * oracle). Casting each double to a fixed-scale DECIMAL first makes the sum
+  * exact and associative, so Spark and DuckDB produce bit-identical results
+  * regardless of partitioning — no rounding tolerance needed. A double→decimal
+  * cast itself is deterministic across engines because no IEEE double lies
+  * exactly on a half-ulp decimal tie at these scales.
+  *
+  * This is also the right call at 100 TB: decimal partial aggregation is
+  * still map-side combined and whole-stage-codegen'd; the cost over a double
+  * sum is a few percent, and results stop depending on partition count.
+  */
+object Exact {
+  val SumType: DecimalType = DecimalType(30, 8)
+
+  /** Exact, order-independent sum of a double column; returned as double. */
+  def dsum(c: Column): Column = sum(c.cast(SumType)).cast("double")
+
+  /** Exact mean: decimal sum / count, divided in double space. */
+  def dmean(c: Column): Column =
+    (sum(c.cast(SumType)).cast("double") / count(c)).cast("double")
+
+  /** Decimal type for sums of squares. Scale 4, NOT 10: a double→decimal
+    * cast is only cross-engine-deterministic while the quantization point
+    * sits inside the double's ~17 significant decimal digits (Spark rounds
+    * the shortest-repr string, DuckDB the exact binary value — verified to
+    * diverge at 18 digits). x² magnitudes reach 1e8-1e11, so scale 4 keeps
+    * int_digits + scale ≤ 15. The decimal→double cast back out is correctly
+    * rounded in BOTH engines at any magnitude (verified) — only the inbound
+    * cast needs this guard.
+    */
+  val SqType: DecimalType = DecimalType(38, 4)
+
+  /** Exact sample stddev via decimal sums of x and x². The per-row square is
+    * a single IEEE op (deterministic), sums are exact, and the final
+    * combination is identical double arithmetic on both engines.
+    */
+  def dstddev(c: Column): Column = {
+    val n = count(c).cast("double")
+    val s = sum(c.cast(SumType)).cast("double")
+    val s2 = sum((c * c).cast(SqType)).cast("double")
+    when(n > 1, sqrt(greatest((s2 - s * s / n) / (n - lit(1.0)), lit(0.0))))
+  }
+
+  /** DuckDB SQL fragment mirroring [[dsum]]. */
+  def sqlDsum(x: String): String =
+    s"CAST(sum(CAST(($x) AS DECIMAL(30,8))) AS DOUBLE)"
+
+  /** DuckDB SQL fragment mirroring [[dmean]]. */
+  def sqlDmean(x: String): String =
+    s"(CAST(sum(CAST(($x) AS DECIMAL(30,8))) AS DOUBLE) / count($x))"
+
+  /** DuckDB SQL fragment mirroring [[dstddev]] (NULL when n<=1). */
+  def sqlDstddev(x: String): String = {
+    val n = s"CAST(count($x) AS DOUBLE)"
+    val s = s"CAST(sum(CAST(($x) AS DECIMAL(30,8))) AS DOUBLE)"
+    val s2 = s"CAST(sum(CAST((($x)*($x)) AS DECIMAL(38,4))) AS DOUBLE)"
+    s"CASE WHEN $n > 1 THEN sqrt(greatest(($s2 - $s*$s/$n) / ($n - 1.0), 0.0)) END"
+  }
+}

@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join operators (SURVEY §2.3, J1-J5).
+  *
+  * The reference never calls a real join — pairing happens through shared
+  * dict keys (`/root/reference/generate_submission.py:53-64`) and the
+  * bucket-walking range fetch (`/root/reference/utils.py:56-76`). Here they
+  * are declarative joins so Catalyst picks the physical strategy (broadcast
+  * for small sides, sort-merge otherwise) and AQE can re-plan on skew.
+  */
+object Joins {
+
+  /** J4: left-outer lookup with a default for misses (ref
+    * `generate_submission.py:221-226`: label for t+200 else "nothing").
+    */
+  def lookupWithDefault(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      default: Column): DataFrame =
+    left
+      .join(right, keys, "left")
+      .withColumn(valueCol, coalesce(col(valueCol), default))
+
+  /** J2: range fetch — for each anchor row, aggregate all sample rows with
+    * sample.ts in [anchor.ts - leftMs, anchor.ts + rightMs). Single-series
+    * formulation (both sides share `parts`): a rangeBetween window frame on
+    * the union of anchors and samples would need equal grids; the general,
+    * scalable form is a range join which Spark executes as a shuffled join
+    * on `parts` with the range as a post-condition. For dense per-key series
+    * prefer [[Windows.horizonStats]] (no join at all).
+    */
+  def rangeFetch(
+      anchors: DataFrame,
+      samples: DataFrame,
+      parts: Seq[String],
+      anchorMsCol: String,
+      sampleMsCol: String,
+      leftMs: Long,
+      rightMs: Long): DataFrame = {
+    val a = anchors.as("a")
+    val s = samples.as("s")
+    val keyCond = parts
+      .map(k => col(s"a.$k") === col(s"s.$k"))
+      .reduceOption(_ && _)
+      .getOrElse(lit(true))
+    val rangeCond =
+      col(s"s.$sampleMsCol") >= col(s"a.$anchorMsCol") - leftMs &&
+        col(s"s.$sampleMsCol") < col(s"a.$anchorMsCol") + rightMs
+    a.join(s, keyCond && rangeCond, "left")
+  }
+
+  /** J3: padded bucket fetch — like the reference's
+    * `get_data_around_time_step` (`utils.py:56-76`): every bucket in
+    * [anchor - leftMs, anchor + rightMs) exists in the output, with NULL
+    * value where the series has no such bucket (caller coalesces to its
+    * missing_value). The bucket lattice is generated, not joined from data,
+    * so out-of-range buckets appear exactly once.
+    */
+  def rangeFetchPadded(
+      anchors: DataFrame,
+      series: DataFrame, // one row per (parts, bucketMsCol)
+      parts: Seq[String],
+      anchorMsCol: String,
+      bucketMsCol: String,
+      leftMs: Long,
+      rightMs: Long,
+      stepMs: Long): DataFrame = {
+    val lattice = anchors.withColumn(
+      "__fetch_bucket",
+      explode(
+        sequence(
+          col(anchorMsCol) - leftMs,
+          col(anchorMsCol) + rightMs - stepMs,
+          lit(stepMs))))
+    val renamed = series.withColumnRenamed(bucketMsCol, "__fetch_bucket")
+    lattice.join(renamed, parts :+ "__fetch_bucket", "left")
+      .withColumnRenamed("__fetch_bucket", "fetch_bucket")
+  }
+}

@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Interval/segment operators (SURVEY §2.5, W5 + W9).
+  *
+  * W5: interval → grid expansion — each labeled interval [start, end] emits
+  * one row per `step` grid point (ref `/root/reference/load_data.py:34-42`,
+  * label smearing onto the 200 ms window grid).
+  *
+  * W9: run-length encoding (gaps-and-islands) — collapse an ordered labeled
+  * series into (key, start, end, label) segments each time the label changes
+  * (ref `/root/reference/generate_submission.py:522-562`).
+  *
+  * Both are pure window/generator SQL: `explode(sequence(...))` is Spark's
+  * Generator path (no UDTF needed), the islands trick is two window
+  * functions + a groupBy — each a single shuffle on the entity keys.
+  */
+object Segments {
+
+  /** W5: expand [startMs, endMs] intervals onto a step grid. Emits one row
+    * per grid point g with fromStart <= g <= endMs, g = k*step. The
+    * reference's loop `while win_end < end*1000: emit; win_end += step`
+    * starting from the previous interval's cursor is its cumulative variant;
+    * this operator exposes the general per-interval form with inclusive /
+    * exclusive end handled by the caller via endMs adjustment.
+    */
+  def intervalToGrid(
+      df: DataFrame,
+      startMsCol: String,
+      endMsCol: String,
+      stepMs: Long,
+      gridCol: String = "grid_ms"): DataFrame = {
+    // first grid point strictly inside: ceil(start/step)*step
+    val first = ceil(col(startMsCol).cast("double") / stepMs).cast("long") * stepMs
+    val last = (col(endMsCol) / stepMs).cast("long") * stepMs
+    // sequence() raises on first > last; an interval shorter than one step
+    // contains no grid point and must simply emit no rows (explode of the
+    // empty array), matching the reference's while-loop doing zero turns.
+    df.withColumn(
+      gridCol,
+      explode(
+        when(first <= last, sequence(first, last, lit(stepMs)))
+          .otherwise(array().cast("array<long>"))))
+  }
+
+  /** W9: run-length encode `labelCol` over rows ordered by `orderCol` within
+    * `parts`. Returns one row per constant-label run with:
+    * seg_start = first orderCol of the run, seg_end = orderCol of the first
+    * row AFTER the run (end-exclusive, like the reference's segment `end`),
+    * with the final run's end = last orderCol in the partition (the
+    * reference's closing flush, `generate_submission.py:539-540`), plus
+    * seg_len = number of rows.
+    *
+    * Classic islands: change flag via lag, running sum → segment id, groupBy.
+    */
+  def runLengthEncode(
+      df: DataFrame,
+      parts: Seq[String],
+      orderCol: String,
+      labelCol: String): DataFrame = {
+    val w = Window.partitionBy(parts.map(col): _*).orderBy(col(orderCol))
+    val chg = when(
+      lag(col(labelCol), 1).over(w).isNull ||
+        lag(col(labelCol), 1).over(w) =!= col(labelCol),
+      1).otherwise(0)
+    val withSeg = df
+      .withColumn("__chg", chg)
+      .withColumn("__seg", sum(col("__chg")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__next", lead(col(orderCol), 1).over(w))
+      .withColumn("__last", max(col(orderCol)).over(Window.partitionBy(parts.map(col): _*)))
+    withSeg
+      .groupBy((parts.map(col) :+ col("__seg") :+ col(labelCol)): _*)
+      .agg(
+        min(col(orderCol)).as("seg_start"),
+        max(coalesce(col("__next"), col("__last"))).as("seg_end"),
+        count(lit(1)).as("seg_len"))
+      .drop("__seg")
+  }
+
+  /** Generated dense grid of buckets per key over [minMs, maxMs] — the
+    * padding lattice for J3-style out-of-range handling (every window must
+    * exist even where no samples fell; ref `utils.py:66-73`).
+    * `bounds` must have one row per key with minMs/maxMs columns.
+    */
+  def bucketGrid(
+      bounds: DataFrame,
+      keyCols: Seq[String],
+      minMsCol: String,
+      maxMsCol: String,
+      stepMs: Long,
+      gridCol: String = "bucket"): DataFrame = {
+    val first = (col(minMsCol) / stepMs).cast("long") * stepMs
+    val last = (col(maxMsCol) / stepMs).cast("long") * stepMs
+    bounds.select(
+      (keyCols.map(col) :+ explode(sequence(first, last, lit(stepMs))).as(gridCol)): _*)
+  }
+}

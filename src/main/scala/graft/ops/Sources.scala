@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Sources (SURVEY §2.1, S1-S4).
+  *
+  * The reference ingests per-trial CSV files in a Python loop, deriving key
+  * columns from the filename (`/root/reference/load_data.py:85-87,161-164`)
+  * and reading headerless label CSVs positionally
+  * (`/root/reference/load_data.py:14-15`). Spark-first: one glob read with an
+  * explicit schema replaces the loop; `input_file_name()` + `regexp_extract`
+  * recover filename-derived keys; partitioning by file replaces the dict
+  * nesting. CSV schema inference is deliberately NOT used (correctness trap,
+  * SURVEY §1.2).
+  */
+object Sources {
+
+  /** S2: parquet table reader for the driver test layout. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** S1: headerless CSV with explicit positional schema
+    * (ref `load_data.py:14-15`).
+    */
+  def csvHeaderless(spark: SparkSession, schema: StructType, path: String): DataFrame =
+    spark.read.schema(schema).option("header", "false").csv(path)
+
+  /** S2: CSV with header; schema still explicit (never inferred). */
+  def csvWithHeader(spark: SparkSession, schema: StructType, path: String): DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(path)
+
+  /** S3: derive key columns from the source file name — replaces the
+    * reference's `os.listdir` loop + `fn[:3]`/`fn[3:6]` slicing
+    * (ref `load_data.py:85-87`). `groups` maps new column name → 1-based
+    * regex group in `pattern` applied to the file name.
+    */
+  def withFilenameKeys(df: DataFrame, pattern: String, groups: Seq[(String, Int)]): DataFrame = {
+    val fn = regexp_extract(input_file_name(), "([^/]+)$", 1)
+    groups.foldLeft(df) { case (d, (name, g)) =>
+      d.withColumn(name, regexp_extract(fn, pattern, g))
+    }
+  }
+
+  /** S4: headerless CSV sink (ref `generate_submission.py:567-569`). */
+  def writeCsvHeaderless(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "false").csv(path)
+}

@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Aggregation kernels (SURVEY §2.4, A3-A15).
+  *
+  * Each is a Column-level aggregate usable inside any `groupBy().agg(...)`,
+  * so one pass produces the whole fused feature block (A9) — Spark's
+  * hash-aggregate already does partial (map-side) + final combine, which is
+  * the distributed generalization of the reference's `partial_fit` pattern
+  * (`/root/reference/load_data.py:116-120`).
+  */
+object Stats {
+
+  /** A5: mean of first differences of an ordered sequence. For an ordered
+    * series this telescopes to (last - first) / (n - 1)
+    * (ref `generate_submission.py:14-15`), which needs no window function —
+    * min/max-by the order column inside a plain aggregate.
+    */
+  def diffMean(orderCol: Column, valueCol: Column): Column = {
+    val first = min_by(valueCol, orderCol)
+    val last = max_by(valueCol, orderCol)
+    when(count(valueCol) > 1, (last - first) / (count(valueCol) - 1).cast("double"))
+  }
+
+  /** A8: signed abs-max — the value with the largest absolute value, sign
+    * preserved (ref `utils.py:38-45` `_abs_max_orig`): where(-min > max, min, max).
+    * Expressed exactly as the reference's formula so ties resolve identically.
+    */
+  def signedAbsMax(c: Column): Column =
+    when(-min(c) > max(c), min(c)).otherwise(max(c))
+
+  /** A6: boundary-sum difference: sum of the last w values minus sum of the
+    * first w values of the ordered-by-`orderCol` group
+    * (ref `generate_submission.py:17-18`, w=7). Implemented as two filtered
+    * exact sums over rank from each end — one aggregate pass, no collect_list.
+    * Caller must pre-compute rank columns (see [[withEndRanks]]).
+    */
+  def boundarySumDiff(valueCol: Column, rankAsc: Column, rankDesc: Column, w: Int): Column =
+    sum(when(rankDesc <= w, valueCol.cast(Exact.SumType))).cast("double") -
+      sum(when(rankAsc <= w, valueCol.cast(Exact.SumType))).cast("double")
+
+  /** Adds ascending/descending rank columns within (parts, ordered by order)
+    * for [[boundarySumDiff]].
+    */
+  def withEndRanks(
+      df: DataFrame,
+      parts: Seq[String],
+      order: Seq[Column],
+      ascCol: String = "rn_asc",
+      descCol: String = "rn_desc"): DataFrame = {
+    val wAsc = Window.partitionBy(parts.map(col): _*).orderBy(order: _*)
+    val wDesc = Window.partitionBy(parts.map(col): _*).orderBy(order.map(_.desc): _*)
+    df.withColumn(ascCol, row_number().over(wAsc))
+      .withColumn(descCol, row_number().over(wDesc))
+  }
+
+  /** A12/O4: deterministic mode — most frequent value, ties broken by the
+    * smallest value (the reference's `np.bincount(...).argmax()` at
+    * `generate_submission.py:496-502` also takes the lowest class on ties).
+    * Returns a 2-phase plan: count per (keys, value), then max_by on
+    * (count desc, value asc) — both shuffles are on the grouping keys, so
+    * this scales to any cardinality (no collect of the value set).
+    */
+  def modeDeterministic(df: DataFrame, keys: Seq[String], valueCol: String, outCol: String): DataFrame = {
+    val counted = df
+      .groupBy((keys :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    // max_by over a struct orders lexicographically: highest count first,
+    // then (via negated rank surrogate) smallest value. String values can't
+    // be negated, so order by (cnt, value) with value descending encoded as
+    // a second max_by pass: use min_by on value among max-count rows.
+    val wmax = Window.partitionBy(keys.map(col): _*)
+    counted
+      .withColumn("__maxcnt", max(col("__cnt")).over(wmax))
+      .filter(col("__cnt") === col("__maxcnt"))
+      .groupBy(keys.map(col): _*)
+      .agg(min(col(valueCol)).as(outCol))
+  }
+
+  /** A11: exact linear-interpolation quantile, computed with explicit window
+    * arithmetic rather than `percentile()` so the double operations are
+    * bit-identical to the same formula spelled out in the DuckDB oracle:
+    * pos = 1 + (n-1)q; result = v_floor + (v_ceil - v_floor) * frac(pos).
+    * One row per (keys, q).
+    *
+    * Single-pass: the ranked frame is built once and cross-joined with the
+    * (broadcast) quantile list — one window shuffle total, however many
+    * quantiles are requested. Ties in `valueCol` are harmless: row_number
+    * among equal values is arbitrary but the value at any given rank is not.
+    */
+  def exactQuantiles(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      qs: Seq[Double]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(valueCol))
+    val wp = Window.partitionBy(keys.map(col): _*)
+    val ranked = df
+      .select((keys.map(col) :+ col(valueCol)): _*)
+      .filter(col(valueCol).isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wp))
+    val pos = lit(1.0) + (col("__n") - 1).cast("double") * col("q")
+    ranked
+      .crossJoin(broadcast(qs.toDF("q")))
+      .withColumn("__pos", pos)
+      .withColumn("__lo", floor(col("__pos")))
+      .withColumn("__hi", ceil(col("__pos")))
+      .withColumn("__frac", col("__pos") - floor(col("__pos")))
+      .filter(col("__rn") === col("__lo") || col("__rn") === col("__hi"))
+      .groupBy((keys.map(col) :+ col("q")): _*)
+      .agg(
+        (min(when(col("__rn") === col("__lo"), col(valueCol))) +
+          (min(when(col("__rn") === col("__hi"), col(valueCol))) -
+            min(when(col("__rn") === col("__lo"), col(valueCol)))) *
+          min(col("__frac"))).as("q_value"))
+  }
+
+  /** A15: 0-based argmax over an array column (ref
+    * `generate_submission.py:487,491` `.argmax(axis=1)`). First occurrence
+    * wins on ties, matching numpy.
+    */
+  def argmaxArray(arr: Column): Column =
+    (array_position(arr, array_max(arr)) - 1).cast("int")
+}

@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Embedding-vector math over ArrayType(FloatType) columns, array-local
+  * (no explode in the Spark plan — one codegen'd expression per row).
+  *
+  * Sums run in DECIMAL(38,12): exact and associative, so results are
+  * independent of fold order and bit-identical to the DuckDB oracle's
+  * unnest-and-sum formulation. Each product float×float is exact in double
+  * (24+24 ≤ 53 mantissa bits); the decimal quantization of the product
+  * rounds half-up in both engines (verified empirically).
+  */
+object Vectors {
+  // Precision 30, NOT 38: decimal addition at precision 38 hits Spark's cap
+  // and silently drops the scale to 11 (re-rounding every fold step); at 30
+  // the fold stays (31,12)→cast→(30,12), exact. Scale 12 keeps the
+  // double→decimal cast inside shortest-repr digits for |x| ≤ ~1e2 products
+  // and the final sum (≤1e4 · 1e12 < 2^53) exactly castable to double.
+  private val Acc = DecimalType(30, 12)
+
+  /** Exact dot product of two float-array columns, as double. */
+  def dotExact(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast(Acc)),
+      lit(0).cast(Acc),
+      (acc, p) => (acc + p).cast(Acc)).cast("double")
+
+  /** Exact squared L2 norm of a float-array column, as double. */
+  def norm2Exact(a: Column): Column = dotExact(a, a)
+
+  /** Cosine similarity from precomputed dot and squared norms. */
+  def cosineFrom(dot: Column, n2a: Column, n2b: Column): Column =
+    dot / nullif(sqrt(n2a) * sqrt(n2b), lit(0.0))
+
+  /** Sign-bucket LSH key over the first `dims` components: axis-aligned
+    * random-hyperplane hashing (the deterministic degenerate case). 2^dims
+    * buckets; near-duplicate vectors agree on all leading signs with high
+    * probability.
+    */
+  def signBucket(a: Column, dims: Int): Column =
+    concat((1 to dims).map(i => when(element_at(a, i) >= 0f, lit("1")).otherwise(lit("0"))): _*)
+
+  /** DuckDB fragments mirroring the above for oracle SQL. `e` is a list
+    * column reference; dims are 1-based on both sides.
+    */
+  def sqlDotExact(ae: String, be: String, idx: String): String =
+    s"CAST(sum(CAST(CAST($ae[$idx] AS DOUBLE) * CAST($be[$idx] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)"
+
+  def sqlSignBucket(e: String, dims: Int): String =
+    (1 to dims).map(i => s"(CASE WHEN $e[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+}

@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Deduplication queries over `documents`: exact fingerprint groups,
+  * inverted-index n-gram Jaccard, MinHash+LSH, SimHash. The sf0.01 corpus
+  * contains planted near-duplicates at Jaccard ≈ 0.99.
+  */
+object DedupQ {
+  import Q._
+
+  /** Oracle CTE: distinct (doc_id, shingle) 3-word shingles. */
+  private val shSql =
+    """sh AS (SELECT DISTINCT doc_id, shingle FROM (
+         SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+         FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+              unnest(generate_series(1, len(toks) - 2)) AS u(i)))"""
+
+  /** Oracle CTE: 8 minhashes per doc (seeded-md5 min-wise hashing). */
+  private val sigSql = {
+    val mins = (0 until 8).map(j => s"min(md5('$j:' || shingle)) AS mh_$j").mkString(", ")
+    s"sig AS (SELECT doc_id, $mins FROM sh GROUP BY 1)"
+  }
+
+  val defs: Seq[QDef] = Seq(
+    QDef(
+      "d1_exact_dedup",
+      (s, d) => Dedup.exactGroups(t(s, d, "documents"), "doc_id", "text"),
+      Some("""SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+              CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keeper_id
+              FROM documents GROUP BY 1""")),
+
+    QDef(
+      "d2_jaccard_pairs",
+      (s, d) => Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text", 3, 0.5),
+      Some(s"""WITH $shSql,
+               sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+               p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS shared
+                     FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                     GROUP BY 1, 2)
+               SELECT a_id, b_id, shared, sa.n AS na, sb.n AS nb,
+                      CAST(shared AS DOUBLE) / CAST(sa.n + sb.n - shared AS DOUBLE) AS jaccard
+               FROM p JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+               WHERE CAST(shared AS DOUBLE) / CAST(sa.n + sb.n - shared AS DOUBLE)
+                     >= CAST(0.5 AS DOUBLE)""")),
+
+    QDef(
+      "d3_minhash_lsh",
+      (s, d) => {
+        val sh = Text.shingleSet(t(s, d, "documents"), "doc_id", "text", 3)
+        val sig = Dedup.minhashSignatures(sh, "doc_id", 8)
+        Dedup.lshCandidates(sig, "doc_id", 8, 4)
+      },
+      Some {
+        val bands = (0 until 4).map(b =>
+          s"SELECT doc_id, $b AS band_idx, md5(mh_${2 * b} || mh_${2 * b + 1}) AS band_hash FROM sig")
+          .mkString(" UNION ALL ")
+        val agree = (0 until 8).map(j => s"(CASE WHEN sa.mh_$j = sb.mh_$j THEN 1 ELSE 0 END)").mkString(" + ")
+        s"""WITH $shSql, $sigSql,
+            bands AS ($bands),
+            cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                     FROM bands a JOIN bands b ON a.band_idx = b.band_idx
+                       AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
+            SELECT a_id, b_id, CAST($agree AS BIGINT) AS n_equal,
+                   CAST($agree AS DOUBLE) / CAST(8.0 AS DOUBLE) AS est_jaccard
+            FROM cand JOIN sig sa ON sa.doc_id = a_id JOIN sig sb ON sb.doc_id = b_id"""
+      }),
+
+    QDef(
+      "d4_simhash",
+      (s, d) => Dedup.simhash(t(s, d, "documents"), "doc_id", "text", 16),
+      Some {
+        val hexDigit = (p: Int) => s"(instr('0123456789abcdef', substr(md5(token), $p, 1)) - 1)"
+        val votes = (0 until 16)
+          .map(i => s"sum(((h // ${1L << i}) % 2) * 2 - 1) AS s_$i")
+          .mkString(", ")
+        val fp = (0 until 16)
+          .map(i => s"(CASE WHEN s_$i > 0 THEN ${1L << i} ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH tok AS (SELECT DISTINCT doc_id, token FROM
+              (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token FROM documents)),
+            h AS (SELECT doc_id,
+                    ${hexDigit(1)} * 4096 + ${hexDigit(2)} * 256 + ${hexDigit(3)} * 16 + ${hexDigit(4)} AS h
+                  FROM tok),
+            v AS (SELECT doc_id, $votes FROM h GROUP BY 1)
+            SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM v"""
+      })
+  )
+}

@@ -1,0 +1,55 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One registered engine query: the Spark implementation plus (where
+  * SQL-expressible) the DuckDB oracle the driver hash-compares against.
+  *
+  * Cross-engine determinism rules every QDef follows (see [[graft.ops.Exact]]):
+  *   - floating-point aggregation goes through exact DECIMAL sums of RAW
+  *     columns (or single products of raw columns) — never re-quantize a
+  *     derived quotient;
+  *   - timestamps leave the result as `epoch_us` BIGINT (`unix_micros` /
+  *     `epoch_us` agree; the events table has µs precision, no sub-µs);
+  *   - every ranked/top-k output carries a total tiebreak order;
+  *   - DuckDB `sum(BIGINT)` is HUGEINT and `floor()` is DECIMAL — oracle SQL
+  *     casts both to BIGINT; DuckDB numeric literals are DECIMAL — oracle SQL
+  *     casts fractional literals to DOUBLE before arithmetic;
+  *   - column names match exactly between the Spark result and the oracle
+  *     (the driver sorts columns by name before hashing).
+  */
+final case class QDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Q {
+  /** Parquet table in the driver layout. */
+  def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events with the canonical BIGINT µs time key.
+    *
+    * The driver parquet stores ts as TIMESTAMP(NANOS), which Spark 4 only
+    * reads with `spark.sql.legacy.parquet.nanosAsLong=true` (set by
+    * Verify/Bench) — then ts is a nanos BIGINT and the µs key is an integer
+    * DIV (ns magnitudes exceed 2^53, so double division would corrupt).
+    * With a session that maps it to TimestampType instead, unix_micros is
+    * exact (the data has no sub-µs precision).
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    val tsUs = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts DIV 1000")
+      case _                                   => unix_micros(col("ts"))
+    }
+    raw.withColumn("ts_us", tsUs)
+  }
+
+  /** Oracle-side fragment matching [[events]]: a CTE body. */
+  val evSql = "SELECT epoch_us(ts) AS ts_us, event_id, user_id, event_type, value FROM events"
+
+  val usPerHour: Long = 3600L * 1000000L
+  val usPerDay: Long = 24L * usPerHour
+}

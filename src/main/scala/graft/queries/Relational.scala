@@ -1,0 +1,208 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Relational operator demo queries over the TPC-H-ish driver tables.
+  *
+  * Covers SURVEY §2 items S2 (scan+prune), P1-P5/P7/P13 (projections,
+  * filters, scalar functions), J1/J4 + semi/anti (joins), A1/A2 (groupBy,
+  * distinct), O2/O3 (top-k per group, set ops), rollup/cube passthrough and
+  * M1 (label encoding as pure SQL). Filters and projections are written so
+  * Catalyst pushes them into the parquet scan (`PushedFilters`/`ReadSchema`);
+  * joins leave strategy choice to Catalyst/AQE — customer/nation-sized sides
+  * broadcast automatically.
+  */
+object Relational {
+  import Q._
+
+  val defs: Seq[QDef] = Seq(
+    QDef(
+      "s2_scan_project",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .filter(col("l_quantity") < 5 && col("l_returnflag") === "A")
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+              FROM lineitem WHERE l_quantity < 5 AND l_returnflag = 'A'""")),
+
+    QDef(
+      "p1_substring_concat",
+      (s, d) =>
+        t(s, d, "customer").select(
+          col("c_custkey"),
+          substring(col("c_name"), 1, 8).as("name_prefix"),
+          substring(col("c_name"), 10, 3).as("name_mid"),
+          concat_ws("|", col("c_mktsegment"), col("c_name")).as("seg_name")),
+      Some("""SELECT c_custkey, substr(c_name, 1, 8) AS name_prefix,
+              substr(c_name, 10, 3) AS name_mid,
+              concat_ws('|', c_mktsegment, c_name) AS seg_name FROM customer""")),
+
+    QDef(
+      "p2_split_index",
+      // Spark array indexing via get() is 0-based; DuckDB list indexing is
+      // 1-based — the SQL below indexes [1]/[2] for the same two tokens.
+      (s, d) =>
+        t(s, d, "part").select(
+          col("p_partkey"),
+          get(split(col("p_name"), " "), lit(0)).as("first_word"),
+          get(split(col("p_name"), " "), lit(1)).as("second_word")),
+      Some("""SELECT p_partkey, string_split(p_name, ' ')[1] AS first_word,
+              string_split(p_name, ' ')[2] AS second_word FROM part""")),
+
+    QDef(
+      "p7_arith_project",
+      (s, d) =>
+        t(s, d, "lineitem").select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+            (lit(1.0) + col("l_tax"))).as("effective_price")),
+      Some("""SELECT l_orderkey, l_linenumber,
+              l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) * (CAST(1.0 AS DOUBLE) + l_tax)
+                AS effective_price FROM lineitem""")),
+
+    QDef(
+      "q1_pricing_summary",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .filter(col("l_quantity") < 50)
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            Exact.dsum(col("l_quantity")).as("sum_qty"),
+            Exact.dsum(col("l_extendedprice")).as("sum_base_price"),
+            Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+            Exact.dmean(col("l_quantity")).as("avg_qty"),
+            Exact.dmean(col("l_extendedprice")).as("avg_price"),
+            count(lit(1)).as("n")),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+               ${Exact.sqlDsum("l_quantity")} AS sum_qty,
+               ${Exact.sqlDsum("l_extendedprice")} AS sum_base_price,
+               ${Exact.sqlDsum("l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)")} AS sum_disc_price,
+               ${Exact.sqlDmean("l_quantity")} AS avg_qty,
+               ${Exact.sqlDmean("l_extendedprice")} AS avg_price,
+               CAST(count(*) AS BIGINT) AS n
+               FROM lineitem WHERE l_quantity < 50 GROUP BY 1, 2""")),
+
+    QDef(
+      "j1_join_agg",
+      (s, d) =>
+        t(s, d, "orders")
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"), col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            Exact.dsum(col("o_totalprice")).as("total_price")),
+      Some(s"""SELECT c_mktsegment, o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               ${Exact.sqlDsum("o_totalprice")} AS total_price
+               FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2""")),
+
+    QDef(
+      "j4_lookup_default",
+      (s, d) =>
+        t(s, d, "customer")
+          .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(
+            count(col("o_orderkey")).as("n_orders"),
+            coalesce(Exact.dsum(col("o_totalprice")), lit(0.0)).as("total_price")),
+      Some(s"""SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+               coalesce(${Exact.sqlDsum("o_totalprice")}, CAST(0.0 AS DOUBLE)) AS total_price
+               FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY 1""")),
+
+    QDef(
+      "j_semi",
+      (s, d) =>
+        t(s, d, "customer")
+          .join(
+            t(s, d, "orders").filter(col("o_totalprice") > 300000),
+            col("c_custkey") === col("o_custkey"),
+            "left_semi")
+          .select("c_custkey", "c_name"),
+      Some("""SELECT c_custkey, c_name FROM customer WHERE EXISTS
+              (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)""")),
+
+    QDef(
+      "j_anti",
+      (s, d) =>
+        t(s, d, "customer")
+          .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name"),
+      Some("""SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS
+              (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""")),
+
+    QDef(
+      "set_union_distinct",
+      (s, d) =>
+        t(s, d, "nation").select(col("n_name").as("name"))
+          .union(t(s, d, "region").select(col("r_name").as("name")))
+          .distinct(),
+      Some("SELECT n_name AS name FROM nation UNION SELECT r_name AS name FROM region")),
+
+    QDef(
+      "set_intersect",
+      (s, d) =>
+        t(s, d, "supplier").select(col("s_nationkey").as("nk"))
+          .intersect(t(s, d, "customer").select(col("c_nationkey").as("nk"))),
+      Some("SELECT s_nationkey AS nk FROM supplier INTERSECT SELECT c_nationkey AS nk FROM customer")),
+
+    QDef(
+      "set_except",
+      (s, d) =>
+        t(s, d, "customer").select(col("c_nationkey").as("nk"))
+          .except(t(s, d, "supplier").select(col("s_nationkey").as("nk"))),
+      Some("SELECT c_nationkey AS nk FROM customer EXCEPT SELECT s_nationkey AS nk FROM supplier")),
+
+    QDef(
+      "agg_rollup",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"), Exact.dsum(col("l_quantity")).as("sum_qty")),
+      Some(s"""SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+               ${Exact.sqlDsum("l_quantity")} AS sum_qty
+               FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""")),
+
+    QDef(
+      "agg_cube",
+      (s, d) =>
+        t(s, d, "orders")
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), Exact.dsum(col("o_totalprice")).as("sum_price")),
+      Some(s"""SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+               ${Exact.sqlDsum("o_totalprice")} AS sum_price
+               FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""")),
+
+    QDef(
+      "a2_distinct",
+      (s, d) => t(s, d, "lineitem").select("l_returnflag", "l_linestatus").distinct(),
+      Some("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem")),
+
+    QDef(
+      "o2_topk_per_group",
+      (s, d) =>
+        t(s, d, "orders")
+          .withColumn(
+            "rnk",
+            row_number()
+              .over(Window.partitionBy(col("o_custkey"))
+                .orderBy(col("o_totalprice").desc, col("o_orderkey")))
+              .cast("long"))
+          .filter(col("rnk") <= 3)
+          .select("o_custkey", "rnk", "o_orderkey", "o_totalprice"),
+      Some("""SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM
+              (SELECT o_custkey, o_orderkey, o_totalprice,
+                      row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+               FROM orders) WHERE rnk <= 3""")),
+
+    QDef(
+      "m1_label_encode",
+      (s, d) =>
+        events(s, d).select("event_type").distinct()
+          .withColumn("code", (dense_rank().over(Window.orderBy(col("event_type"))) - 1).cast("long")),
+      Some("""SELECT event_type, CAST(dense_rank() OVER (ORDER BY event_type) - 1 AS BIGINT) AS code
+              FROM (SELECT DISTINCT event_type FROM events)"""))
+  )
+}

@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Text-analysis queries over `documents`: token stats, quality scoring,
+  * corpus-trained language ID (integer voting — no transcendental functions,
+  * so the oracle is exact), and content fingerprints. The fingerprint query
+  * also carries the multimodal-column pattern: byte length + sha256 of the
+  * payload treated as opaque bytes.
+  */
+object TextQ {
+  import Q._
+
+  val defs: Seq[QDef] = Seq(
+    QDef(
+      "t1_token_stats",
+      (s, d) => {
+        val toks = Text.tokens(col("text"))
+        t(s, d, "documents").select(
+          col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          length(col("text")).cast("long").as("len_chars"),
+          (length(expr("replace(text, ' ', '')")).cast("double") /
+            size(toks).cast("long")).as("avg_token_len"))
+      },
+      Some("""SELECT doc_id,
+              CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+              CAST(length(text) AS BIGINT) AS len_chars,
+              CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                / CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS avg_token_len
+              FROM documents""")),
+
+    QDef(
+      "t2_quality_score",
+      (s, d) => {
+        val stops = Seq("the", "a", "of", "to", "in")
+        val tok = t(s, d, "documents")
+          .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+        val g = tok.groupBy("doc_id").agg(
+          count(lit(1)).as("n_tokens"),
+          countDistinct(col("token")).as("n_distinct"),
+          sum(when(col("token").isin(stops: _*), 1).otherwise(0)).as("n_stop"))
+        val dr = col("n_distinct").cast("double") / col("n_tokens").cast("double")
+        val sr = col("n_stop").cast("double") / col("n_tokens").cast("double")
+        g.select(
+          col("doc_id"),
+          col("n_tokens"),
+          dr.as("distinct_ratio"),
+          sr.as("stop_ratio"),
+          (dr * (lit(1.0) - sr)).as("quality_score"))
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token FROM documents),
+              g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                      CAST(count(DISTINCT token) AS BIGINT) AS n_distinct,
+                      CAST(sum(CASE WHEN token IN ('the','a','of','to','in') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+                    FROM tok GROUP BY 1)
+              SELECT doc_id, n_tokens,
+                CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS distinct_ratio,
+                CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+                (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+                  * (CAST(1.0 AS DOUBLE) - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS quality_score
+              FROM g""")),
+
+    QDef(
+      "t3_lang_id",
+      (s, d) => Text.languageId(t(s, d, "documents"), "doc_id", "text", "lang", 20),
+      Some("""WITH tok AS (SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS token FROM documents),
+              cnts AS (SELECT lang, token, count(*) AS cnt FROM tok GROUP BY 1, 2),
+              prof AS (SELECT lang AS profile_lang, token FROM
+                        (SELECT lang, token,
+                           row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rnk
+                         FROM cnts) WHERE rnk <= 20),
+              sc AS (SELECT t.doc_id, p.profile_lang, CAST(count(*) AS BIGINT) AS score
+                     FROM tok t JOIN prof p ON t.token = p.token GROUP BY 1, 2)
+              SELECT doc_id, profile_lang AS pred_lang, score FROM
+                (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, profile_lang) AS rn
+                 FROM sc) WHERE rn = 1""")),
+
+    QDef(
+      "t4_fingerprint",
+      (s, d) =>
+        t(s, d, "documents").select(
+          col("doc_id"),
+          Text.fingerprint(col("text")).as("fingerprint"),
+          sha2(col("text"), 256).as("sha256"),
+          octet_length(col("text")).cast("long").as("byte_len")),
+      Some("""SELECT doc_id,
+              md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
+              sha256(text) AS sha256, CAST(strlen(text) AS BIGINT) AS byte_len
+              FROM documents"""))
+  )
+}

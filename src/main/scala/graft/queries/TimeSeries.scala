@@ -1,0 +1,332 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Time-series operator queries over `events` — the reference's core
+  * competency transposed to the driver tables (SURVEY §2.4/§2.5):
+  * tumbling buckets (W1), strided row windows (W2), moving average (W3),
+  * downsample kernels (W4), interval→grid (W5), upsample (W6), horizon
+  * range frames (W7), RLE/gaps-and-islands (W9), linear interpolation (P10),
+  * diff-mean (A5), boundary-sum diff (A6), deterministic mode (A12),
+  * top-1-by (O4), range fetch (J2) and padded fetch (J3), exact quantiles
+  * (A11).
+  *
+  * Every query partitions by `user_id` — the natural shard key a 100 TB
+  * event log would be bucketed on — so each is exactly one shuffle wide.
+  */
+object TimeSeries {
+  import Q._
+
+  private val H = usPerHour
+  private val D = usPerDay
+
+  /** Oracle CTE for the hourly per-user count series used by w7/j3. */
+  private val hourlySql =
+    s"""SELECT user_id, epoch_us(ts) - epoch_us(ts) % $H AS bucket_us,
+        CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2"""
+
+  val defs: Seq[QDef] = Seq(
+    QDef(
+      "w1_tumble_agg",
+      (s, d) =>
+        events(s, d)
+          .withColumn("bucket_us", Windows.tumbleMs(col("ts_us"), H))
+          .groupBy("user_id", "bucket_us")
+          .agg(
+            count(lit(1)).as("n"),
+            Exact.dmean(col("value")).as("mean_value"),
+            min(col("value")).as("min_value"),
+            max(col("value")).as("max_value")),
+      Some(s"""SELECT user_id, epoch_us(ts) - epoch_us(ts) % $H AS bucket_us,
+               CAST(count(*) AS BIGINT) AS n,
+               ${Exact.sqlDmean("value")} AS mean_value,
+               min(value) AS min_value, max(value) AS max_value
+               FROM events GROUP BY 1, 2""")),
+
+    QDef(
+      "w2_strided_window",
+      (s, d) => {
+        val b = Windows.stridedWindowId(events(s, d), Seq("user_id"), Seq(col("ts_us")), 20)
+        b.groupBy("user_id", "win_id")
+          .agg(count(lit(1)).as("n"), Exact.dmean(col("value")).as("mean_value"))
+      },
+      Some(s"""WITH b AS (SELECT user_id, value,
+                 row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) - 1 AS rn0
+               FROM events)
+               SELECT user_id, CAST((rn0 - rn0 % 20) / 20 AS BIGINT) AS win_id,
+               CAST(count(*) AS BIGINT) AS n, ${Exact.sqlDmean("value")} AS mean_value
+               FROM b GROUP BY 1, 2""")),
+
+    QDef(
+      "w3_moving_avg",
+      (s, d) =>
+        Windows.movingAvg(events(s, d), Seq("user_id"), Seq(col("ts_us")), "value", 5)
+          .select("user_id", "ts_us", "moving_avg"),
+      Some("""SELECT user_id, epoch_us(ts) AS ts_us,
+              CAST(sum(CAST(value AS DECIMAL(30,8))) OVER w AS DOUBLE) / count(value) OVER w AS moving_avg
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""")),
+
+    QDef(
+      "w4_downsample",
+      // centered value so the signed-abs-max kernel actually sees signs
+      (s, d) => {
+        val v = events(s, d).withColumn("v", col("value") - lit(245.0))
+        val b = v.withColumn("bucket_us", Windows.tumbleMs(col("ts_us"), 10 * 60 * 1000000L))
+        b.groupBy("user_id", "bucket_us")
+          .agg(
+            Exact.dmean(col("v")).as("mean_v"),
+            Exact.dmean(abs(col("v"))).as("abs_mean_v"),
+            max(abs(col("v"))).as("abs_max_v"),
+            Stats.signedAbsMax(col("v")).as("signed_abs_max_v"))
+      },
+      Some(s"""WITH b AS (SELECT user_id, epoch_us(ts) AS ts_us,
+                 value - CAST(245.0 AS DOUBLE) AS v FROM events)
+               SELECT user_id, ts_us - ts_us % ${10 * 60 * 1000000L} AS bucket_us,
+               ${Exact.sqlDmean("v")} AS mean_v,
+               ${Exact.sqlDmean("abs(v)")} AS abs_mean_v,
+               max(abs(v)) AS abs_max_v,
+               CASE WHEN -min(v) > max(v) THEN min(v) ELSE max(v) END AS signed_abs_max_v
+               FROM b GROUP BY 1, 2""")),
+
+    QDef(
+      "w5_interval_grid",
+      (s, d) => {
+        val bounds = events(s, d)
+          .groupBy("user_id", "event_type")
+          .agg(min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
+        Segments.intervalToGrid(bounds, "start_us", "end_us", D, "grid_us")
+          .select("user_id", "event_type", "grid_us")
+      },
+      // DuckDB CAST(DOUBLE AS BIGINT) rounds; Spark's cast truncates — the
+      // floor() below keeps the two aligned (values are positive).
+      Some(s"""WITH b AS (SELECT user_id, event_type, min(epoch_us(ts)) AS s, max(epoch_us(ts)) AS e
+                 FROM events GROUP BY 1, 2)
+               SELECT user_id, event_type,
+               unnest(generate_series(CAST(ceil(s / CAST($D AS DOUBLE)) AS BIGINT) * $D,
+                                      CAST(floor(e / CAST($D AS DOUBLE)) AS BIGINT) * $D,
+                                      $D)) AS grid_us
+               FROM b""")),
+
+    QDef(
+      "w6_upsample",
+      (s, d) =>
+        Windows.upsampleRepeat(t(s, d, "nation"), 3)
+          .select(col("n_nationkey"), col("n_name"), col("rep_idx").cast("long").as("rep_idx")),
+      Some("""SELECT n_nationkey, n_name, u.rep_idx
+              FROM nation, unnest(generate_series(0, 2)) AS u(rep_idx)""")),
+
+    QDef(
+      "w7_horizon_stats",
+      // hourly count series per user, then lookback/lookahead range frames —
+      // the reference's 8-block feature windows on integer counts (exact
+      // sums; mean division guarded and identical both engines).
+      (s, d) => {
+        val hourly = events(s, d)
+          .withColumn("bucket_us", Windows.tumbleMs(col("ts_us"), H))
+          .groupBy("user_id", "bucket_us")
+          .agg(count(lit(1)).as("n"))
+        val base = Window.partitionBy(col("user_id")).orderBy(col("bucket_us"))
+        Seq(6 * H, 24 * H).foldLeft(hourly) { (df, h) =>
+          val back = base.rangeBetween(-h, -1)
+          val fwd = base.rangeBetween(0, h - 1)
+          df.withColumn(s"sum_back_${h / H}h", sum(col("n")).over(back))
+            .withColumn(
+              s"mean_back_${h / H}h",
+              sum(col("n")).over(back).cast("double") / nullif(count(col("n")).over(back), lit(0L)).cast("double"))
+            .withColumn(s"max_back_${h / H}h", max(col("n")).over(back))
+            .withColumn(s"sum_fwd_${h / H}h", sum(col("n")).over(fwd))
+            .withColumn(
+              s"mean_fwd_${h / H}h",
+              sum(col("n")).over(fwd).cast("double") / nullif(count(col("n")).over(fwd), lit(0L)).cast("double"))
+            .withColumn(s"max_fwd_${h / H}h", max(col("n")).over(fwd))
+        }
+      },
+      Some(s"""WITH h AS ($hourlySql)
+               SELECT user_id, bucket_us, n,
+               CAST(sum(n) OVER b6 AS BIGINT) AS sum_back_6h,
+               CAST(sum(n) OVER b6 AS DOUBLE) / CAST(nullif(count(n) OVER b6, 0) AS DOUBLE) AS mean_back_6h,
+               max(n) OVER b6 AS max_back_6h,
+               CAST(sum(n) OVER f6 AS BIGINT) AS sum_fwd_6h,
+               CAST(sum(n) OVER f6 AS DOUBLE) / CAST(nullif(count(n) OVER f6, 0) AS DOUBLE) AS mean_fwd_6h,
+               max(n) OVER f6 AS max_fwd_6h,
+               CAST(sum(n) OVER b24 AS BIGINT) AS sum_back_24h,
+               CAST(sum(n) OVER b24 AS DOUBLE) / CAST(nullif(count(n) OVER b24, 0) AS DOUBLE) AS mean_back_24h,
+               max(n) OVER b24 AS max_back_24h,
+               CAST(sum(n) OVER f24 AS BIGINT) AS sum_fwd_24h,
+               CAST(sum(n) OVER f24 AS DOUBLE) / CAST(nullif(count(n) OVER f24, 0) AS DOUBLE) AS mean_fwd_24h,
+               max(n) OVER f24 AS max_fwd_24h
+               FROM h
+               WINDOW b6 AS (PARTITION BY user_id ORDER BY bucket_us RANGE BETWEEN ${6 * H} PRECEDING AND 1 PRECEDING),
+                      f6 AS (PARTITION BY user_id ORDER BY bucket_us RANGE BETWEEN CURRENT ROW AND ${6 * H - 1} FOLLOWING),
+                      b24 AS (PARTITION BY user_id ORDER BY bucket_us RANGE BETWEEN ${24 * H} PRECEDING AND 1 PRECEDING),
+                      f24 AS (PARTITION BY user_id ORDER BY bucket_us RANGE BETWEEN CURRENT ROW AND ${24 * H - 1} FOLLOWING)""")),
+
+    QDef(
+      "w9_rle",
+      (s, d) =>
+        Segments.runLengthEncode(events(s, d), Seq("user_id"), "ts_us", "event_type"),
+      Some("""WITH f AS (SELECT user_id, epoch_us(ts) AS o, event_type,
+                CASE WHEN lag(event_type) OVER w IS NULL
+                       OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
+              g AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY o ROWS UNBOUNDED PRECEDING) AS seg,
+                      lead(o) OVER (PARTITION BY user_id ORDER BY o) AS nxt,
+                      max(o) OVER (PARTITION BY user_id) AS lst
+                    FROM f)
+              SELECT user_id, event_type, min(o) AS seg_start,
+                     max(coalesce(nxt, lst)) AS seg_end, CAST(count(*) AS BIGINT) AS seg_len
+              FROM g GROUP BY user_id, seg, event_type""")),
+
+    QDef(
+      "p10_interpolate",
+      // every 'click' row's value is masked to NULL, then linearly
+      // interpolated per user over the µs axis; leading NULLs → 0 (the
+      // reference's interpolate().fillna(0) chain).
+      (s, d) => {
+        val masked = events(s, d).withColumn(
+          "v",
+          when(col("event_type") === "click", lit(null).cast("double")).otherwise(col("value")))
+        Cleaning.interpolateThenZero(masked, Seq("user_id"), "ts_us", Seq("v"))
+          .select("user_id", "ts_us", "v")
+      },
+      Some("""WITH m AS (SELECT user_id, epoch_us(ts) AS ts_us,
+                CASE WHEN event_type = 'click' THEN NULL ELSE value END AS v FROM events),
+              w AS (SELECT user_id, ts_us, v,
+                last_value(v IGNORE NULLS) OVER wb AS pv,
+                last_value(CASE WHEN v IS NOT NULL THEN CAST(ts_us AS DOUBLE) END IGNORE NULLS) OVER wb AS px,
+                first_value(v IGNORE NULLS) OVER wf AS nv,
+                first_value(CASE WHEN v IS NOT NULL THEN CAST(ts_us AS DOUBLE) END IGNORE NULLS) OVER wf AS nx
+                FROM m
+                WINDOW wb AS (PARTITION BY user_id ORDER BY ts_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                       wf AS (PARTITION BY user_id ORDER BY ts_us ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+              SELECT user_id, ts_us,
+                coalesce(CASE WHEN v IS NOT NULL THEN v
+                              WHEN pv IS NULL THEN NULL
+                              WHEN nv IS NULL THEN pv
+                              ELSE pv + (nv - pv) * (CAST(ts_us AS DOUBLE) - px) / (nx - px) END,
+                         CAST(0.0 AS DOUBLE)) AS v
+              FROM w""")),
+
+    QDef(
+      "a5_diffmean",
+      (s, d) =>
+        events(s, d).groupBy("user_id")
+          .agg(Stats.diffMean(col("ts_us"), col("value")).as("diff_mean")),
+      Some("""SELECT user_id,
+              CASE WHEN count(value) > 1 THEN
+                (arg_max(value, epoch_us(ts)) - arg_min(value, epoch_us(ts)))
+                  / CAST(count(value) - 1 AS DOUBLE) END AS diff_mean
+              FROM events GROUP BY 1""")),
+
+    QDef(
+      "a6_boundary_diff",
+      (s, d) => {
+        val ranked = Stats.withEndRanks(events(s, d), Seq("user_id"), Seq(col("ts_us")))
+        ranked.groupBy("user_id")
+          .agg(Stats.boundarySumDiff(col("value"), col("rn_asc"), col("rn_desc"), 7).as("boundary_diff"))
+      },
+      Some("""WITH r AS (SELECT user_id, value,
+                row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS rn_asc,
+                row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC) AS rn_desc
+                FROM events)
+              SELECT user_id,
+                CAST(sum(CASE WHEN rn_desc <= 7 THEN CAST(value AS DECIMAL(30,8)) END) AS DOUBLE)
+                - CAST(sum(CASE WHEN rn_asc <= 7 THEN CAST(value AS DECIMAL(30,8)) END) AS DOUBLE)
+                  AS boundary_diff
+              FROM r GROUP BY 1""")),
+
+    QDef(
+      "a12_mode",
+      (s, d) =>
+        Stats.modeDeterministic(events(s, d), Seq("user_id"), "event_type", "mode_event")
+          .select("user_id", "mode_event"),
+      Some("""WITH c AS (SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY 1, 2),
+              m AS (SELECT *, max(cnt) OVER (PARTITION BY user_id) AS mx FROM c)
+              SELECT user_id, min(event_type) AS mode_event FROM m WHERE cnt = mx GROUP BY 1""")),
+
+    QDef(
+      "o4_top1_by",
+      (s, d) =>
+        events(s, d)
+          .withColumn(
+            "rn",
+            row_number().over(
+              Window.partitionBy(col("event_type")).orderBy(col("value").desc, col("event_id"))))
+          .filter(col("rn") === 1)
+          .select("event_type", "event_id", "value"),
+      Some("""SELECT event_type, event_id, value FROM
+              (SELECT event_type, event_id, value,
+                 row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+               FROM events) WHERE rn = 1""")),
+
+    QDef(
+      "j2_range_fetch",
+      // daily anchors per user; count + exact-sum all events in
+      // [anchor - 6h, anchor + 18h) — the reference's get_data_around_time_step
+      // as a real range join (shuffled equi-join on user_id + range filter).
+      (s, d) => {
+        val ev = events(s, d)
+        val anchors = ev
+          .select(col("user_id"), Windows.tumbleMs(col("ts_us"), D).as("anchor_us"))
+          .distinct()
+        Joins.rangeFetch(anchors, ev, Seq("user_id"), "anchor_us", "ts_us", 6 * H, 18 * H)
+          .groupBy(col("a.user_id").as("user_id"), col("a.anchor_us").as("anchor_us"))
+          .agg(
+            count(col("s.event_id")).as("n_samples"),
+            coalesce(Exact.dsum(col("s.value")), lit(0.0)).as("sum_value"))
+      },
+      Some(s"""WITH a AS (SELECT DISTINCT user_id,
+                 epoch_us(ts) - epoch_us(ts) % $D AS anchor_us FROM events)
+               SELECT a.user_id, a.anchor_us,
+               CAST(count(e.event_id) AS BIGINT) AS n_samples,
+               coalesce(${Exact.sqlDsum("e.value")}, CAST(0.0 AS DOUBLE)) AS sum_value
+               FROM a LEFT JOIN events e ON e.user_id = a.user_id
+                 AND epoch_us(e.ts) >= a.anchor_us - ${6 * H}
+                 AND epoch_us(e.ts) < a.anchor_us + ${18 * H}
+               GROUP BY 1, 2""")),
+
+    QDef(
+      "j3_padded_fetch",
+      // 6 hourly buckets from each user's first bucket, padded with -1 where
+      // the series has no bucket — the generated-lattice padding of J3.
+      (s, d) => {
+        val hourly = events(s, d)
+          .withColumn("bucket_us", Windows.tumbleMs(col("ts_us"), H))
+          .groupBy("user_id", "bucket_us")
+          .agg(count(lit(1)).as("n"))
+        val anchors = hourly.groupBy("user_id").agg(min(col("bucket_us")).as("anchor_us"))
+        Joins.rangeFetchPadded(anchors, hourly, Seq("user_id"), "anchor_us", "bucket_us", 0, 6 * H, H)
+          .select(col("user_id"), col("fetch_bucket"), coalesce(col("n"), lit(-1L)).as("n_padded"))
+      },
+      Some(s"""WITH h AS ($hourlySql),
+               a AS (SELECT user_id, min(bucket_us) AS anchor_us FROM h GROUP BY 1),
+               l AS (SELECT user_id, anchor_us,
+                       unnest(generate_series(anchor_us, anchor_us + ${5 * H}, $H)) AS fetch_bucket
+                     FROM a)
+               SELECT l.user_id, l.fetch_bucket, coalesce(h.n, -1) AS n_padded
+               FROM l LEFT JOIN h ON h.user_id = l.user_id AND h.bucket_us = l.fetch_bucket""")),
+
+    QDef(
+      "a11_quantiles",
+      (s, d) =>
+        Stats.exactQuantiles(events(s, d), Seq("event_type"), "value", Seq(0.25, 0.5, 0.75)),
+      Some("""WITH r AS (SELECT event_type, value,
+                row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+                count(*) OVER (PARTITION BY event_type) AS n
+                FROM events WHERE value IS NOT NULL),
+              qs AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES (0.25), (0.5), (0.75)) t(q)),
+              p AS (SELECT r.event_type, qs.q, r.value, r.rn,
+                      CAST(1.0 AS DOUBLE) + CAST(n - 1 AS DOUBLE) * qs.q AS pos
+                    FROM r CROSS JOIN qs)
+              SELECT event_type, q,
+                min(CASE WHEN rn = CAST(floor(pos) AS BIGINT) THEN value END)
+                + (min(CASE WHEN rn = CAST(ceil(pos) AS BIGINT) THEN value END)
+                   - min(CASE WHEN rn = CAST(floor(pos) AS BIGINT) THEN value END))
+                  * min(pos - floor(pos)) AS q_value
+              FROM p WHERE rn = CAST(floor(pos) AS BIGINT) OR rn = CAST(ceil(pos) AS BIGINT)
+              GROUP BY 1, 2"""))
+  )
+}
