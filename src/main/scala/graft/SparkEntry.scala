@@ -13,7 +13,7 @@ import graft.queries._
 object SparkEntry {
   private val all: Seq[QDef] =
     Relational.defs ++ TimeSeries.defs ++ Scalers.defs ++
-      DedupQ.defs ++ TextQ.defs ++ SimilarityQ.defs
+      DedupQ.defs ++ TextQ.defs ++ SimilarityQ.defs ++ MlQ.defs
 
   require(all.map(_.name).distinct.size == all.size, "duplicate query names")
 

@@ -1,0 +1,88 @@
+package graft.ml
+
+import org.apache.spark.ml.classification.RandomForestClassifier
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** M6-M9: seeded randomized-hyperparameter multiclass ensemble + majority
+  * vote — the Spark rendering of the reference's 11 LightGBM boosters with
+  * per-model randomized params and seeds SEED+i
+  * (`/root/reference/generate_submission.py:47-130`, draws `:89-99,111-121`,
+  * vote `:493-502`). LightGBM is unavailable offline; MLlib's
+  * RandomForestClassifier is the native-multiclass stand-in (SURVEY §7.3).
+  *
+  * Determinism: a seeded scala.util.Random drives the param draws in a fixed
+  * sequence; each member gets seed SEED+i; the vote is the deterministic
+  * min-on-ties mode (numpy argmax-of-bincount takes the lowest class,
+  * `generate_submission.py:496-502`).
+  */
+object Ensemble {
+  val Seed = 1337
+
+  final case class Member(numTrees: Int, maxDepth: Int, minInstances: Int, seed: Long)
+
+  /** The reference's randomized param draws, transposed to RF knobs. */
+  def drawMembers(nModels: Int, seed: Int = Seed): Seq[Member] = {
+    val rng = new Random(seed)
+    Seq.tabulate(nModels) { i =>
+      Member(
+        numTrees = 15 + rng.nextInt(16), // 15-30
+        maxDepth = 4 + rng.nextInt(4), // 4-7
+        minInstances = 1 + rng.nextInt(5), // 1-5
+        seed = seed + i)
+    }
+  }
+
+  /** Fit the ensemble on (featureCols → labelCol), score `test`, and return
+    * it with per-member `pred_i` columns plus the majority-vote `outCol`
+    * (ties → lowest class). Weights column optional (the reference doubles
+    * s05, `generate_submission.py:61-64`).
+    */
+  def fitPredictVote(
+      train: DataFrame,
+      test: DataFrame,
+      featureCols: Seq[String],
+      labelCol: String,
+      nModels: Int,
+      outCol: String,
+      weightCol: Option[String] = None): DataFrame = {
+    val asm = new VectorAssembler()
+      .setInputCols(featureCols.toArray)
+      .setOutputCol("__features")
+    val trainVec = asm.transform(train).cache()
+    val testVec = asm.transform(test)
+    val scored = drawMembers(nModels).zipWithIndex.foldLeft(testVec) {
+      case (acc, (m, i)) =>
+        val est = new RandomForestClassifier()
+          .setFeaturesCol("__features")
+          .setLabelCol(labelCol)
+          .setPredictionCol(s"__p_$i")
+          .setProbabilityCol(s"__prob_$i")
+          .setRawPredictionCol(s"__raw_$i")
+          .setNumTrees(m.numTrees)
+          .setMaxDepth(m.maxDepth)
+          .setMinInstancesPerNode(m.minInstances)
+          .setSeed(m.seed)
+        weightCol.foreach(est.setWeightCol)
+        val model = est.fit(trainVec)
+        model.transform(acc)
+          .withColumn(s"pred_$i", col(s"__p_$i").cast("int"))
+          .drop(s"__p_$i", s"__prob_$i", s"__raw_$i")
+    }
+    trainVec.unpersist()
+    // majority vote with lowest-class tie-break (numpy bincount-argmax
+    // semantics), array-local per row: candidates whose count equals the
+    // max count, then array_min
+    val arr = s"array(${(0 until nModels).map(i => s"pred_$i").mkString(",")})"
+    val voteSql =
+      s"""array_min(
+         |  filter(array_distinct($arr),
+         |    c -> size(filter($arr, x -> x = c)) =
+         |         array_max(transform(array_distinct($arr),
+         |           c2 -> size(filter($arr, x -> x = c2))))))""".stripMargin
+    scored.withColumn(outCol, expr(voteSql)).drop("__features")
+  }
+}

@@ -1,0 +1,52 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class WindowsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tumbleMs buckets: bucket <= ts < bucket + step, pure integer math") {
+    val df = Seq(0L, 199L, 200L, 399L, 1000L).toDF("ts")
+    val out = df.select(col("ts"), Windows.tumbleMs(col("ts"), 200L).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(0L -> 0L, 199L -> 0L, 200L -> 200L, 399L -> 200L, 1000L -> 1000L))
+  }
+
+  test("stridedWindowId chunks rows in order, per key") {
+    val df = (0 until 7).map(i => ("k", i.toLong)).toDF("k", "ts")
+    val out = Windows.stridedWindowId(df, Seq("k"), Seq(col("ts")), 3)
+      .orderBy("ts").select("win_id").as[Long].collect().toSeq
+    assert(out == Seq(0L, 0L, 0L, 1L, 1L, 1L, 2L))
+  }
+
+  test("movingAvg trailing frame matches hand-rolled values") {
+    val df = Seq(("k", 1L, 1.0), ("k", 2L, 2.0), ("k", 3L, 6.0)).toDF("k", "ts", "value")
+    val out = Windows.movingAvg(df, Seq("k"), Seq(col("ts")), "value", 2)
+      .orderBy("ts").select("moving_avg").as[Double].collect().toSeq
+    assert(out == Seq(1.0, 1.5, 4.0))
+  }
+
+  test("downsample kernels: mean / abs_mean / abs_max / signed abs-max") {
+    val df = Seq(("k", 0L, -3.0), ("k", 10L, 2.0)).toDF("k", "ts", "v")
+    def ds(m: String) =
+      Windows.downsample(df, Seq("k"), "ts", "v", 1000L, m).select("ds_value").as[Double].head()
+    assert(ds("mean") == -0.5)
+    assert(ds("abs_mean") == 2.5)
+    assert(ds("abs_max") == 3.0)
+    assert(ds("abs_max_orig") == -3.0) // sign preserved, ref utils.py:38-45
+  }
+
+  test("signed abs-max tie takes the positive (where(-min > max) is strict)") {
+    val df = Seq(("k", -2.0), ("k", 2.0)).toDF("k", "v")
+    val out = df.groupBy("k").agg(Stats.signedAbsMax(col("v")).as("s"))
+      .select("s").as[Double].head()
+    assert(out == 2.0)
+  }
+
+  test("upsampleRepeat emits factor rows with 0-based index") {
+    val out = Windows.upsampleRepeat(Seq(("x")).toDF("c"), 3)
+      .select("rep_idx").as[Int].collect().sorted.toSeq
+    assert(out == Seq(0, 1, 2))
+  }
+}
