@@ -29,8 +29,8 @@ object Ensemble {
     val rng = new Random(seed)
     Seq.tabulate(nModels) { i =>
       Member(
-        numTrees = 15 + rng.nextInt(16), // 15-30
-        maxDepth = 4 + rng.nextInt(4), // 4-7
+        numTrees = 8 + rng.nextInt(9), // 8-16
+        maxDepth = 4 + rng.nextInt(3), // 4-6
         minInstances = 1 + rng.nextInt(5), // 1-5
         seed = seed + i)
     }

@@ -24,14 +24,24 @@ object Text {
       sequence(lit(0), size(toks) - k),
       i => concat_ws(" ", (0 until k).map(j => get(toks, i + lit(j))): _*))
 
+  /** Spread docs across all cores before CPU-bound per-doc work: a small
+    * corpus arrives as one parquet file = one partition, which would
+    * serialize the shingle/token flatMap on a single thread. At scale this
+    * is the same rule — rebalance by id before partition-local text kernels.
+    */
+  private def spread(df: DataFrame, idCol: String): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+
   /** (id, shingle) rows, de-duplicated per doc — the unit of Jaccard math. */
   def shingleSet(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    df.filter(size(tokens(col(textCol))) >= k)
+    spread(df, idCol)
+      .filter(size(tokens(col(textCol))) >= k)
       .select(col(idCol), explode(array_distinct(shingles(tokens(col(textCol)), k))).as("shingle"))
 
   /** (id, token) rows, one per distinct token per doc. */
   def tokenSet(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), explode(array_distinct(tokens(col(textCol)))).as("token"))
+    spread(df, idCol)
+      .select(col(idCol), explode(array_distinct(tokens(col(textCol)))).as("token"))
 
   /** Content fingerprint: md5 of whitespace-normalized lowercase text. */
   def fingerprint(c: Column): Column =
@@ -51,7 +61,8 @@ object Text {
       textCol: String,
       langCol: String,
       topK: Int): DataFrame = {
-    val tok = docs.select(col(idCol), col(langCol), explode(tokens(col(textCol))).as("token"))
+    val tok = spread(docs, idCol)
+      .select(col(idCol), col(langCol), explode(tokens(col(textCol))).as("token"))
     val profile = tok
       .groupBy(col(langCol).as("profile_lang"), col("token"))
       .agg(count(lit(1)).as("cnt"))

@@ -78,6 +78,17 @@ object TextQ {
                  FROM sc) WHERE rn = 1""")),
 
     QDef(
+      "mm1_decode_features",
+      // multimodal plumbing: text payload as opaque bytes → partition-local
+      // fake-decode kernel → 16-dim feature vector (no SQL equivalent:
+      // mapPartitions stage → rows-only check)
+      (s, d) => {
+        val withPayload = Multimodal.attachPayload(t(s, d, "documents"), "text")
+        Multimodal.decodeFeatures(withPayload, "doc_id")
+      },
+      None),
+
+    QDef(
       "t4_fingerprint",
       (s, d) =>
         t(s, d, "documents").select(

@@ -1,0 +1,64 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.nio.file.Files
+
+class MultimodalSourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("multimodal: payload attach + partition-local decode + frame sampling") {
+    val df = Seq((1L, "abcdefgh"), (2L, "zzzz")).toDF("id", "raw")
+    val withPayload = Multimodal.attachPayload(df, "raw")
+    val meta = withPayload.select("media_meta.n_bytes").as[Long].collect().sorted.toSeq
+    assert(meta == Seq(4L, 8L))
+
+    val feats = Multimodal.decodeFeatures(withPayload, "id")
+    val f = feats.orderBy("id").select("features").as[Seq[Double]].collect()
+    assert(f.forall(_.size == Multimodal.FeatureDim))
+    assert(f.forall(v => math.abs(v.sum - 1.0) < 1e-12)) // L1-normalized
+    // deterministic: same bytes → same features
+    val again = Multimodal.decodeFeatures(withPayload, "id")
+      .orderBy("id").select("features").as[Seq[Double]].collect()
+    assert(f.toSeq == again.toSeq)
+
+    val frames = Multimodal.sampleFrames(withPayload, "id", 3)
+    val byId = frames.groupBy("id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(byId == Map(1L -> 3L, 2L -> 2L)) // ceil(8/3)=3, ceil(4/3)=2
+    val firstFrame = frames.filter(col("id") === 1 && col("frame_idx") === 0)
+      .select(col("frame_bytes").cast("string")).as[String].head()
+    assert(firstFrame == "abc")
+  }
+
+  test("S1/S4: headerless CSV roundtrip with positional schema") {
+    val dir = Files.createTempDirectory("graft_csv").toString
+    val schema = StructType(Seq(
+      StructField("key", StringType),
+      StructField("start", DoubleType),
+      StructField("end", DoubleType),
+      StructField("action", StringType)))
+    val df = Seq(("s01t01.la", 0.0, 3.4, "la-lift")).toDF("key", "start", "end", "action")
+    Sources.writeCsvHeaderless(df, s"$dir/out")
+    val back = Sources.csvHeaderless(spark, schema, s"$dir/out")
+    assert(back.as[(String, Double, Double, String)].collect().toSeq ==
+      Seq(("s01t01.la", 0.0, 3.4, "la-lift")))
+  }
+
+  test("S3: filename-derived key columns via regex") {
+    val dir = Files.createTempDirectory("graft_files").toString
+    Seq((0.0, 1.0)).toDF("ts", "v").coalesce(1).write
+      .option("header", "true").csv(s"$dir/s01t02")
+    val schema = StructType(Seq(StructField("ts", DoubleType), StructField("v", DoubleType)))
+    val df = spark.read.schema(schema).option("header", "true").csv(s"$dir/s01t02/*.csv")
+    val keyed = Sources.withFilenameKeys(df, "^(part-\\d+)", Seq("part" -> 1))
+    assert(keyed.select("part").as[String].head().startsWith("part-"))
+    // the reference pattern: subject/trial from a sNNtNN-style name
+    val df2 = Seq(("s04t07", 1.0)).toDF("fn", "v")
+      .withColumn("subject", substring(col("fn"), 1, 3))
+      .withColumn("trial", substring(col("fn"), 4, 3))
+    assert(df2.select("subject", "trial").as[(String, String)].head() == (("s04", "t07")))
+  }
+}

@@ -1,0 +1,49 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Int) = new Timestamp(s * 1000L)
+
+  test("tumblingAgg runs the W1 semantics incrementally over a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "user", "value")
+    val agg = Streaming.tumblingAgg(df, "ts", "user", "10 seconds", "30 seconds")
+    val q = agg.writeStream
+      .format("memory")
+      .queryName("tumbling_test")
+      .outputMode("complete")
+      .start()
+    try {
+      input.addData((ts(1), "u1", 2.0), (ts(5), "u1", 4.0), (ts(12), "u2", 10.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_test")
+        .select(col("window.start").cast("long"), col("user"), col("n"), col("mean_value"))
+        .as[(Long, String, Long, Double)].collect().toSet
+      assert(rows == Set((0L, "u1", 2L, 3.0), (10L, "u2", 1L, 10.0)))
+      // late-but-inside-watermark data updates the earlier window
+      input.addData((ts(8), "u1", 6.0))
+      q.processAllAvailable()
+      val rows2 = spark.table("tumbling_test")
+        .select(col("window.start").cast("long"), col("user"), col("n"), col("mean_value"))
+        .as[(Long, String, Long, Double)].collect().toSet
+      assert(rows2.contains((0L, "u1", 3L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("tumblingAgg is the same code path for batch frames") {
+    val batch = Seq((ts(1), "u1", 2.0), (ts(5), "u1", 4.0))
+      .toDF("ts", "user", "value")
+    val out = Streaming.tumblingAgg(batch, "ts", "user", "10 seconds", "30 seconds")
+      .select(col("user"), col("n"), col("mean_value"))
+      .as[(String, Long, Double)].collect().toSeq
+    assert(out == Seq(("u1", 2L, 3.0)))
+  }
+}
