@@ -310,6 +310,35 @@ object TimeSeries {
                FROM l LEFT JOIN h ON h.user_id = l.user_id AND h.bucket_us = l.fetch_bucket""")),
 
     QDef(
+      "a14_align_truncate",
+      // count-based length alignment, truncate side (ref
+      // generate_submission.py:182-191): cap each user's series at its
+      // first 20 rows by ts; padding side is j3_padded_fetch
+      (s, d) =>
+        events(s, d)
+          .withColumn(
+            "rn",
+            row_number().over(Window.partitionBy(col("user_id")).orderBy(col("ts_us"))).cast("long"))
+          .filter(col("rn") <= 20)
+          .select("user_id", "ts_us", "rn"),
+      Some("""SELECT user_id, ts_us, rn FROM
+              (SELECT user_id, epoch_us(ts) AS ts_us,
+                 row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS rn
+               FROM events) WHERE rn <= 20""")),
+
+    QDef(
+      "a15_argmax_array",
+      // 0-based argmax over an array column, first occurrence on ties
+      // (numpy argmax; ref generate_submission.py:487,491)
+      (s, d) =>
+        t(s, d, "embeddings").select(
+          col("vec_id"),
+          Stats.argmaxArray(col("embedding")).cast("long").as("argmax_dim")),
+      Some("""SELECT vec_id,
+              CAST(list_position(embedding, list_aggregate(embedding, 'max')) - 1 AS BIGINT) AS argmax_dim
+              FROM embeddings""")),
+
+    QDef(
       "a11_quantiles",
       (s, d) =>
         Stats.exactQuantiles(events(s, d), Seq("event_type"), "value", Seq(0.25, 0.5, 0.75)),
