@@ -55,6 +55,46 @@ object Joins {
     a.join(s, keyCond && rangeCond, "left")
   }
 
+  /** As-of join: for each anchor row, the latest sample with
+    * sample.ts <= anchor.ts within the same keys (NULL when none). The
+    * reference's dict lookups "value as of window time" generalized.
+    *
+    * Spark-first formulation: NO join at all. Anchors and samples union into
+    * one stream, ordered by (ts, is_anchor) within the keys — a sample at
+    * exactly the anchor timestamp sorts first, giving inclusive semantics —
+    * and a running `last(value, ignoreNulls)` frame carries the most recent
+    * sample forward onto each anchor row. One shuffle on the keys, linear
+    * scan per partition; at 100 TB this beats the nested-loop/range join a
+    * `ts <= ts` condition would otherwise plan.
+    */
+  def asOf(
+      anchors: DataFrame,
+      samples: DataFrame,
+      parts: Seq[String],
+      anchorMsCol: String,
+      sampleMsCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    val aSide = anchors
+      .select((parts.map(col) :+ col(anchorMsCol).as("__t")) ++
+        (lit(1).as("__a") +: valueCols.map(c => lit(null).cast("double").as(c))): _*)
+    val sSide = samples
+      .select((parts.map(col) :+ col(sampleMsCol).as("__t")) ++
+        (lit(0).as("__a") +: valueCols.map(col)): _*)
+    val w = Window
+      .partitionBy(parts.map(col): _*)
+      .orderBy(col("__t"), col("__a"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = sSide.unionByName(aSide)
+      .withColumn("asof_ts", last(when(col("__a") === 0, col("__t")), ignoreNulls = true).over(w))
+    val withVals = valueCols.foldLeft(carried) { (d, c) =>
+      d.withColumn(s"asof_$c", last(when(col("__a") === 0, col(c)), ignoreNulls = true).over(w))
+    }
+    withVals
+      .filter(col("__a") === 1)
+      .select((parts.map(col) :+ col("__t").as(anchorMsCol) :+ col("asof_ts")) ++
+        valueCols.map(c => col(s"asof_$c")): _*)
+  }
+
   /** J3: padded bucket fetch — like the reference's
     * `get_data_around_time_step` (`utils.py:56-76`): every bucket in
     * [anchor - leftMs, anchor + rightMs) exists in the output, with NULL

@@ -198,6 +198,20 @@ object Relational {
                FROM orders) WHERE rnk <= 3""")),
 
     QDef(
+      "agg_count_distinct",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            countDistinct(col("l_partkey")).as("n_parts"),
+            countDistinct(col("l_suppkey")).as("n_supps"),
+            count(lit(1)).as("n")),
+      Some("""SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+              CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+              CAST(count(*) AS BIGINT) AS n
+              FROM lineitem GROUP BY 1""")),
+
+    QDef(
       "m1_label_encode",
       (s, d) =>
         events(s, d).select("event_type").distinct()

@@ -310,6 +310,23 @@ object TimeSeries {
                FROM l LEFT JOIN h ON h.user_id = l.user_id AND h.bucket_us = l.fetch_bucket""")),
 
     QDef(
+      "j5_asof",
+      // latest event value at or before each daily anchor, per user — the
+      // join-free union+window as-of (oracle: DuckDB's native ASOF JOIN)
+      (s, d) => {
+        val ev = events(s, d)
+        val anchors = ev
+          .select(col("user_id"), Windows.tumbleMs(col("ts_us"), D).as("anchor_us"))
+          .distinct()
+        Joins.asOf(anchors, ev, Seq("user_id"), "anchor_us", "ts_us", Seq("value"))
+      },
+      Some(s"""WITH a AS (SELECT DISTINCT user_id,
+                 epoch_us(ts) - epoch_us(ts) % $D AS anchor_us FROM events),
+               e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events)
+               SELECT a.user_id, a.anchor_us, e.ts_us AS asof_ts, e.value AS asof_value
+               FROM a ASOF LEFT JOIN e ON a.user_id = e.user_id AND e.ts_us <= a.anchor_us""")),
+
+    QDef(
       "a14_align_truncate",
       // count-based length alignment, truncate side (ref
       // generate_submission.py:182-191): cap each user's series at its

@@ -53,6 +53,19 @@ class ScalingJoinsSpec extends SparkSpec {
     assert(out == Seq("hit", "nothing"))
   }
 
+  test("asOf carries the latest sample at-or-before each anchor, NULL before the first") {
+    val anchors = Seq(("k", 50L), ("k", 100L), ("k", 250L)).toDF("k", "t")
+    val samples = Seq(("k", 100L, 1.0), ("k", 200L, 2.0)).toDF("k", "ts", "value")
+    val out = Joins.asOf(anchors, samples, Seq("k"), "t", "ts", Seq("value"))
+      .orderBy("t")
+      .select(col("t"), col("asof_ts"), col("asof_value"))
+      .as[(Long, Option[Long], Option[Double])].collect().toSeq
+    assert(out == Seq(
+      (50L, None, None), // before any sample
+      (100L, Some(100L), Some(1.0)), // inclusive: sample at exactly t
+      (250L, Some(200L), Some(2.0))))
+  }
+
   test("rangeFetch pulls only rows inside [t - left, t + right)") {
     val anchors = Seq(("k", 1000L)).toDF("k", "t")
     val samples = Seq(("k", 799L), ("k", 800L), ("k", 1199L), ("k", 1200L))

@@ -1,0 +1,76 @@
+package graft.props
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties}
+import graft.ops._
+
+/** ScalaCheck properties (SURVEY §5.2 item 3) for the invariants that unit
+  * examples can't pin: interpolation bounds, bucket laws, quantile bounds.
+  * Runs on the shared local session via sbt's native ScalaCheck support.
+  */
+object OperatorProps extends Properties("graft.ops") {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private val series: Gen[List[Option[Double]]] =
+    Gen.listOfN(12, Gen.option(Gen.choose(-100.0, 100.0))).suchThat(_.nonEmpty)
+
+  property("interpolation output is bounded by known neighbors and exact on knowns") =
+    Prop.forAll(series) { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => ("k", i.toLong, v) }.toDF("k", "x", "v")
+      val out = Cleaning.interpolateLinear(df, Seq("k"), "x", Seq("v"))
+        .orderBy("x").select("v").as[Option[Double]].collect().toSeq
+      val known = vs.flatten
+      val (lo, hi) = if (known.isEmpty) (0.0, 0.0) else (known.min, known.max)
+      vs.zip(out).forall {
+        case (Some(orig), Some(res)) => res == orig // knowns untouched
+        case (None, Some(res)) => res >= lo - 1e-9 && res <= hi + 1e-9 // bounded
+        case (None, None) => true // leading run stays NULL pre-fill
+        case (Some(_), None) => false
+      }
+    }
+
+  property("interpolation on a linear ramp recovers the ramp exactly") =
+    Prop.forAll(Gen.choose(2, 10), Gen.choose(-5.0, 5.0), Gen.choose(-3.0, 3.0)) { (n, a, b) =>
+      val full = (0 until n).map(i => a + b * i)
+      val masked = full.zipWithIndex.map { case (v, i) =>
+        if (i != 0 && i != n - 1 && i % 2 == 1) None else Some(v)
+      }
+      val df = masked.zipWithIndex.map { case (v, i) => ("k", i.toLong, v) }.toDF("k", "x", "v")
+      val out = Cleaning.interpolateLinear(df, Seq("k"), "x", Seq("v"))
+        .orderBy("x").select("v").as[Double].collect().toSeq
+      out.zip(full).forall { case (r, e) => math.abs(r - e) < 1e-9 }
+    }
+
+  property("tumbling bucket law: bucket <= ts < bucket + step, step | bucket") =
+    Prop.forAll(Gen.choose(0L, 1000000L), Gen.oneOf(7L, 200L, 1000L)) { (ts, step) =>
+      val b = Seq(ts).toDF("ts")
+        .select(Windows.tumbleMs(col("ts"), step).as("b")).as[Long].head()
+      b <= ts && ts < b + step && b % step == 0
+    }
+
+  property("exact quantiles lie within [min, max] and are monotone in q") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.choose(-50.0, 50.0))) { vs =>
+      val df = vs.map(("k", _)).toDF("k", "v")
+      val qs = Stats.exactQuantiles(df, Seq("k"), "v", Seq(0.1, 0.5, 0.9))
+        .orderBy("q").select("q_value").as[Double].collect().toSeq
+      qs.size == 3 &&
+        qs.forall(q => q >= vs.min - 1e-9 && q <= vs.max + 1e-9) &&
+        qs(0) <= qs(1) + 1e-9 && qs(1) <= qs(2) + 1e-9
+    }
+
+  property("signed abs-max has the max magnitude present in the group") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.choose(-100.0, 100.0))) { vs =>
+      val df = vs.map(("k", _)).toDF("k", "v")
+      val s = df.groupBy("k").agg(Stats.signedAbsMax(col("v")).as("s"))
+        .select("s").as[Double].head()
+      math.abs(s) == vs.map(math.abs).max && vs.contains(s)
+    }
+}
