@@ -239,6 +239,37 @@ object TimeSeries {
               FROM r GROUP BY 1""")),
 
     QDef(
+      "a9_feature_block",
+      // the fused one-pass stat block (ref generate_submission.py:29-36):
+      // all stat families in ONE hash aggregate — partial map-side combine,
+      // single shuffle, no per-family passes
+      (s, d) =>
+        events(s, d)
+          .withColumn("v", col("value") - lit(245.0))
+          .groupBy("user_id")
+          .agg(
+            count(lit(1)).as("n"),
+            Exact.dmean(col("value")).as("mean_value"),
+            min(col("value")).as("min_value"),
+            max(col("value")).as("max_value"),
+            Exact.dstddev(col("value")).as("stddev_value"),
+            Exact.dmean(abs(col("v"))).as("abs_mean_centered"),
+            Stats.signedAbsMax(col("v")).as("signed_abs_max_centered"),
+            Stats.diffMean(col("ts_us"), col("value")).as("diff_mean")),
+      Some(s"""WITH b AS (SELECT user_id, epoch_us(ts) AS ts_us, value,
+                 value - CAST(245.0 AS DOUBLE) AS v FROM events)
+               SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+               ${Exact.sqlDmean("value")} AS mean_value,
+               min(value) AS min_value, max(value) AS max_value,
+               ${Exact.sqlDstddev("value")} AS stddev_value,
+               ${Exact.sqlDmean("abs(v)")} AS abs_mean_centered,
+               CASE WHEN -min(v) > max(v) THEN min(v) ELSE max(v) END AS signed_abs_max_centered,
+               CASE WHEN count(value) > 1 THEN
+                 (arg_max(value, ts_us) - arg_min(value, ts_us)) / CAST(count(value) - 1 AS DOUBLE)
+               END AS diff_mean
+               FROM b GROUP BY 1""")),
+
+    QDef(
       "a12_mode",
       (s, d) =>
         Stats.modeDeterministic(events(s, d), Seq("user_id"), "event_type", "mode_event")
