@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming surface (SURVEY §2.8). The reference is pure batch;
   * these expose the batch operators' streaming analogs so the same W1
@@ -25,6 +26,64 @@ object Streaming {
       .withWatermark(tsCol, watermarkDelay)
       .groupBy(window(col(tsCol), windowLength), col(keyCol))
       .agg(count(lit(1)).as("n"), avg(col("value")).as("mean_value"))
+
+  /** One observed event for stateful processing. */
+  final case class Obs(user: String, tsMs: Long, label: String)
+
+  /** One emitted closed segment. */
+  final case class Segment(user: String, label: String, startMs: Long, endMs: Long, n: Long)
+
+  /** Open-run state for [[sessionizeRle]] (public: Catalyst codegen cannot
+    * reflect on a private nested class).
+    */
+  final case class RunState(label: String, startMs: Long, lastMs: Long, runLen: Long)
+
+  /** W9-as-stream: run-length encoding with custom state via
+    * flatMapGroupsWithState — the incremental form of
+    * [[graft.ops.Segments.runLengthEncode]]: per key, an open run lives in
+    * GroupState; a label change (or processing-time timeout) closes and
+    * emits the previous segment with the reference's end-exclusive bound.
+    * Batch RLE and this operator agree on closed segments; the final open
+    * run flushes on timeout instead of the batch closing flush.
+    */
+  def sessionizeRle(
+      events: Dataset[Obs],
+      timeoutMs: Option[Long] = None): Dataset[Segment] = {
+    import events.sparkSession.implicits._
+    // ProcessingTimeTimeout makes the engine self-trigger empty micro-batches
+    // continuously to check timers — only opt in when an idle-flush matters
+    val timeoutConf =
+      if (timeoutMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events
+      .groupByKey(_.user)
+      .flatMapGroupsWithState[RunState, Segment](OutputMode.Append(), timeoutConf) {
+        case (user, rows, state: GroupState[RunState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Segment(user, s.label, s.startMs, s.lastMs, s.runLen))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.tsMs)
+            var cur = state.getOption
+            val out = Seq.newBuilder[Segment]
+            sorted.foreach { o =>
+              cur match {
+                case Some(s) if s.label == o.label =>
+                  cur = Some(s.copy(lastMs = o.tsMs, runLen = s.runLen + 1))
+                case Some(s) =>
+                  out += Segment(user, s.label, s.startMs, o.tsMs, s.runLen) // end-exclusive
+                  cur = Some(RunState(o.label, o.tsMs, o.tsMs, 1))
+                case None =>
+                  cur = Some(RunState(o.label, o.tsMs, o.tsMs, 1))
+              }
+            }
+            cur.foreach(state.update)
+            timeoutMs.foreach(state.setTimeoutDuration)
+            out.result().iterator
+          }
+      }
+  }
 
   /** Running (cumulative) per-key aggregate — the streaming analog of the
     * reference's partial_fit scaler accumulation (A10): counts/sums update

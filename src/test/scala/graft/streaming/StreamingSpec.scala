@@ -38,6 +38,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeRle emits closed runs incrementally with end-exclusive bounds") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streaming.Obs]
+    val q = Streaming.sessionizeRle(input.toDS())
+      .writeStream.format("memory").queryName("rle_stream").outputMode("append").start()
+    try {
+      input.addData(
+        Streaming.Obs("u1", 0L, "a"), Streaming.Obs("u1", 200L, "a"),
+        Streaming.Obs("u1", 400L, "b"))
+      q.processAllAvailable()
+      val closed = spark.table("rle_stream")
+        .as[Streaming.Segment].collect().toSeq
+      // the a-run closed when b arrived; end = first ts AFTER the run
+      assert(closed == Seq(Streaming.Segment("u1", "a", 0L, 400L, 2L)))
+      // the open b-run closes when the label changes in a later batch
+      input.addData(Streaming.Obs("u1", 600L, "c"))
+      q.processAllAvailable()
+      val closed2 = spark.table("rle_stream").as[Streaming.Segment].collect().toSeq
+      assert(closed2.contains(Streaming.Segment("u1", "b", 400L, 600L, 1L)))
+    } finally q.stop()
+  }
+
   test("tumblingAgg is the same code path for batch frames") {
     val batch = Seq((ts(1), "u1", 2.0), (ts(5), "u1", 4.0))
       .toDF("ts", "user", "value")
