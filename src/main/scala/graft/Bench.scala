@@ -15,9 +15,17 @@ object Bench {
     // absorb JVM/codegen/session warmup so it isn't charged to whichever
     // query happens to run first; fixed name order for stable attribution
     spark.range(2000000L).selectExpr("sum(id * 2)").collect()
+    // force EVERY output column: a bare count() lets Catalyst prune unused
+    // window/projection expressions and under-measures projection queries
+    import org.apache.spark.sql.functions.{col, sum => fsum, xxhash64}
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try {
+        val out = fn(spark, sfDir)
+        // double sum: a long sum of hashes overflows under ANSI mode
+        out.select(xxhash64(out.columns.map(col): _*).cast("double").as("__h"))
+          .agg(fsum("__h")).collect()
+      } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

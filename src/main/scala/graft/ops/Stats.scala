@@ -98,26 +98,39 @@ object Stats {
       qs: Seq[Double]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(valueCol))
-    val wp = Window.partitionBy(keys.map(col): _*)
-    val ranked = df
+    // two-phase: pre-aggregate counts per DISTINCT value (full-parallelism
+    // hash agg), then rank via cumulative counts — the ordered window sees
+    // one row per distinct value instead of one per input row, so the
+    // low-cardinality-key sort stops being the bottleneck at scale. The
+    // value occupying rank r is the one whose cumulative range
+    // (cum_before, cum_before + cnt] contains r — identical math to
+    // row_number ranking, which the DuckDB oracle keeps using.
+    val counted = df
       .select((keys.map(col) :+ col(valueCol)): _*)
       .filter(col(valueCol).isNotNull)
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(wp))
+      .groupBy((keys.map(col) :+ col(valueCol)): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(keys.map(col): _*)
+    val ranked = counted
+      .withColumn("__cum", coalesce(sum(col("__cnt")).over(wOrd), lit(0L)))
+      .withColumn("__n", sum(col("__cnt")).over(wAll))
     val pos = lit(1.0) + (col("__n") - 1).cast("double") * col("q")
+    val atLo = col("__cum") < col("__lo") && col("__lo") <= col("__cum") + col("__cnt")
+    val atHi = col("__cum") < col("__hi") && col("__hi") <= col("__cum") + col("__cnt")
     ranked
       .crossJoin(broadcast(qs.toDF("q")))
       .withColumn("__pos", pos)
       .withColumn("__lo", floor(col("__pos")))
       .withColumn("__hi", ceil(col("__pos")))
       .withColumn("__frac", col("__pos") - floor(col("__pos")))
-      .filter(col("__rn") === col("__lo") || col("__rn") === col("__hi"))
+      .filter(atLo || atHi)
       .groupBy((keys.map(col) :+ col("q")): _*)
       .agg(
-        (min(when(col("__rn") === col("__lo"), col(valueCol))) +
-          (min(when(col("__rn") === col("__hi"), col(valueCol))) -
-            min(when(col("__rn") === col("__lo"), col(valueCol)))) *
+        (min(when(atLo, col(valueCol))) +
+          (min(when(atHi, col(valueCol))) -
+            min(when(atLo, col(valueCol)))) *
           min(col("__frac"))).as("q_value"))
   }
 
