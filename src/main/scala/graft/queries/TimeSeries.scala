@@ -239,6 +239,18 @@ object TimeSeries {
               FROM r GROUP BY 1""")),
 
     QDef(
+      "skew_salted_stats",
+      // salted two-phase aggregation over a deliberately hot key
+      // (event_type: 5 keys x 20k rows) — bit-identical to the direct
+      // groupBy because the partial sums are exact decimals
+      (s, d) =>
+        Skew.saltedStats(events(s, d), Seq("event_type"), "value", 32),
+      Some(s"""SELECT event_type, CAST(count(value) AS BIGINT) AS n,
+               ${Exact.sqlDmean("value")} AS mean_value,
+               min(value) AS min_value, max(value) AS max_value
+               FROM events GROUP BY 1""")),
+
+    QDef(
       "a9_feature_block",
       // the fused one-pass stat block (ref generate_submission.py:29-36):
       // all stat families in ONE hash aggregate — partial map-side combine,
