@@ -20,12 +20,17 @@ object TextQ {
         t(s, d, "documents").select(
           col("doc_id"),
           size(toks).cast("long").as("n_tokens"),
+          // BPE-ish subword counting: letter runs / digit runs / single
+          // punctuation, via the same RE2-compatible class both engines run
+          size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+            .cast("long").as("n_tokens_bpe"),
           length(col("text")).cast("long").as("len_chars"),
           (length(expr("replace(text, ' ', '')")).cast("double") /
             size(toks).cast("long")).as("avg_token_len"))
       },
       Some("""SELECT doc_id,
               CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+              CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens_bpe,
               CAST(length(text) AS BIGINT) AS len_chars,
               CAST(length(replace(text, ' ', '')) AS DOUBLE)
                 / CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS avg_token_len
@@ -76,6 +81,35 @@ object TextQ {
               SELECT doc_id, profile_lang AS pred_lang, score FROM
                 (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, profile_lang) AS rn
                  FROM sc) WHERE rn = 1""")),
+
+    QDef(
+      "t5_rolling_fingerprint",
+      // polynomial rolling hash over the token stream — order-sensitive
+      // document fingerprint (md5-based t4 is order-insensitive after
+      // normalization; this one distinguishes permutations). Integer
+      // modular arithmetic end to end: the fold is h = (h*131 + tok16) mod
+      // 1e9+7 with tok16 = first 16 bits of md5(token), seeded at 7 —
+      // mirrored exactly by DuckDB's list_reduce.
+      (s, d) => {
+        val hex = "instr('0123456789abcdef', substr(md5(t), %d, 1)) - 1"
+        val tok16 = s"CAST((${hex.format(1)}) * 4096 + (${hex.format(2)}) * 256 + (${hex.format(3)}) * 16 + (${hex.format(4)}) AS BIGINT)"
+        t(s, d, "documents").select(
+          col("doc_id"),
+          expr(s"""aggregate(
+               transform(split(trim(text), ' '), t -> $tok16),
+               CAST(7 AS BIGINT),
+               (a, h) -> (a * 131 + h) % 1000000007)""").as("rfp"))
+      },
+      Some {
+        val hex = "instr('0123456789abcdef', substr(md5(t), %d, 1)) - 1"
+        val tok16 = s"(${hex.format(1)}) * 4096 + (${hex.format(2)}) * 256 + (${hex.format(3)}) * 16 + (${hex.format(4)})"
+        s"""SELECT doc_id,
+            list_reduce(
+              list_prepend(CAST(7 AS BIGINT),
+                list_transform(string_split(trim(text), ' '), t -> CAST($tok16 AS BIGINT))),
+              (a, h) -> (a * 131 + h) % 1000000007) AS rfp
+            FROM documents"""
+      }),
 
     QDef(
       "mm1_decode_features",
