@@ -19,7 +19,14 @@ import org.apache.spark.sql.types.DecimalType
   * sum is a few percent, and results stop depending on partition count.
   */
 object Exact {
-  val SumType: DecimalType = DecimalType(30, 8)
+  /** Scale 4, NOT 8: the decimal→double cast back out is only guaranteed
+    * identical across engines while |sum|·10^scale < 2^53 (beyond ~17
+    * significant digits the engines' conversions can disagree by an ulp —
+    * observed on sf0.1 full-table money sums at scale 8). Scale 4 keeps
+    * sums up to 9e11 exactly castable (sf10 TPC-H money magnitudes) and
+    * still represents 2-decimal source data exactly.
+    */
+  val SumType: DecimalType = DecimalType(30, 4)
 
   /** Exact, order-independent sum of a double column; returned as double. */
   def dsum(c: Column): Column = sum(c.cast(SumType)).cast("double")
@@ -52,16 +59,16 @@ object Exact {
 
   /** DuckDB SQL fragment mirroring [[dsum]]. */
   def sqlDsum(x: String): String =
-    s"CAST(sum(CAST(($x) AS DECIMAL(30,8))) AS DOUBLE)"
+    s"CAST(sum(CAST(($x) AS DECIMAL(30,4))) AS DOUBLE)"
 
   /** DuckDB SQL fragment mirroring [[dmean]]. */
   def sqlDmean(x: String): String =
-    s"(CAST(sum(CAST(($x) AS DECIMAL(30,8))) AS DOUBLE) / count($x))"
+    s"(CAST(sum(CAST(($x) AS DECIMAL(30,4))) AS DOUBLE) / count($x))"
 
   /** DuckDB SQL fragment mirroring [[dstddev]] (NULL when n<=1). */
   def sqlDstddev(x: String): String = {
     val n = s"CAST(count($x) AS DOUBLE)"
-    val s = s"CAST(sum(CAST(($x) AS DECIMAL(30,8))) AS DOUBLE)"
+    val s = s"CAST(sum(CAST(($x) AS DECIMAL(30,4))) AS DOUBLE)"
     val s2 = s"CAST(sum(CAST((($x)*($x)) AS DECIMAL(38,4))) AS DOUBLE)"
     s"CASE WHEN $n > 1 THEN sqrt(greatest(($s2 - $s*$s/$n) / ($n - 1.0), 0.0)) END"
   }

@@ -7,19 +7,21 @@ import org.apache.spark.sql.types.DecimalType
 /** Embedding-vector math over ArrayType(FloatType) columns, array-local
   * (no explode in the Spark plan — one codegen'd expression per row).
   *
-  * Sums run in DECIMAL(38,12): exact and associative, so results are
+  * Sums run in scale-9 decimals: exact and associative, so results are
   * independent of fold order and bit-identical to the DuckDB oracle's
   * unnest-and-sum formulation. Each product float×float is exact in double
-  * (24+24 ≤ 53 mantissa bits); the decimal quantization of the product
-  * rounds half-up in both engines (verified empirically).
+  * (24+24 ≤ 53 mantissa bits).
   */
 object Vectors {
   // Precision 30, NOT 38: decimal addition at precision 38 hits Spark's cap
-  // and silently drops the scale to 11 (re-rounding every fold step); at 30
-  // the fold stays (31,12)→cast→(30,12), exact. Scale 12 keeps the
-  // double→decimal cast inside shortest-repr digits for |x| ≤ ~1e2 products
-  // and the final sum (≤1e4 · 1e12 < 2^53) exactly castable to double.
-  private val Acc = DecimalType(30, 12)
+  // and silently drops the scale (re-rounding every fold step); at 30 the
+  // fold stays exact. Scale 9, NOT 12: Spark quantizes the double's
+  // shortest decimal repr while DuckDB quantizes the exact binary value —
+  // at scale 12 a ~1e-2 product whose repr terminates in "...5" exactly at
+  // the quantization digit rounds differently (observed once in 380k
+  // products at sf0.1). Scale 9 keeps the rounding position 4+ digits
+  // inside the repr, where both engines see the same neighborhood.
+  private val Acc = DecimalType(30, 9)
 
   /** Exact dot product of two float-array columns, as double. */
   def dotExact(a: Column, b: Column): Column =
@@ -58,7 +60,7 @@ object Vectors {
     * column reference; dims are 1-based on both sides.
     */
   def sqlDotExact(ae: String, be: String, idx: String): String =
-    s"CAST(sum(CAST(CAST($ae[$idx] AS DOUBLE) * CAST($be[$idx] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)"
+    s"CAST(sum(CAST(CAST($ae[$idx] AS DOUBLE) * CAST($be[$idx] AS DOUBLE) AS DECIMAL(38,9))) AS DOUBLE)"
 
   def sqlSignBucket(e: String, dims: Int): String =
     (1 to dims).map(i => s"(CASE WHEN $e[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")

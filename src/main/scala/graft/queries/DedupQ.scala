@@ -92,7 +92,7 @@ object DedupQ {
           .select("a_id", "b_id", "cos")
       },
       Some(s"""WITH n AS (SELECT vec_id,
-                 CAST(sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS n2
+                 CAST(sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,9))) AS DOUBLE) AS n2
                FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY 1),
                e AS (SELECT vec_id, embedding,
                        ${Vectors.sqlSignBucket("embedding", 4)} AS bucket FROM embeddings),

@@ -18,7 +18,7 @@ object Scalers {
 
   private val sqlStddevPop = {
     val n = "CAST(count(x) AS DOUBLE)"
-    val sm = "CAST(sum(CAST(x AS DECIMAL(30,8))) AS DOUBLE)"
+    val sm = "CAST(sum(CAST(x AS DECIMAL(30,4))) AS DOUBLE)"
     val s2 = "CAST(sum(CAST(x * x AS DECIMAL(38,4))) AS DOUBLE)"
     s"CASE WHEN $n > 0 THEN sqrt(greatest(($s2 - $sm * $sm / $n) / $n, CAST(0.0 AS DOUBLE))) END"
   }

@@ -10,7 +10,7 @@ import graft.ops._
   *
   * Spark side computes dot products array-locally (zip_with + aggregate in
   * one codegen'd expression, no explode); the oracle unnests — both sum in
-  * DECIMAL(38,12), so results are bit-identical.
+  * DECIMAL(38,9), so results are bit-identical.
   */
 object SimilarityQ {
   import Q._
@@ -22,7 +22,7 @@ object SimilarityQ {
   /** Oracle CTE: per-vector exact squared norm. */
   private val normSql =
     """n AS (SELECT vec_id,
-         CAST(sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS n2
+         CAST(sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,9))) AS DOUBLE) AS n2
        FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY 1)"""
 
   val defs: Seq[QDef] = Seq(

@@ -65,7 +65,7 @@ object TimeSeries {
         Windows.movingAvg(events(s, d), Seq("user_id"), Seq(col("ts_us")), "value", 5)
           .select("user_id", "ts_us", "moving_avg"),
       Some("""SELECT user_id, epoch_us(ts) AS ts_us,
-              CAST(sum(CAST(value AS DECIMAL(30,8))) OVER w AS DOUBLE) / count(value) OVER w AS moving_avg
+              CAST(sum(CAST(value AS DECIMAL(30,4))) OVER w AS DOUBLE) / count(value) OVER w AS moving_avg
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""")),
 
@@ -233,8 +233,8 @@ object TimeSeries {
                 row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC) AS rn_desc
                 FROM events)
               SELECT user_id,
-                CAST(sum(CASE WHEN rn_desc <= 7 THEN CAST(value AS DECIMAL(30,8)) END) AS DOUBLE)
-                - CAST(sum(CASE WHEN rn_asc <= 7 THEN CAST(value AS DECIMAL(30,8)) END) AS DOUBLE)
+                CAST(sum(CASE WHEN rn_desc <= 7 THEN CAST(value AS DECIMAL(30,4)) END) AS DOUBLE)
+                - CAST(sum(CASE WHEN rn_asc <= 7 THEN CAST(value AS DECIMAL(30,4)) END) AS DOUBLE)
                   AS boundary_diff
               FROM r GROUP BY 1""")),
 
