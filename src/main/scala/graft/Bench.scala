@@ -12,9 +12,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // absorb JVM/codegen/session warmup so it isn't charged to whichever
-    // query happens to run first; fixed name order for stable attribution
+    // absorb JVM/codegen/session warmup and first-touch parquet reader cost
+    // so neither is charged to whichever query runs first; fixed name order
+    // for stable attribution
     spark.range(2000000L).selectExpr("sum(id * 2)").collect()
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").count()
+      catch { case _: Throwable => () }
+    }
     // force EVERY output column: a bare count() lets Catalyst prune unused
     // window/projection expressions and under-measures projection queries
     import org.apache.spark.sql.functions.{col, sum => fsum, xxhash64}
