@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Exact decimal-quantized dot product of two float arrays as a native
+  * Catalyst expression with codegen.
+  *
+  * Semantics are IDENTICAL to the composed form
+  * `aggregate(zip_with(a, b, (x,y) -> cast(x*y as DECIMAL(30,scale))), 0, +)
+  * .cast(double)`: each double product is quantized at `scale` via the same
+  * shortest-repr HALF_UP rounding Spark's Cast applies
+  * (`BigDecimal.valueOf(double)` = `new BigDecimal(Double.toString(d))`),
+  * the quantized unscaled values accumulate in an exact long, and the final
+  * decimal→double conversion uses the same BigDecimal.doubleValue path as
+  * `Decimal.toDouble` — so results stay bit-identical to the DuckDB oracle.
+  *
+  * Why it exists: Spark's higher-order-function lambdas (`zip_with`,
+  * `aggregate`) are interpreted per element and allocate per step — the
+  * measured hot path of every similarity query. This expression is one
+  * tight loop per row, inlined into whole-stage codegen.
+  *
+  * Domain bound (documented, not checked per element): |xᵢ·yᵢ|·10^scale·n
+  * must stay below 2^63; at scale 9 that is |x·y| sums up to ~9e9 — far
+  * above unit-norm embedding magnitudes.
+  */
+case class ExactDot(left: Expression, right: Expression, scale: Int)
+    extends BinaryExpression {
+
+  // inputs are guaranteed ArrayType(FloatType) by the Column-level builder
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ExactDot.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], scale)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("dot")
+      s"""
+         |java.lang.Double $tmp = graft.functions.ExactDot.compute($a, $b, $scale);
+         |if ($tmp == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $tmp.doubleValue();
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object ExactDot {
+  private val Pow10 = Array.tabulate(19)(i => math.pow(10, i))
+
+  /** Quantize `p` at `scale` exactly as Cast(double→decimal) does (shortest
+    * decimal repr, HALF_UP). Fast path: plain double arithmetic decides
+    * whenever the scaled value sits further than 1e-6 from a .5 boundary —
+    * there the double-multiply error (~1e-9 absolute at these magnitudes)
+    * and the repr-vs-binary difference (~1e-16 relative) cannot flip the
+    * rounding. Within the margin (~2e-6 of random inputs) the BigDecimal
+    * slow path reproduces the reference semantics including repr-tail ties.
+    */
+  def quantize(p: Double, scale: Int): Long = {
+    val scaled = p * Pow10(scale)
+    val fl = math.floor(scaled)
+    val frac = scaled - fl
+    if (math.abs(scaled) < (1L << 52) && math.abs(frac - 0.5) > 1e-6) {
+      if (frac > 0.5) fl.toLong + 1L else fl.toLong
+    } else {
+      java.math.BigDecimal.valueOf(p)
+        .setScale(scale, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+    }
+  }
+
+  /** Shared by interpreted eval and generated code. Returns null on length
+    * mismatch, null elements, or non-finite products (mirroring zip_with
+    * null propagation and the non-ANSI NaN→decimal cast).
+    */
+  def compute(a: ArrayData, b: ArrayData, scale: Int): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val p = a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      if (!java.lang.Double.isFinite(p)) return null
+      sum += quantize(p, scale)
+      i += 1
+    }
+    // same conversion as Decimal.toDouble
+    java.lang.Double.valueOf(
+      new java.math.BigDecimal(java.math.BigInteger.valueOf(sum), scale).doubleValue())
+  }
+
+  /** Column-level entry point (scale 9 — see [[graft.ops.Vectors]]). */
+  def apply(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      ExactDot(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b), 9))
+}

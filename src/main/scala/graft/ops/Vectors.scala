@@ -23,8 +23,17 @@ object Vectors {
   // inside the repr, where both engines see the same neighborhood.
   private val Acc = DecimalType(30, 9)
 
-  /** Exact dot product of two float-array columns, as double. */
+  /** Exact dot product of two float-array columns, as double — the native
+    * codegen expression ([[graft.functions.ExactDot]]); bit-identical to the
+    * zip_with/aggregate decimal fold it replaces (kept below for reference
+    * and tested equal), but one tight loop inside whole-stage codegen
+    * instead of an interpreted per-element lambda.
+    */
   def dotExact(a: Column, b: Column): Column =
+    graft.functions.ExactDot(a, b)
+
+  /** The composed-builtin formulation dotExact is proven against. */
+  def dotExactComposed(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast(Acc)),
       lit(0).cast(Acc),
@@ -37,11 +46,10 @@ object Vectors {
   def cosineFrom(dot: Column, n2a: Column, n2b: Column): Column =
     dot / nullif(sqrt(n2a) * sqrt(n2b), lit(0.0))
 
-  /** Fast approximate dot product: an explicit `dims`-term sum, which stays
-    * inside whole-stage codegen (zip_with/aggregate lambdas are interpreted
-    * per row — an order of magnitude slower on wide fan-outs). Plain double
-    * arithmetic: last-ulp order dependence, so use ONLY as a prefilter with
-    * an epsilon guard before [[dotExact]] decides and emits the exact value.
+  /** Fast approximate dot product: an explicit `dims`-term sum in plain
+    * double arithmetic (last-ulp order dependence — never oracle-compared
+    * directly). Superseded as a prefilter by the native [[dotExact]], kept
+    * as the non-exact option for pure-ranking workloads.
     */
   def dotFast(a: Column, b: Column, dims: Int): Column =
     (1 to dims)

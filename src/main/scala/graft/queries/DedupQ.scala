@@ -82,11 +82,6 @@ object DedupQ {
           col("n2").as("bn2"), col("bucket"))
         a.join(b, Seq("bucket"))
           .filter(col("a_id") < col("b_id"))
-          // codegen'd double prefilter with epsilon guard; the exact decimal
-          // cosine then decides and is what's emitted — identical output
-          .filter(
-            Vectors.cosineFrom(Vectors.dotFast(col("ae"), col("be"), 64), col("an2"), col("bn2"))
-              >= 0.4 - 1e-6)
           .withColumn("cos", Vectors.cosineFrom(Vectors.dotExact(col("ae"), col("be")), col("an2"), col("bn2")))
           .filter(col("cos") >= 0.4)
           .select("a_id", "b_id", "cos")

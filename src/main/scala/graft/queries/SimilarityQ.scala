@@ -128,10 +128,6 @@ object SimilarityQ {
           col("n2").as("bn2"), col("bucket"))
         a.join(b, Seq("bucket"))
           .filter(col("a_id") < col("b_id"))
-          // codegen'd double prefilter (epsilon-guarded); exact cosine decides
-          .filter(
-            Vectors.cosineFrom(Vectors.dotFast(col("ae"), col("be"), 64), col("an2"), col("bn2"))
-              >= -1e-6)
           .withColumn("cos", Vectors.cosineFrom(Vectors.dotExact(col("ae"), col("be")), col("an2"), col("bn2")))
           .filter(col("cos") >= 0.0)
           .select("bucket", "a_id", "b_id", "cos")

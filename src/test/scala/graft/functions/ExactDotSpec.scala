@@ -1,0 +1,49 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.ops.Vectors
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+class ExactDotSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native ExactDot is bit-identical to the composed decimal fold") {
+    val rng = new Random(99)
+    val rows = Seq.fill(500)((
+      Array.fill(64)((rng.nextFloat() - 0.5f) / 2),
+      Array.fill(64)((rng.nextFloat() - 0.5f) / 2)))
+    val df = rows.toDF("a", "b")
+    val out = df.select(
+      Vectors.dotExact(col("a"), col("b")).as("native"),
+      Vectors.dotExactComposed(col("a"), col("b")).as("composed"))
+      .as[(Double, Double)].collect()
+    out.foreach { case (n, c) =>
+      assert(java.lang.Double.doubleToRawLongBits(n) == java.lang.Double.doubleToRawLongBits(c))
+    }
+  }
+
+  test("null element or length mismatch yields NULL (zip_with semantics)") {
+    val df = Seq(
+      (Array(1.0f, 2.0f), Array(1.0f)), // length mismatch
+      (Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+    val out = df.select(Vectors.dotExact(col("a"), col("b")).as("d"))
+      .as[Option[Double]].collect().toSeq
+    assert(out.head.isEmpty)
+    assert(out(1).contains(11.0))
+  }
+
+  test("participates in whole-stage codegen (no interpreted fallback)") {
+    // a local relation folds away without any codegen stage — go through a
+    // real scan
+    val dir = java.nio.file.Files.createTempDirectory("graft_dot").toString
+    Seq((Array(1.0f), Array(2.0f))).toDF("a", "b").write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    val q = df.select(Vectors.dotExact(col("a"), col("b")).as("d"))
+    // simple-mode plans mark codegen stages with "*(n)"
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), s"no codegen stage in:\n$plan")
+    assert(q.as[Double].head() == 2.0)
+  }
+}
