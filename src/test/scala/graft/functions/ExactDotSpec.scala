@@ -24,6 +24,14 @@ class ExactDotSpec extends SparkSpec {
     }
   }
 
+  test("exact_dot is callable from SQL once registered (SparkSessionExtensions path)") {
+    graft.GraftFunctions.register(spark)
+    Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b").createOrReplaceTempView("v_dot")
+    val r = spark.sql("SELECT exact_dot(a, b) AS d, exact_dot(a, b, 4) AS d4 FROM v_dot")
+      .as[(Double, Double)].head()
+    assert(r == ((11.0, 11.0)))
+  }
+
   test("null element or length mismatch yields NULL (zip_with semantics)") {
     val df = Seq(
       (Array(1.0f, 2.0f), Array(1.0f)), // length mismatch
