@@ -66,7 +66,8 @@ object Dedup {
 
   /** MinHash signature: for each of `nHashes` seeded permutations, the
     * minimum md5 hex of "seed:shingle" — one row per id with columns
-    * mh_0 … mh_{n-1}.
+    * mh_0 … mh_{n-1}. Exploded-rows formulation (shuffles on id); prefer
+    * [[minhashSignaturesLocal]] which computes the same minima array-locally.
     */
   def minhashSignatures(sh: DataFrame, idCol: String, nHashes: Int): DataFrame =
     sh.groupBy(col(idCol))
@@ -74,6 +75,27 @@ object Dedup {
         min(md5(concat(lit("0:"), col("shingle")))).as("mh_0"),
         (1 until nHashes).map(j =>
           min(md5(concat(lit(s"$j:"), col("shingle")))).as(s"mh_$j")): _*)
+
+  /** Same signature, computed in one array-local pass per document by the
+    * native [[graft.functions.MinHashSig]] expression — no explode, no
+    * shuffle; docs with fewer than k tokens drop out (as in the exploded
+    * form where they contribute no rows).
+    */
+  def minhashSignaturesLocal(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      nHashes: Int): DataFrame = {
+    val toks = Text.tokens(col(textCol))
+    val sig = graft.functions.MinHashSig(array_distinct(Text.shingles(toks, k)), nHashes)
+    df.filter(size(toks) >= k)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol) +: Seq(sig.as("__sig")): _*)
+      .select(
+        col(idCol) +:
+          (0 until nHashes).map(j => element_at(col("__sig"), j + 1).as(s"mh_$j")): _*)
+  }
 
   /** LSH candidate pairs: signatures are cut into `nBands` bands of
     * `rowsPerBand`; a pair is a candidate iff some band hashes equal.

@@ -48,8 +48,7 @@ object DedupQ {
     QDef(
       "d3_minhash_lsh",
       (s, d) => {
-        val sh = Text.shingleSet(t(s, d, "documents"), "doc_id", "text", 3)
-        val sig = Dedup.minhashSignatures(sh, "doc_id", 8)
+        val sig = Dedup.minhashSignaturesLocal(t(s, d, "documents"), "doc_id", "text", 3, 8)
         Dedup.lshCandidates(sig, "doc_id", 8, 4)
       },
       Some {

@@ -28,9 +28,16 @@ class DedupTextSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
-  test("minhash LSH surfaces the exact pair with all hashes agreeing") {
+  test("array-local minhash signatures equal the exploded-groupBy formulation") {
     val sh = Text.shingleSet(docs, "doc_id", "text", 3)
-    val sig = Dedup.minhashSignatures(sh, "doc_id", 8)
+    val viaRows = Dedup.minhashSignatures(sh, "doc_id", 8).orderBy("doc_id").collect().toSeq
+    val viaLocal = Dedup.minhashSignaturesLocal(docs, "doc_id", "text", 3, 8)
+      .orderBy("doc_id").collect().toSeq
+    assert(viaRows == viaLocal)
+  }
+
+  test("minhash LSH surfaces the exact pair with all hashes agreeing") {
+    val sig = Dedup.minhashSignaturesLocal(docs, "doc_id", "text", 3, 8)
     val cand = Dedup.lshCandidates(sig, "doc_id", 8, 4)
       .select("a_id", "b_id", "n_equal").as[(Long, Long, Long)].collect()
       .map(r => (r._1, r._2) -> r._3).toMap
