@@ -198,6 +198,34 @@ object Relational {
                FROM orders) WHERE rnk <= 3""")),
 
     QDef(
+      "agg_grouping_sets",
+      // explicit GROUPING SETS (beyond the rollup/cube shorthands)
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("v_orders")
+        s.sql(s"""SELECT o_orderstatus, o_orderpriority,
+                  CAST(count(*) AS BIGINT) AS n, ${Exact.sqlDsum("o_totalprice")} AS sum_price
+                  FROM v_orders
+                  GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")
+      },
+      Some(s"""SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n, ${Exact.sqlDsum("o_totalprice")} AS sum_price
+               FROM orders
+               GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")),
+
+    QDef(
+      "sketch_approx",
+      // sketch passthroughs: HLL distinct counts + approximate quantiles.
+      // Sketch internals differ engine to engine, so no oracle — the driver
+      // records the rows-only check.
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            approx_count_distinct(col("l_partkey")).as("approx_parts"),
+            percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median")),
+      None),
+
+    QDef(
       "agg_count_distinct",
       (s, d) =>
         t(s, d, "lineitem")
