@@ -112,20 +112,22 @@ object Windows {
       parts: Seq[String],
       tsMsCol: String,
       valueCol: String,
-      horizonsMs: Seq[Long]): DataFrame = {
+      horizonsMs: Seq[Long],
+      prefix: String = ""): DataFrame = {
     val base = Window
       .partitionBy(parts.map(col): _*)
       .orderBy(col(tsMsCol))
     val v = col(valueCol)
+    val p = if (prefix.isEmpty) "" else s"${prefix}_"
     horizonsMs.foldLeft(df) { (d, h) =>
       val back = base.rangeBetween(-h, -1)
       val fwd = base.rangeBetween(0, h - 1)
-      d.withColumn(s"mean_back_$h", sum(v.cast(Exact.SumType)).over(back).cast("double") / count(v).over(back))
-        .withColumn(s"min_back_$h", min(v).over(back))
-        .withColumn(s"max_back_$h", max(v).over(back))
-        .withColumn(s"mean_fwd_$h", sum(v.cast(Exact.SumType)).over(fwd).cast("double") / count(v).over(fwd))
-        .withColumn(s"min_fwd_$h", min(v).over(fwd))
-        .withColumn(s"max_fwd_$h", max(v).over(fwd))
+      d.withColumn(s"${p}mean_back_$h", sum(v.cast(Exact.SumType)).over(back).cast("double") / count(v).over(back))
+        .withColumn(s"${p}min_back_$h", min(v).over(back))
+        .withColumn(s"${p}max_back_$h", max(v).over(back))
+        .withColumn(s"${p}mean_fwd_$h", sum(v.cast(Exact.SumType)).over(fwd).cast("double") / count(v).over(fwd))
+        .withColumn(s"${p}min_fwd_$h", min(v).over(fwd))
+        .withColumn(s"${p}max_fwd_$h", max(v).over(fwd))
     }
   }
 

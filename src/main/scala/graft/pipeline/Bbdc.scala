@@ -107,18 +107,8 @@ object Bbdc {
       .withColumn("window_ms", Windows.tumbleMs(col("ts_ms"), StepMs) + StepMs)
       .groupBy("subject", "trial", "window_ms")
       .agg(moAggs.head, moAggs.tail: _*)
-    val base = Window.partitionBy("subject", "trial").orderBy("window_ms")
-    val withHorizons = horizonsMs.foldLeft(mocapWin) { (d, h) =>
-      mocapCols.foldLeft(d) { (dd, c) =>
-        val back = base.rangeBetween(-h, -1)
-        val fwd = base.rangeBetween(0, h - 1)
-        dd.withColumn(s"${c}_mb_$h", avg(col(c)).over(back))
-          .withColumn(s"${c}_nb_$h", min(col(c)).over(back))
-          .withColumn(s"${c}_xb_$h", max(col(c)).over(back))
-          .withColumn(s"${c}_mf_$h", avg(col(c)).over(fwd))
-          .withColumn(s"${c}_nf_$h", min(col(c)).over(fwd))
-          .withColumn(s"${c}_xf_$h", max(col(c)).over(fwd))
-      }
+    val withHorizons = mocapCols.foldLeft(mocapWin) { (d, c) =>
+      Windows.horizonStats(d, Seq("subject", "trial"), "window_ms", c, horizonsMs, prefix = c)
     }
     emgWin.join(withHorizons, Seq("subject", "trial", "window_ms"), "inner")
       .na.fill(0.0)

@@ -69,7 +69,7 @@ class BbdcSpec extends SparkSpec {
     val feats = Bbdc.buildFeatures(
       repaired, Seq("ch1", "ch2"), framed, Seq("LHand_Position_X"), Seq(400L, 1200L))
     assert(feats.columns.count(_.startsWith("emg_absmean_")) == 2)
-    assert(feats.columns.count(_.contains("_mb_")) == 2)
+    assert(feats.columns.count(_.contains("_mean_back_")) == 2)
 
     val targets = Bbdc.targetsToGrid(labels)
     def run() = Bbdc.trainPredictSegments(feats, targets, "la", "s03", nModels = 3)
