@@ -60,16 +60,21 @@ object ExactDot {
   /** Quantize `p` at `scale` exactly as Cast(double→decimal) does (shortest
     * decimal repr, HALF_UP). Fast path: plain double arithmetic decides
     * whenever the scaled value sits further than 1e-6 from a .5 boundary —
-    * there the double-multiply error (~1e-9 absolute at these magnitudes)
-    * and the repr-vs-binary difference (~1e-16 relative) cannot flip the
-    * rounding. Within the margin (~2e-6 of random inputs) the BigDecimal
-    * slow path reproduces the reference semantics including repr-tail ties.
+    * there the double-multiply error and the repr-vs-binary difference
+    * cannot flip the rounding. That soundness argument needs the relative
+    * double error (~2e-16·|scaled|) to stay below the 1e-6 margin, i.e.
+    * |scaled| < ~4e9 (at scale 9: |product| ≲ 4 — above unit-norm embedding
+    * dot products but reachable via the public exact_dot SQL function), so
+    * the guard is 4e9, NOT the 2^52 integer-exactness bound; anything larger
+    * takes the BigDecimal slow path, which is exact at every magnitude.
+    * Within the margin (~2e-6 of random inputs) the slow path reproduces the
+    * reference semantics including repr-tail ties.
     */
   def quantize(p: Double, scale: Int): Long = {
     val scaled = p * Pow10(scale)
     val fl = math.floor(scaled)
     val frac = scaled - fl
-    if (math.abs(scaled) < (1L << 52) && math.abs(frac - 0.5) > 1e-6) {
+    if (math.abs(scaled) < 4e9 && math.abs(frac - 0.5) > 1e-6) {
       if (frac > 0.5) fl.toLong + 1L else fl.toLong
     } else {
       java.math.BigDecimal.valueOf(p)

@@ -10,11 +10,31 @@ import org.apache.spark.sql.functions._
   * Scale design: nothing here ever compares all pairs. Exact dedup is one
   * hash-groupBy; Jaccard joins only docs sharing a shingle; MinHash/LSH joins
   * only docs sharing a band bucket. The hash primitive is md5 (byte-stable
-  * across engines), so "minimum md5-hex of the seeded shingle" is a valid
-  * min-wise hash permutation that the DuckDB oracle reproduces exactly —
-  * no engine-specific murmur involved.
+  * across engines): each shingle is digested ONCE and the `nHashes` min-wise
+  * permutations derive arithmetically from its two 64-bit halves
+  * (h1 + j·h2 mod 2⁶⁴ — Kirsch–Mitzenmacher), which the DuckDB oracle
+  * reproduces exactly via md5_number_lower/upper — no engine-specific
+  * murmur involved, and 1/nHashes of the digest work of seeded re-hashing.
   */
 object Dedup {
+
+  /** Persisted intermediates are registered here so a long-lived session
+    * running many dedup queries can release them between queries instead of
+    * accumulating cached blocks (the driver's 60+-query harness session).
+    * Callers that run one query per session never need to call this.
+    */
+  private val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  private def trackPersist(df: DataFrame): DataFrame = synchronized {
+    persisted += df
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Unpersist every intermediate cached by dedup operators so far. */
+  def releaseCaches(): Unit = synchronized {
+    persisted.foreach(_.unpersist(blocking = false))
+    persisted.clear()
+  }
 
   /** Exact dedup groups: fingerprint → group size + kept (minimum) id. */
   def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -46,9 +66,9 @@ object Dedup {
     // results depend only on the equality relation, and a corpus-level
     // 64-bit collision (~1e-6 at millions of shingles) is the accepted
     // trade. Persisted because it feeds three plan branches.
-    val sh = Text.shingleSet(df, idCol, textCol, k)
-      .select(col(idCol), xxhash64(col("shingle")).as("sk"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = trackPersist(
+      Text.shingleSet(df, idCol, textCol, k)
+        .select(col(idCol), xxhash64(col("shingle")).as("sk")))
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("a")
       .join(sh.as("b"), col("a.sk") === col("b.sk") && col(s"a.$idCol") < col(s"b.$idCol"))
@@ -64,17 +84,29 @@ object Dedup {
       .select("a_id", "b_id", "shared", "na", "nb", "jaccard")
   }
 
-  /** MinHash signature: for each of `nHashes` seeded permutations, the
-    * minimum md5 hex of "seed:shingle" — one row per id with columns
-    * mh_0 … mh_{n-1}. Exploded-rows formulation (shuffles on id); prefer
-    * [[minhashSignaturesLocal]] which computes the same minima array-locally.
+  /** MinHash signature via double hashing: ONE md5 per shingle, split into
+    * two little-endian 64-bit halves (h1 = digest bytes 8..15, h2 = bytes
+    * 0..7 — DuckDB's md5_number_lower/upper), permutation j = h1 + j·h2
+    * (mod 2⁶⁴), minimum per j rendered as a zero-padded 20-digit unsigned
+    * decimal. One row per id with columns mh_0 … mh_{n-1}. Exploded-rows
+    * formulation (shuffles on id); prefer [[minhashSignaturesLocal]] which
+    * computes the same minima array-locally — this form exists as the
+    * oracle-shaped cross-check. DECIMAL(38,0) arithmetic keeps the mod-2⁶⁴
+    * values exact (h1 + 7·h2 < 2⁶⁷ ≪ 10³⁸).
     */
-  def minhashSignatures(sh: DataFrame, idCol: String, nHashes: Int): DataFrame =
-    sh.groupBy(col(idCol))
-      .agg(
-        min(md5(concat(lit("0:"), col("shingle")))).as("mh_0"),
-        (1 until nHashes).map(j =>
-          min(md5(concat(lit(s"$j:"), col("shingle")))).as(s"mh_$j")): _*)
+  def minhashSignatures(sh: DataFrame, idCol: String, nHashes: Int): DataFrame = {
+    def le64hex(off: Int) = {
+      val pairs = (7 to 0 by -1).map(i => s"substr(__md, ${off + 2 * i + 1}, 2)")
+      s"CAST(conv(concat(${pairs.mkString(", ")}), 16, 10) AS DECIMAL(38,0))"
+    }
+    val two64 = "CAST('18446744073709551616' AS DECIMAL(38,0))"
+    val withH = sh.withColumn("__md", md5(col("shingle")))
+      .withColumn("__h1", expr(le64hex(16)))
+      .withColumn("__h2", expr(le64hex(0)))
+    def mh(j: Int) =
+      lpad(min(expr(s"(__h1 + $j * __h2) % $two64")).cast("string"), 20, "0").as(s"mh_$j")
+    withH.groupBy(col(idCol)).agg(mh(0), (1 until nHashes).map(mh): _*)
+  }
 
   /** Same signature, computed in one array-local pass per document by the
     * native [[graft.functions.MinHashSig]] expression — no explode, no
@@ -111,7 +143,7 @@ object Dedup {
     val rowsPerBand = nHashes / nBands
     // signatures feed four plan branches (band self-join sides + the two
     // agreement joins) — persist or the shingle+md5+groupBy pipeline runs 4×
-    val cachedSig = sig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cachedSig = trackPersist(sig)
     val banded = cachedSig.select(
       col(idCol) +:
         (0 until nBands).map { b =>

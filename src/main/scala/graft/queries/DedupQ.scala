@@ -17,10 +17,21 @@ object DedupQ {
          FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
               unnest(generate_series(1, len(toks) - 2)) AS u(i)))"""
 
-  /** Oracle CTE: 8 minhashes per doc (seeded-md5 min-wise hashing). */
+  /** Oracle CTEs: 8 minhashes per doc via double hashing — one md5 per
+    * shingle, halves h1/h2 from md5_number_lower/upper (little-endian
+    * uint64s), permutation j = (h1 + j·h2) mod 2⁶⁴ in HUGEINT, minima
+    * rendered as zero-padded 20-digit unsigned decimals (matching
+    * [[graft.functions.MinHashSig]] byte-for-byte).
+    */
   private val sigSql = {
-    val mins = (0 until 8).map(j => s"min(md5('$j:' || shingle)) AS mh_$j").mkString(", ")
-    s"sig AS (SELECT doc_id, $mins FROM sh GROUP BY 1)"
+    val two64 = "CAST('18446744073709551616' AS HUGEINT)"
+    val mins = (0 until 8)
+      .map(j => s"lpad(CAST(min((h1 + $j * h2) % $two64) AS VARCHAR), 20, '0') AS mh_$j")
+      .mkString(", ")
+    s"""shh AS (SELECT doc_id,
+          CAST(md5_number_lower(shingle) AS HUGEINT) AS h1,
+          CAST(md5_number_upper(shingle) AS HUGEINT) AS h2 FROM sh),
+        sig AS (SELECT doc_id, $mins FROM shh GROUP BY 1)"""
   }
 
   val defs: Seq[QDef] = Seq(

@@ -33,7 +33,11 @@ object SimilarityQ {
         val q = e.filter(col("vec_id") < 5)
           .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("n2").as("qn2"))
         val c = e.select(col("vec_id"), col("embedding").as("ce"), col("n2").as("cn2"))
-        q.join(broadcast(c), col("vec_id") =!= col("query_id"))
+        // Broadcast the tiny query side and STREAM the corpus: at 100 TB the
+        // corpus never fits in a broadcast, but the handful of query vectors
+        // always does — every corpus partition scans locally against the
+        // broadcast queries (BroadcastNestedLoopJoin, build side = q).
+        c.join(broadcast(q), col("vec_id") =!= col("query_id"))
           .withColumn("cos", Vectors.cosineFrom(Vectors.dotExact(col("qe"), col("ce")), col("qn2"), col("cn2")))
           .withColumn(
             "rnk",

@@ -114,13 +114,28 @@ object TextQ {
     QDef(
       "mm1_decode_features",
       // multimodal plumbing: text payload as opaque bytes → partition-local
-      // fake-decode kernel → 16-dim feature vector (no SQL equivalent:
-      // mapPartitions stage → rows-only check)
+      // fake-decode kernel → 16-dim feature vector, registered EXPLODED to
+      // scalar (doc_id, dim, value) rows so the harness can sort/hash them.
+      // The corpus is pure ASCII (checked at every sf), so the stand-in
+      // byte histogram IS SQL-expressible: DuckDB re-derives each byte via
+      // ord(substr(text, i, 1)) and both engines divide exact integer
+      // counts as DOUBLE — bit-identical.
       (s, d) => {
         val withPayload = Multimodal.attachPayload(t(s, d, "documents"), "text")
         Multimodal.decodeFeatures(withPayload, "doc_id")
+          .select(col("doc_id"), posexplode(col("features")).as(Seq("dim", "value")))
+          .select(col("doc_id"), col("dim").cast("long").as("dim"), col("value"))
       },
-      None),
+      Some("""WITH docs AS (SELECT doc_id, text, CAST(greatest(strlen(text), 1) AS BIGINT) AS n
+                            FROM documents),
+              b AS (SELECT doc_id, ord(substr(text, CAST(i.i AS INTEGER), 1)) % 16 AS dim
+                    FROM docs, unnest(generate_series(1, CAST(strlen(text) AS BIGINT))) AS i(i)),
+              cnt AS (SELECT doc_id, dim, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2)
+              SELECT d.doc_id, CAST(dm.dim AS BIGINT) AS dim,
+                     CAST(coalesce(cnt.c, 0) AS DOUBLE) / CAST(d.n AS DOUBLE) AS value
+              FROM docs d
+              CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS dim) dm
+              LEFT JOIN cnt ON cnt.doc_id = d.doc_id AND cnt.dim = dm.dim""")),
 
     QDef(
       "t4_fingerprint",
