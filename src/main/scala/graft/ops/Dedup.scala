@@ -18,23 +18,12 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Persisted intermediates are registered here so a long-lived session
-    * running many dedup queries can release them between queries instead of
-    * accumulating cached blocks (the driver's 60+-query harness session).
-    * Callers that run one query per session never need to call this.
+  private def trackPersist(df: DataFrame): DataFrame = Caches.trackPersist(df)
+
+  /** Unpersist every intermediate cached via [[Caches]] so far (dedup and
+    * other operators share the registry).
     */
-  private val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-
-  private def trackPersist(df: DataFrame): DataFrame = synchronized {
-    persisted += df
-    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-  }
-
-  /** Unpersist every intermediate cached by dedup operators so far. */
-  def releaseCaches(): Unit = synchronized {
-    persisted.foreach(_.unpersist(blocking = false))
-    persisted.clear()
-  }
+  def releaseCaches(): Unit = Caches.releaseAll()
 
   /** Exact dedup groups: fingerprint → group size + kept (minimum) id. */
   def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -174,6 +163,53 @@ object Dedup {
         col("b_id"),
         agree.cast("long").as("n_equal"),
         (agree.cast("double") / lit(nHashes.toDouble)).as("est_jaccard"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs via MULTI-BAND sign-LSH:
+    * `bands` independent hash tables, band ℓ bucketing on sign bits of
+    * dimensions ℓ·bits+1 .. ℓ·bits+bits, with `bits` scaled to the corpus
+    * ([[Vectors.adaptiveSignBits]]: expected occupancy ≤ `occupancy`).
+    * Candidates = pairs agreeing in ANY band (recall grows with bands:
+    * miss probability (1−p^bits)^bands for sign-agreement rate p), verified
+    * with the exact decimal cosine ≥ `minCos`.
+    *
+    * Scale bound: per band, expected candidate pairs ≈ Σ_buckets occ²/2 ≤
+    * n·occupancy/2, so total candidate work is ≤ bands·occupancy/2 × n —
+    * LINEAR in corpus size for fixed occupancy (a fixed bit count degrades
+    * to n²/2^bits). Requires bands·bits ≤ vector dims; skewed sign
+    * distributions raise the constant but not the shape (pathological skew
+    * → raise occupancy's band count or pre-center the vectors).
+    */
+  def embeddingNearDup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      occupancy: Long,
+      bands: Int,
+      minCos: Double): DataFrame = {
+    val n = df.count()
+    val bits = Vectors.adaptiveSignBits(n, occupancy)
+    require(bands * bits <= 64, s"bands*bits = ${bands * bits} exceeds vector dims")
+    val e = df.select(col(idCol), col(vecCol))
+      .withColumn("__n2", Vectors.norm2Exact(col(vecCol)))
+    val bandCols = (0 until bands).map { l =>
+      struct(lit(l).as("band"), Vectors.signBucketSlice(col(vecCol), l * bits, bits).as("bucket"))
+    }
+    val rows = e.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.bucket"))
+    val cand = rows.as("a")
+      .join(
+        rows.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"))
+      .distinct()
+    cand
+      .join(e.select(col(idCol).as("a_id"), col(vecCol).as("__ae"), col("__n2").as("__an2")), "a_id")
+      .join(e.select(col(idCol).as("b_id"), col(vecCol).as("__be"), col("__n2").as("__bn2")), "b_id")
+      .withColumn("cos", Vectors.cosineFrom(Vectors.dotExact(col("__ae"), col("__be")), col("__an2"), col("__bn2")))
+      .filter(col("cos") >= minCos)
+      .select("a_id", "b_id", "cos")
   }
 
   /** SimHash over the distinct-token set: each token votes ±1 on `bits` bit

@@ -61,8 +61,36 @@ object Vectors {
     * buckets; near-duplicate vectors agree on all leading signs with high
     * probability.
     */
-  def signBucket(a: Column, dims: Int): Column =
-    concat((1 to dims).map(i => when(element_at(a, i) >= 0f, lit("1")).otherwise(lit("0"))): _*)
+  def signBucket(a: Column, dims: Int): Column = signBucketSlice(a, 0, dims)
+
+  /** Sign bucket over components offset+1 .. offset+dims (a band's slice of
+    * the full sign string).
+    */
+  def signBucketSlice(a: Column, offset: Int, dims: Int): Column =
+    concat((1 to dims).map(i =>
+      when(element_at(a, offset + i) >= 0f, lit("1")).otherwise(lit("0"))): _*)
+
+  /** Sign-bit count scaled to the corpus: smallest `bits` with expected
+    * bucket occupancy n/2^bits ≤ `occupancy`, clamped to [1, maxBits] —
+    * ceil(log2(ceil(n/occupancy))) in pure integer arithmetic (bit length
+    * of m−1), so the DuckDB oracle derives the identical value from
+    * count(*) via [[sqlAdaptiveSignBits]]. Per-bucket self-join cost is
+    * ~occ²/2 pairs × n/occ buckets = n·occ/2 — LINEAR in n for fixed
+    * occupancy, instead of the n²/2^bits of a fixed bit count.
+    */
+  def adaptiveSignBits(n: Long, occupancy: Long, maxBits: Int = 16): Int = {
+    val m = (n + occupancy - 1) / occupancy
+    val b = if (m <= 1) 1 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
+    math.max(1, math.min(maxBits, b))
+  }
+
+  /** DuckDB scalar-subquery fragment mirroring [[adaptiveSignBits]] —
+    * yields one row `(bits)`; use as a CTE body and CROSS JOIN it.
+    */
+  def sqlAdaptiveSignBits(table: String, occupancy: Long, maxBits: Int = 16): String =
+    s"""SELECT greatest(1, least($maxBits,
+          CASE WHEN m <= 1 THEN 1 ELSE length(bin(m - 1)) END)) AS bits
+        FROM (SELECT (count(*) + ${occupancy - 1}) // $occupancy AS m FROM $table)"""
 
   /** DuckDB fragments mirroring the above for oracle SQL. `e` is a list
     * column reference; dims are 1-based on both sides.

@@ -48,9 +48,55 @@ object Windows {
     df.withColumn(idCol, ((rn0 - pmod(rn0, lit(winSize))) / winSize).cast("long"))
   }
 
+  /** W2 general form: overlapping strided windows, the full semantics of
+    * ref `utils.py:10-16`: window w covers rows [w·shift, w·shift+winSize)
+    * of the ordered partition, for w in 0 until ceil(len/shift) − cut (the
+    * reference's `[:-cut]` tail trim; the trailing windows it drops are the
+    * ragged ones shorter than winSize). With shift < winSize a row belongs
+    * to up to ⌈winSize/shift⌉ windows, so the operator EXPLODES each row
+    * into its memberships — one output row per (input row, win_id), plus
+    * `posCol` = offset of the row inside that window.
+    *
+    * Scale shape: one shuffle on `parts` for the row numbering; the explode
+    * is in-stage with a bounded ⌈winSize/shift⌉ expansion factor — no
+    * self-join, no per-window materialization. All window arithmetic is
+    * integral (DIV), no float indexing.
+    */
+  def stridedWindows(
+      df: DataFrame,
+      parts: Seq[String],
+      order: Seq[Column],
+      winSize: Int,
+      shift: Int,
+      cut: Int = 0,
+      idCol: String = "win_id",
+      posCol: String = "win_pos"): DataFrame = {
+    require(winSize > 0 && shift > 0 && cut >= 0, "winSize/shift positive, cut non-negative")
+    val w = Window.partitionBy(parts.map(col): _*).orderBy(order: _*)
+    val pw = Window.partitionBy(parts.map(col): _*)
+    // row rn0 is in window w iff w·shift ≤ rn0 < w·shift + winSize, capped
+    // at the last kept window; numerators are clamped non-negative so
+    // truncating DIV is exact ceil/floor
+    val lo = s"(greatest(CAST(0 AS BIGINT), __rn0 - ${winSize - 1}) + ${shift - 1}) DIV $shift"
+    val hi = s"least(__rn0 DIV $shift, (__cnt + ${shift - 1}) DIV $shift - ${cut + 1})"
+    df.withColumn("__rn0", (row_number().over(w) - 1).cast("long"))
+      .withColumn("__cnt", count(lit(1)).over(pw))
+      .withColumn(
+        idCol,
+        explode(expr(
+          s"CASE WHEN $lo <= $hi THEN sequence($lo, $hi) ELSE CAST(array() AS ARRAY<BIGINT>) END")))
+      .withColumn(posCol, col("__rn0") - col(idCol) * shift)
+      .drop("__rn0", "__cnt")
+  }
+
   /** W3: length-n moving average per key, trailing frame [-(n-1), 0]
     * (ref `utils.py:4-7`). Exact decimal accumulation (see [[Exact]]) so the
     * result is independent of evaluation order.
+    *
+    * `full = false` emits a partial mean for the first n−1 rows of each
+    * partition (every input row keeps an output); `full = true` reproduces
+    * the reference's `ret[n - 1:]` exactly — rows whose trailing frame is
+    * incomplete are DROPPED, so each partition shrinks by n−1 rows.
     */
   def movingAvg(
       df: DataFrame,
@@ -58,14 +104,21 @@ object Windows {
       order: Seq[Column],
       valueCol: String,
       n: Int,
-      outCol: String = "moving_avg"): DataFrame = {
+      outCol: String = "moving_avg",
+      full: Boolean = false): DataFrame = {
     val w = Window
       .partitionBy(parts.map(col): _*)
       .orderBy(order: _*)
       .rowsBetween(-(n - 1), 0)
     val s = sum(col(valueCol).cast(Exact.SumType)).over(w).cast("double")
     val c = count(col(valueCol)).over(w)
-    df.withColumn(outCol, s / c)
+    val out = df.withColumn(outCol, s / c)
+    if (full) {
+      val rn = Window.partitionBy(parts.map(col): _*).orderBy(order: _*)
+      out.withColumn("__rn", row_number().over(rn))
+        .filter(col("__rn") >= n)
+        .drop("__rn")
+    } else out
   }
 
   /** W4: downsample-by-window aggregation, the four kernels of

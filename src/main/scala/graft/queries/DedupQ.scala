@@ -79,36 +79,34 @@ object DedupQ {
 
     QDef(
       "d5_embedding_neardup",
-      // embedding-cosine near-dup: sign-bucket LSH candidates (16 buckets)
-      // with exact cosine >= 0.4 — the embedding-space member of the dedup
-      // family (machinery shared with SimilarityQ)
-      (s, d) => {
-        val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-          .withColumn("n2", Vectors.norm2Exact(col("embedding")))
-          .withColumn("bucket", Vectors.signBucket(col("embedding"), 4))
-        val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ae"),
-          col("n2").as("an2"), col("bucket"))
-        val b = e.select(col("vec_id").as("b_id"), col("embedding").as("be"),
-          col("n2").as("bn2"), col("bucket"))
-        a.join(b, Seq("bucket"))
-          .filter(col("a_id") < col("b_id"))
-          .withColumn("cos", Vectors.cosineFrom(Vectors.dotExact(col("ae"), col("be")), col("an2"), col("bn2")))
-          .filter(col("cos") >= 0.4)
-          .select("a_id", "b_id", "cos")
-      },
+      // embedding-cosine near-dup: MULTI-BAND sign-LSH (4 bands, bit count
+      // scaled to corpus size: occupancy target 32 → 4 bits at n=500,
+      // 6 at n=2000, …) with exact cosine >= 0.4 — candidate work stays
+      // LINEAR in n; recall comes from agreeing in ANY of the 4 bands
+      (s, d) =>
+        Dedup.embeddingNearDup(
+          t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", occupancy = 32, bands = 4, minCos = 0.4),
       Some(s"""WITH n AS (SELECT vec_id,
                  CAST(sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,9))) AS DOUBLE) AS n2
                FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY 1),
-               e AS (SELECT vec_id, embedding,
-                       ${Vectors.sqlSignBucket("embedding", 4)} AS bucket FROM embeddings),
-               p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-                       ${Vectors.sqlDotExact("a.embedding", "b.embedding", "i.i")} AS dot
-                     FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id,
+               prm AS (${Vectors.sqlAdaptiveSignBits("embeddings", 32)}),
+               s64 AS (SELECT vec_id, ${Vectors.sqlSignBucket("embedding", 64)} AS sgn
+                       FROM embeddings),
+               bb AS (SELECT s.vec_id, b.l AS band, substr(s.sgn, 1 + b.l * p.bits, p.bits) AS bucket
+                      FROM s64 s, prm p, unnest(generate_series(0, 3)) AS b(l)),
+               cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+                        FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
+                          AND a.vec_id < b.vec_id),
+               p2 AS (SELECT c.a_id, c.b_id,
+                       ${Vectors.sqlDotExact("ea.embedding", "eb.embedding", "i.i")} AS dot
+                     FROM cand c JOIN embeddings ea ON ea.vec_id = c.a_id
+                          JOIN embeddings eb ON eb.vec_id = c.b_id,
                           unnest(generate_series(1, 64)) AS i(i)
                      GROUP BY 1, 2)
                SELECT a_id, b_id,
                       dot / nullif(sqrt(na.n2) * sqrt(nb.n2), CAST(0.0 AS DOUBLE)) AS cos
-               FROM p JOIN n na ON na.vec_id = a_id JOIN n nb ON nb.vec_id = b_id
+               FROM p2 JOIN n na ON na.vec_id = a_id JOIN n nb ON nb.vec_id = b_id
                WHERE dot / nullif(sqrt(na.n2) * sqrt(nb.n2), CAST(0.0 AS DOUBLE))
                      >= CAST(0.4 AS DOUBLE)""")),
 

@@ -61,28 +61,22 @@ object SimilarityQ {
 
     QDef(
       "sim_ivf_topk",
-      // IVF-style ANN: a fixed coarse quantizer (vectors 0..7 stand in for
-      // kmeans centroids — the fit would plug in here), every vector is
-      // assigned to its max-cosine cell, and queries search ONLY their own
-      // cell — the inverted-file structure that bounds candidate counts at
-      // scale. All cosines exact-decimal, so the oracle replicates.
+      // IVF-style ANN with a REAL fitted coarse quantizer: spherical
+      // k-means (k=8, 2 Lloyd updates, seeded on the lowest-id vectors)
+      // expressed as exact-decimal DataFrame aggregations
+      // ([[graft.ml.IvfQuantizer]]) so the oracle replicates the fit;
+      // every vector lands in its max-cosine cell and queries search ONLY
+      // their own cell — the inverted-file structure that bounds candidate
+      // counts at scale. Candidate cosines exact-decimal as before.
       (s, d) => {
         val e = withNorm(t(s, d, "embeddings"))
-        val cent = e.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("cent_id"), col("embedding").as("ce"), col("n2").as("cn2"))
-        val scored = e.crossJoin(broadcast(cent))
-          .withColumn("cos_c", Vectors.cosineFrom(Vectors.dotExact(col("embedding"), col("ce")), col("n2"), col("cn2")))
-        val assigned = scored
-          .withColumn(
-            "rn",
-            row_number().over(Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cent_id"))))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("embedding"), col("n2"), col("cent_id").as("cell"))
+        val cells = graft.ml.IvfQuantizer.fitAssign(e, "vec_id", "embedding", "n2", 8, 2)
+        val assigned = e.join(cells, "vec_id")
         val q = assigned.filter(col("vec_id") < 5)
           .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("n2").as("qn2"), col("cell"))
         val c = assigned
           .select(col("vec_id"), col("embedding").as("ce2"), col("n2").as("cn22"), col("cell"))
-        q.join(c, Seq("cell"))
+        c.join(broadcast(q), Seq("cell"))
           .filter(col("vec_id") =!= col("query_id"))
           .withColumn("cos", Vectors.cosineFrom(Vectors.dotExact(col("qe"), col("ce2")), col("qn2"), col("cn22")))
           .withColumn(
@@ -93,18 +87,7 @@ object SimilarityQ {
           .select("query_id", "cell", "rnk", "vec_id", "cos")
       },
       Some(s"""WITH $normSql,
-               cent AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings WHERE vec_id < 8),
-               sc AS (SELECT e.vec_id, cent.cent_id,
-                        ${Vectors.sqlDotExact("e.embedding", "cent.ce", "i.i")} AS dot
-                      FROM embeddings e CROSS JOIN cent, unnest(generate_series(1, 64)) AS i(i)
-                      GROUP BY 1, 2),
-               cosc AS (SELECT sc.vec_id, sc.cent_id,
-                          sc.dot / nullif(sqrt(nv.n2) * sqrt(nc.n2), CAST(0.0 AS DOUBLE)) AS cos_c
-                        FROM sc JOIN n nv ON nv.vec_id = sc.vec_id
-                                JOIN n nc ON nc.vec_id = sc.cent_id),
-               assigned AS (SELECT vec_id, cent_id AS cell FROM
-                             (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cent_id) AS rn
-                              FROM cosc) WHERE rn = 1),
+               ${graft.ml.IvfQuantizer.lloydSql(8, 2, 64)},
                q AS (SELECT a.vec_id AS query_id, a.cell, e.embedding AS qe
                      FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id WHERE a.vec_id < 5),
                c AS (SELECT a.vec_id, a.cell, e.embedding AS ce2
@@ -123,9 +106,14 @@ object SimilarityQ {
 
     QDef(
       "sim_lsh_bucket",
+      // single-table sign-LSH with the bit count scaled to the corpus
+      // (occupancy target 2 → 8 bits at n=500, 10 at n=2000, …): per-bucket
+      // self-join cost stays ~n·occ/2 pairs instead of n²/2^bits
       (s, d) => {
-        val e = withNorm(t(s, d, "embeddings"))
-          .withColumn("bucket", Vectors.signBucket(col("embedding"), 8))
+        val src = t(s, d, "embeddings")
+        val bits = Vectors.adaptiveSignBits(src.count(), 2)
+        val e = withNorm(src)
+          .withColumn("bucket", Vectors.signBucket(col("embedding"), bits))
         val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ae"),
           col("n2").as("an2"), col("bucket"))
         val b = e.select(col("vec_id").as("b_id"), col("embedding").as("be"),
@@ -137,8 +125,10 @@ object SimilarityQ {
           .select("bucket", "a_id", "b_id", "cos")
       },
       Some(s"""WITH $normSql,
+               prm AS (${Vectors.sqlAdaptiveSignBits("embeddings", 2)}),
                e AS (SELECT vec_id, embedding,
-                       ${Vectors.sqlSignBucket("embedding", 8)} AS bucket FROM embeddings),
+                       substr(${Vectors.sqlSignBucket("embedding", 64)}, 1, p.bits) AS bucket
+                     FROM embeddings, prm p),
                p AS (SELECT a.bucket, a.vec_id AS a_id, b.vec_id AS b_id,
                        ${Vectors.sqlDotExact("a.embedding", "b.embedding", "i.i")} AS dot
                      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id,

@@ -60,6 +60,46 @@ object TimeSeries {
                FROM b GROUP BY 1, 2""")),
 
     QDef(
+      "w2_overlap_window",
+      // the reference's general get_windows config: overlapping windows
+      // (shift=10 < win_size=20) with the cut=1 ragged-tail trim — each row
+      // lands in up to 2 windows (membership explode, no self-join)
+      (s, d) => {
+        val b = Windows.stridedWindows(
+          events(s, d), Seq("user_id"), Seq(col("ts_us"), col("event_id")), 20, 10, 1)
+        b.groupBy("user_id", "win_id")
+          .agg(count(lit(1)).as("n"), Exact.dmean(col("value")).as("mean_value"))
+      },
+      Some(s"""WITH b AS (SELECT user_id, value,
+                 CAST(row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) - 1 AS BIGINT) AS rn0,
+                 CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS cnt
+               FROM events),
+               e AS (SELECT user_id, value, u.w AS win_id
+                     FROM b, unnest(generate_series(
+                         (greatest(CAST(0 AS BIGINT), rn0 - 19) + 9) // 10,
+                         least(rn0 // 10, (cnt + 9) // 10 - 2))) AS u(w))
+               SELECT user_id, CAST(win_id AS BIGINT) AS win_id,
+                 CAST(count(*) AS BIGINT) AS n, ${Exact.sqlDmean("value")} AS mean_value
+               FROM e GROUP BY 1, 2""")),
+
+    QDef(
+      "w3_moving_avg_full",
+      // reference moving_average emits ONLY complete windows (ret[n-1:]) —
+      // the full=true flag drops each partition's first n−1 rows
+      (s, d) =>
+        Windows.movingAvg(
+          events(s, d), Seq("user_id"), Seq(col("ts_us"), col("event_id")), "value", 5,
+          full = true)
+          .select("user_id", "ts_us", "moving_avg"),
+      Some("""SELECT user_id, ts_us, moving_avg FROM (
+              SELECT user_id, epoch_us(ts) AS ts_us,
+                CAST(sum(CAST(value AS DECIMAL(30,4))) OVER w AS DOUBLE) / count(value) OVER w AS moving_avg,
+                row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+              WHERE rn >= 5""")),
+
+    QDef(
       "w3_moving_avg",
       (s, d) =>
         Windows.movingAvg(events(s, d), Seq("user_id"), Seq(col("ts_us")), "value", 5)

@@ -49,4 +49,32 @@ class WindowsSpec extends SparkSpec {
       .select("rep_idx").as[Int].collect().sorted.toSeq
     assert(out == Seq(0, 1, 2))
   }
+
+  test("stridedWindows reproduces reference get_windows for overlap/gap/cut configs") {
+    // direct replication of ref utils.py:10-16: windows [start, start+win)
+    // for start in range(0, len, shift), minus the last `cut` windows
+    def refWindows(len: Int, win: Int, shift: Int, cut: Int): Seq[(Long, Long, Long)] = {
+      val all = (0 until len by shift).map(st => (st until math.min(st + win, len)))
+      val kept = if (cut == 0) all else all.dropRight(cut)
+      for ((rng, w) <- kept.zipWithIndex; r <- rng)
+        yield (w.toLong, r.toLong, (r - w * shift).toLong)
+    }
+    for ((len, win, shift, cut) <- Seq((23, 20, 10, 1), (23, 20, 10, 0), (10, 3, 5, 0),
+        (7, 3, 3, 1), (5, 20, 10, 1), (1, 2, 1, 2))) {
+      val df = (0 until len).map(i => ("k", i.toLong)).toDF("k", "ts")
+      val got = Windows.stridedWindows(df, Seq("k"), Seq(col("ts")), win, shift, cut)
+        .select(col("win_id"), col("ts"), col("win_pos"))
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      assert(got == refWindows(len, win, shift, cut).sorted,
+        s"config len=$len win=$win shift=$shift cut=$cut")
+    }
+  }
+
+  test("movingAvg full=true drops the first n-1 rows per key (ref ret[n-1:])") {
+    val df = Seq(("k", 1L, 1.0), ("k", 2L, 2.0), ("k", 3L, 6.0), ("j", 1L, 4.0))
+      .toDF("k", "ts", "value")
+    val out = Windows.movingAvg(df, Seq("k"), Seq(col("ts")), "value", 2, full = true)
+      .orderBy("k", "ts").select("k", "moving_avg").as[(String, Double)].collect().toSeq
+    assert(out == Seq(("k", 1.5), ("k", 4.0))) // "j" has < n rows -> gone entirely
+  }
 }
