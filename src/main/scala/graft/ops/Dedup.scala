@@ -110,8 +110,7 @@ object Dedup {
       nHashes: Int): DataFrame = {
     val toks = Text.tokens(col(textCol))
     val sig = graft.functions.MinHashSig(array_distinct(Text.shingles(toks, k)), nHashes)
-    df.filter(size(toks) >= k)
-      .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+    Spread.byKey(df.filter(size(toks) >= k), col(idCol))
       .select(col(idCol) +: Seq(sig.as("__sig")): _*)
       .select(
         col(idCol) +:

@@ -55,15 +55,14 @@ object Multimodal {
     * per-row closure overhead) and never shuffles the payload bytes.
     */
   def decodeFeatures(df: DataFrame, idCol: String): DataFrame = {
-    val spark = df.sparkSession
     val schema = StructType(Seq(
       StructField(idCol, LongType, nullable = false),
       StructField("features", ArrayType(DoubleType, containsNull = false))))
     val encoder = org.apache.spark.sql.Encoders.row(schema)
-    df.select(col(idCol).cast("long"), col("payload"))
-      // decode is CPU-bound and partition-local: rebalance so one small
-      // input file doesn't serialize the kernel on a single core
-      .repartition(spark.sparkContext.defaultParallelism, col(idCol))
+    // decode is CPU-bound and partition-local: rebalance so one small input
+    // file doesn't serialize the kernel on a single core (no-op when the
+    // input is already well-partitioned — Spread.byKey)
+    Spread.byKey(df.select(col(idCol).cast("long"), col("payload")), col(idCol))
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)

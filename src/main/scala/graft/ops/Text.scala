@@ -24,13 +24,11 @@ object Text {
       sequence(lit(0), size(toks) - k),
       i => concat_ws(" ", (0 until k).map(j => get(toks, i + lit(j))): _*))
 
-  /** Spread docs across all cores before CPU-bound per-doc work: a small
-    * corpus arrives as one parquet file = one partition, which would
-    * serialize the shingle/token flatMap on a single thread. At scale this
-    * is the same rule — rebalance by id before partition-local text kernels.
+  /** Spread docs across all cores before CPU-bound per-doc work — see
+    * [[Spread.byKey]] (no-op when the input is already well-partitioned).
     */
   private def spread(df: DataFrame, idCol: String): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+    Spread.byKey(df, col(idCol))
 
   /** (id, shingle) rows, de-duplicated per doc — the unit of Jaccard math. */
   def shingleSet(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =

@@ -26,6 +26,18 @@ object Bbdc {
     * cursor: window w gets the action of the first interval (by start)
     * whose floor(end*1000/step)*step is ≥ w, starting after the previous
     * interval's last grid point (`load_data.py:34-42`).
+    *
+    * DELIBERATE boundary divergence from the reference: its cursor loop
+    * (`while win_end < end * 1000`) tests the strict inequality on the
+    * FLOAT product `end * 1000`, so an interval whose end lands exactly on
+    * a grid point cedes that window to the NEXT interval iff the float
+    * product is exactly representable — behavior that flips with the 15th
+    * decimal digit of the input. This implementation uses the inclusive
+    * integer grid end (floor(end_ms / step) · step, end_ms truncated from
+    * the scaled double), which assigns the boundary window to the EARLIER
+    * interval deterministically. Cleanup, not replication: the reference's
+    * own result depends on float representation; ours is a pure function
+    * of the millisecond integers.
     */
   def targetsToGrid(labels: DataFrame): DataFrame = {
     val parsed = labels.select(

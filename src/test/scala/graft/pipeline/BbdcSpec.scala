@@ -93,6 +93,22 @@ class BbdcSpec extends SparkSpec {
     // the ensemble should actually learn the lift phase on this separable data
     val liftSegs = segs.filter(_._4 == "la-lift")
     assert(liftSegs.nonEmpty)
+
+    // pinned golden artifact (not just run-twice equality): the exact
+    // segments this fixture+seed must produce, committed in test resources.
+    // Regenerate deliberately with GRAFT_BLESS_GOLDEN=1 after a semantic
+    // change, and review the diff like code.
+    val lines = segs.map(s => s"${s._1}|${s._2}|${s._3}|${s._4}")
+    if (sys.env.contains("GRAFT_BLESS_GOLDEN")) {
+      val p = java.nio.file.Paths.get("src/test/resources/bbdc_golden_segments.txt")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    } else {
+      val stream = getClass.getResourceAsStream("/bbdc_golden_segments.txt")
+      assert(stream != null, "golden file missing — bless with GRAFT_BLESS_GOLDEN=1 sbt test")
+      val expected = scala.io.Source.fromInputStream(stream, "UTF-8").getLines().toSeq
+      assert(lines == expected, "pipeline segments diverged from the pinned golden artifact")
+    }
   }
 
   test("ensemble majority vote breaks ties toward the lowest class") {
