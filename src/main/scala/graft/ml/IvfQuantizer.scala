@@ -40,30 +40,33 @@ object IvfQuantizer {
       n2Col: String,
       k: Int,
       iters: Int): DataFrame = {
-    // exploded (id, dim, x) component view; x is the exactly-widened float.
-    // Persisted: it feeds every assignment and every centroid update.
-    val comp = graft.ops.Caches.trackPersist(
-      e.select(col(idCol).cast("long").as("__id"), posexplode(col(vecCol)).as(Seq("__dim", "__xf")))
-        .withColumn("__x", col("__xf").cast("double"))
-        .drop("__xf"))
-    val n2 = e.select(col(idCol).cast("long").as("__id"), col(n2Col).as("__n2"))
+    // corpus view: (id, vec, n2). Persisted — scanned once per assignment
+    // and once per update.
+    val src = graft.ops.Caches.trackPersist(
+      e.select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"), col(n2Col).as("__n2")))
 
-    // seed centroids: the k lowest-id vectors themselves (quantized at the
-    // same scale the update sums use, so iteration 0 follows the same rules)
-    val cent0 = comp.filter(col("__id") < k)
-      .select(
-        col("__id").as("cell"),
-        col("__dim"),
-        col("__x").cast(DecimalType(38, 9)).cast("double").as("__s"))
+    // Centroids ride as k array<double> rows — broadcastable, so each
+    // assignment is a broadcast nested-loop over the corpus with the dot
+    // product computed ARRAY-LOCALLY as an exact decimal fold (no component
+    // explode, no per-(vector,cell) shuffle); the only shuffle per
+    // assignment is the per-vector argmax. Fold accumulators are
+    // DECIMAL(30,s): precision 38 would hit Spark's cap and silently drop
+    // scale mid-fold; the values are identical to the oracle's DECIMAL(38,s)
+    // sums because both are exact at these magnitudes.
+    val quantize = s"x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,9)) AS DOUBLE)"
+    val cent0 = src.filter(col("__id") < k)
+      .select(col("__id").as("cell"), expr(s"transform(__v, $quantize)").as("__sv"))
 
     def assign(cent: DataFrame): DataFrame = {
-      val ns = cent.groupBy("cell")
-        .agg(sum((col("__s") * col("__s")).cast(DecimalType(38, 4))).cast("double").as("__ns2"))
-      val dots = comp.join(broadcast(cent), "__dim")
-        .groupBy(col("__id"), col("cell"))
-        .agg(sum((col("__x") * col("__s")).cast(DecimalType(38, 9))).cast("double").as("__dot"))
-      dots.join(broadcast(ns), "cell")
-        .join(n2, "__id")
+      val withNs = cent.withColumn(
+        "__ns2",
+        expr("""CAST(aggregate(__sv, CAST(0 AS DECIMAL(30,4)),
+                 (acc, s) -> CAST(acc + CAST(s * s AS DECIMAL(30,4)) AS DECIMAL(30,4))) AS DOUBLE)"""))
+      src.crossJoin(broadcast(withNs))
+        .withColumn(
+          "__dot",
+          expr("""CAST(aggregate(zip_with(__v, __sv, (x, s) -> CAST(CAST(x AS DOUBLE) * s AS DECIMAL(30,9))),
+                   CAST(0 AS DECIMAL(30,9)), (acc, p) -> CAST(acc + p AS DECIMAL(30,9))) AS DOUBLE)"""))
         .withColumn("__cos", graft.ops.Vectors.cosineFrom(col("__dot"), col("__n2"), col("__ns2")))
         .withColumn(
           "__rn",
@@ -72,13 +75,22 @@ object IvfQuantizer {
         .select(col("__id"), col("cell"))
     }
 
+    // new centroid = per-dim exact decimal sum over members, re-assembled
+    // into an ordered array (array_sort on (dim, s) structs — collect_list
+    // order is nondeterministic, the sort restores it)
     def update(assigned: DataFrame): DataFrame =
-      comp.join(assigned, "__id")
-        .groupBy(col("cell"), col("__dim"))
-        .agg(sum(col("__x").cast(DecimalType(38, 9))).cast("double").as("__s"))
+      src.join(assigned, "__id")
+        .select(col("cell"), posexplode(col("__v")).as(Seq("__dim", "__xf")))
+        .groupBy("cell", "__dim")
+        .agg(sum(col("__xf").cast("double").cast(DecimalType(38, 9))).cast("double").as("__s"))
+        .groupBy("cell")
+        .agg(expr("transform(array_sort(collect_list(struct(__dim, __s))), t -> t.__s)").as("__sv"))
 
-    var a = assign(cent0)
-    for (_ <- 1 to iters) a = assign(update(a))
+    // persist per-iteration frames: each feeds the next iteration's plan
+    // (and assignments would otherwise nest and re-evaluate)
+    var a = graft.ops.Caches.trackPersist(assign(cent0))
+    for (_ <- 1 to iters)
+      a = graft.ops.Caches.trackPersist(assign(graft.ops.Caches.trackPersist(update(a))))
     a.select(col("__id").as(idCol), col("cell"))
   }
 
