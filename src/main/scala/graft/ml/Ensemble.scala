@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.ml.classification.RandomForestClassifier
+import org.apache.spark.ml.classification.{GBTClassifier, OneVsRest, RandomForestClassifier}
 import org.apache.spark.ml.feature.VectorAssembler
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -73,9 +73,62 @@ object Ensemble {
           .drop(s"__p_$i", s"__prob_$i", s"__raw_$i")
     }
     trainVec.unpersist()
-    // majority vote with lowest-class tie-break (numpy bincount-argmax
-    // semantics), array-local per row: candidates whose count equals the
-    // max count, then array_min
+    withVote(scored, nModels, outCol)
+  }
+
+  /** Boosted-trees flavor of [[fitPredictVote]] — the closest offline MLlib
+    * rendering of the reference's LightGBM boosters: each member is a
+    * One-vs-Rest wrapper over a seeded [[GBTClassifier]] (GBT in MLlib is
+    * binary-only, so multiclass costs nClasses binary fits per member —
+    * nModels·nClasses boosted fits total). Same param draws, same seeds,
+    * same lowest-class-tie vote as the RF flavor. Prefer the RF flavor when
+    * fit count dominates (many classes × many members); prefer this one
+    * when per-model behavior should mirror gradient boosting.
+    */
+  def fitPredictVoteBoosted(
+      train: DataFrame,
+      test: DataFrame,
+      featureCols: Seq[String],
+      labelCol: String,
+      nModels: Int,
+      outCol: String,
+      weightCol: Option[String] = None): DataFrame = {
+    val asm = new VectorAssembler()
+      .setInputCols(featureCols.toArray)
+      .setOutputCol("__features")
+    val trainVec = asm.transform(train).cache()
+    val testVec = asm.transform(test)
+    val scored = drawMembers(nModels).zipWithIndex.foldLeft(testVec) {
+      case (acc, (m, i)) =>
+        val gbt = new GBTClassifier()
+          .setFeaturesCol("__features")
+          .setLabelCol(labelCol)
+          .setMaxIter(m.numTrees) // boosting rounds <- the tree-count draw
+          .setMaxDepth(m.maxDepth)
+          .setMinInstancesPerNode(m.minInstances)
+          .setSeed(m.seed)
+        weightCol.foreach(gbt.setWeightCol)
+        val est = new OneVsRest()
+          .setClassifier(gbt)
+          .setFeaturesCol("__features")
+          .setLabelCol(labelCol)
+          .setPredictionCol(s"__p_$i")
+          .setRawPredictionCol(s"__raw_$i")
+        weightCol.foreach(est.setWeightCol)
+        val model = est.fit(trainVec)
+        model.transform(acc)
+          .withColumn(s"pred_$i", col(s"__p_$i").cast("int"))
+          .drop(s"__p_$i", s"__raw_$i")
+    }
+    trainVec.unpersist()
+    withVote(scored, nModels, outCol)
+  }
+
+  /** Majority vote with lowest-class tie-break (numpy bincount-argmax
+    * semantics), array-local per row: candidates whose count equals the
+    * max count, then array_min.
+    */
+  private def withVote(scored: DataFrame, nModels: Int, outCol: String): DataFrame = {
     val arr = s"array(${(0 until nModels).map(i => s"pred_$i").mkString(",")})"
     val voteSql =
       s"""array_min(

@@ -111,6 +111,20 @@ class BbdcSpec extends SparkSpec {
     }
   }
 
+  test("boosted-trees ensemble flavor learns the separable classes and is seeded-deterministic") {
+    val localRng = new Random(7) // own stream: don't perturb the shared fixture rng
+    val train = (0 until 90).map { i =>
+      val cls = i % 3
+      (i.toLong, cls.toDouble, cls * 1.0 + localRng.nextDouble() * 0.01, cls * 2.0)
+    }.toDF("id", "label", "f1", "f2")
+    def run() = Ensemble.fitPredictVoteBoosted(train, train, Seq("f1", "f2"), "label", 2, "v")
+      .orderBy("id").select("id", "v").as[(Long, Int)].collect().toSeq
+    val out = run()
+    val labels = train.orderBy("id").select("label").as[Double].collect().toSeq
+    assert(out.map(_._2.toDouble) == labels) // separable -> perfect recovery
+    assert(run() == out)                     // SEED+i determinism
+  }
+
   test("ensemble majority vote breaks ties toward the lowest class") {
     val train = (0 until 60).map { i =>
       val cls = i % 3
