@@ -14,8 +14,15 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // absorb JVM/codegen/session warmup and first-touch parquet reader cost
     // so neither is charged to whichever query runs first; fixed name order
-    // for stable attribution
+    // for stable attribution. The window pass matters: WindowExec + sort
+    // codegen otherwise lands on the alphabetically-first window query.
     spark.range(2000000L).selectExpr("sum(id * 2)").collect()
+    spark.range(200000L).selectExpr("id", "id % 97 AS k")
+      .selectExpr(
+        "k",
+        "sum(id) OVER (PARTITION BY k ORDER BY id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS w",
+        "row_number() OVER (PARTITION BY k ORDER BY id) AS rn")
+      .selectExpr("max(w + rn)").collect()
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings").foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
