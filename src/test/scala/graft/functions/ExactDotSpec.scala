@@ -24,6 +24,24 @@ class ExactDotSpec extends SparkSpec {
     }
   }
 
+  test("quantize fast path agrees with the BigDecimal slow path at every magnitude") {
+    // the fast path must only fire where its 1e-6 tie margin is sound
+    // (|scaled| < 4e9); probe random products across magnitudes spanning the
+    // old (broken) and new guard, plus exact-boundary values
+    val rng = new Random(7)
+    def slow(p: Double, scale: Int): Long =
+      java.math.BigDecimal.valueOf(p)
+        .setScale(scale, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+    val probes = Iterator.tabulate(200000) { _ =>
+      val mag = math.pow(10, rng.nextInt(12) - 6) // 1e-6 .. 1e5
+      (rng.nextDouble() - 0.5) * mag
+    } ++ Iterator(4.0, 4.000000001, -3.9999999995, 0.5e-9, 1.5e-9, 2.5e-9)
+    probes.foreach { p =>
+      assert(ExactDot.quantize(p, 9) == slow(p, 9), s"p=$p")
+    }
+  }
+
   test("exact_dot is callable from SQL once registered (SparkSessionExtensions path)") {
     graft.GraftFunctions.register(spark)
     Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b").createOrReplaceTempView("v_dot")

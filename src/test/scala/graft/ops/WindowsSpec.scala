@@ -70,6 +70,23 @@ class WindowsSpec extends SparkSpec {
     }
   }
 
+  test("adaptiveSignBits: smallest bits with occupancy <= target, clamped") {
+    import graft.ops.Vectors.adaptiveSignBits
+    assert(adaptiveSignBits(500, 32) == 4)   // ceil(500/32)=16 -> 4 bits
+    assert(adaptiveSignBits(500, 2) == 8)    // 250 -> 8 bits
+    assert(adaptiveSignBits(2000, 32) == 6)  // 63 -> 6 bits
+    assert(adaptiveSignBits(200000, 32) == 13)
+    assert(adaptiveSignBits(1, 32) == 1)     // clamp low
+    assert(adaptiveSignBits(Int.MaxValue.toLong * 64, 2) == 16) // clamp high
+    // defining property on a sweep: occupancy bound holds and bits is minimal
+    for (n <- 1L to 3000L by 7; occ <- Seq(2L, 8L, 32L)) {
+      val b = adaptiveSignBits(n, occ)
+      val m = (n + occ - 1) / occ
+      if (b < 16) assert((1L << b) >= m, s"n=$n occ=$occ")
+      if (b > 1) assert((1L << (b - 1)) < m, s"n=$n occ=$occ not minimal")
+    }
+  }
+
   test("movingAvg full=true drops the first n-1 rows per key (ref ret[n-1:])") {
     val df = Seq(("k", 1L, 1.0), ("k", 2L, 2.0), ("k", 3L, 6.0), ("j", 1L, 4.0))
       .toDF("k", "ts", "value")
