@@ -4,10 +4,11 @@ import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
-/** Exact decimal-quantized dot product of two float arrays as a native
-  * Catalyst expression with codegen.
+/** Exact decimal-quantized dot product of two float or double arrays as a
+  * native Catalyst expression with codegen (float elements widen exactly to
+  * double, so both element types share one quantize-and-sum path).
   *
   * Semantics are IDENTICAL to the composed form
   * `aggregate(zip_with(a, b, (x,y) -> cast(x*y as DECIMAL(30,scale))), 0, +)
@@ -30,18 +31,27 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class ExactDot(left: Expression, right: Expression, scale: Int)
     extends BinaryExpression {
 
-  // inputs are guaranteed ArrayType(FloatType) by the Column-level builder
+  // inputs are ArrayType(FloatType | DoubleType) — float elements widen
+  // exactly to double, so both element types share one quantize-and-sum path
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
+  private def elemIsDouble(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _                        => false
+  }
+
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    ExactDot.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], scale)
+    ExactDot.compute(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], scale,
+      elemIsDouble(left), elemIsDouble(right))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val tmp = ctx.freshName("dot")
       s"""
-         |java.lang.Double $tmp = graft.functions.ExactDot.compute($a, $b, $scale);
+         |java.lang.Double $tmp = graft.functions.ExactDot.compute(
+         |  $a, $b, $scale, ${elemIsDouble(left)}, ${elemIsDouble(right)});
          |if ($tmp == null) {
          |  ${ev.isNull} = true;
          |} else {
@@ -85,16 +95,24 @@ object ExactDot {
 
   /** Shared by interpreted eval and generated code. Returns null on length
     * mismatch, null elements, or non-finite products (mirroring zip_with
-    * null propagation and the non-ANSI NaN→decimal cast).
+    * null propagation and the non-ANSI NaN→decimal cast). `aDouble`/
+    * `bDouble` select the element accessor per side.
     */
-  def compute(a: ArrayData, b: ArrayData, scale: Int): java.lang.Double = {
+  def compute(
+      a: ArrayData,
+      b: ArrayData,
+      scale: Int,
+      aDouble: Boolean,
+      bDouble: Boolean): java.lang.Double = {
     val n = a.numElements()
     if (n != b.numElements()) return null
     var sum = 0L
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      val p = a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      val x = if (aDouble) a.getDouble(i) else a.getFloat(i).toDouble
+      val y = if (bDouble) b.getDouble(i) else b.getFloat(i).toDouble
+      val p = x * y
       if (!java.lang.Double.isFinite(p)) return null
       sum += quantize(p, scale)
       i += 1
@@ -105,7 +123,10 @@ object ExactDot {
   }
 
   /** Column-level entry point (scale 9 — see [[graft.ops.Vectors]]). */
-  def apply(a: Column, b: Column): Column =
+  def apply(a: Column, b: Column): Column = ofScale(a, b, 9)
+
+  /** Column-level entry point with explicit quantization scale. */
+  def ofScale(a: Column, b: Column, scale: Int): Column =
     GraftColumnBridge.column(
-      ExactDot(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b), 9))
+      ExactDot(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b), scale))
 }

@@ -58,15 +58,15 @@ object IvfQuantizer {
       .select(col("__id").as("cell"), expr(s"transform(__v, $quantize)").as("__sv"))
 
     def assign(cent: DataFrame): DataFrame = {
+      // both exact sums run through the native ExactDot codegen expression
+      // (float×double and double×double element paths) — the equivalent
+      // zip_with/aggregate decimal folds are interpreted per element and
+      // were the measured fit bottleneck
       val withNs = cent.withColumn(
-        "__ns2",
-        expr("""CAST(aggregate(__sv, CAST(0 AS DECIMAL(30,4)),
-                 (acc, s) -> CAST(acc + CAST(s * s AS DECIMAL(30,4)) AS DECIMAL(30,4))) AS DOUBLE)"""))
+        "__ns2", graft.functions.ExactDot.ofScale(col("__sv"), col("__sv"), 4))
       src.crossJoin(broadcast(withNs))
         .withColumn(
-          "__dot",
-          expr("""CAST(aggregate(zip_with(__v, __sv, (x, s) -> CAST(CAST(x AS DOUBLE) * s AS DECIMAL(30,9))),
-                   CAST(0 AS DECIMAL(30,9)), (acc, p) -> CAST(acc + p AS DECIMAL(30,9))) AS DOUBLE)"""))
+          "__dot", graft.functions.ExactDot.ofScale(col("__v"), col("__sv"), 9))
         .withColumn("__cos", graft.ops.Vectors.cosineFrom(col("__dot"), col("__n2"), col("__ns2")))
         .withColumn(
           "__rn",
@@ -86,11 +86,12 @@ object IvfQuantizer {
         .groupBy("cell")
         .agg(expr("transform(array_sort(collect_list(struct(__dim, __s))), t -> t.__s)").as("__sv"))
 
-    // persist per-iteration frames: each feeds the next iteration's plan
-    // (and assignments would otherwise nest and re-evaluate)
-    var a = graft.ops.Caches.trackPersist(assign(cent0))
-    for (_ <- 1 to iters)
-      a = graft.ops.Caches.trackPersist(assign(graft.ops.Caches.trackPersist(update(a))))
+    // no per-iteration persist: after the array-local restructure every
+    // intermediate (centroid table, assignment) is referenced exactly once
+    // by the next stage, so the nested plan evaluates each subtree once —
+    // only `src` (scanned by every assignment and update) is cached
+    var a = assign(cent0)
+    for (_ <- 1 to iters) a = assign(update(a))
     a.select(col("__id").as(idCol), col("cell"))
   }
 
