@@ -53,27 +53,41 @@ object Ensemble {
       .setInputCols(featureCols.toArray)
       .setOutputCol("__features")
     val trainVec = asm.transform(train).cache()
+    trainVec.count() // materialize once before the concurrent fits
     val testVec = asm.transform(test)
-    val scored = drawMembers(nModels).zipWithIndex.foldLeft(testVec) {
-      case (acc, (m, i)) =>
-        val est = new RandomForestClassifier()
-          .setFeaturesCol("__features")
-          .setLabelCol(labelCol)
-          .setPredictionCol(s"__p_$i")
-          .setProbabilityCol(s"__prob_$i")
-          .setRawPredictionCol(s"__raw_$i")
-          .setNumTrees(m.numTrees)
-          .setMaxDepth(m.maxDepth)
-          .setMinInstancesPerNode(m.minInstances)
-          .setSeed(m.seed)
-        weightCol.foreach(est.setWeightCol)
-        val model = est.fit(trainVec)
-        model.transform(acc)
-          .withColumn(s"pred_$i", col(s"__p_$i").cast("int"))
-          .drop(s"__p_$i", s"__prob_$i", s"__raw_$i")
+    // members are independent given the cached training frame: fit them as
+    // CONCURRENT Spark jobs (each fit is seeded, so per-model results are
+    // unaffected by scheduling) — the sequential version serialized
+    // nModels × MLlib job latency
+    val models = parallelFits(drawMembers(nModels).zipWithIndex.map { case (m, i) => () =>
+      val est = new RandomForestClassifier()
+        .setFeaturesCol("__features")
+        .setLabelCol(labelCol)
+        .setPredictionCol(s"__p_$i")
+        .setProbabilityCol(s"__prob_$i")
+        .setRawPredictionCol(s"__raw_$i")
+        .setNumTrees(m.numTrees)
+        .setMaxDepth(m.maxDepth)
+        .setMinInstancesPerNode(m.minInstances)
+        .setSeed(m.seed)
+      weightCol.foreach(est.setWeightCol)
+      est.fit(trainVec)
+    })
+    val scored = models.zipWithIndex.foldLeft(testVec) { case (acc, (model, i)) =>
+      model.transform(acc)
+        .withColumn(s"pred_$i", col(s"__p_$i").cast("int"))
+        .drop(s"__p_$i", s"__prob_$i", s"__raw_$i")
     }
     trainVec.unpersist()
     withVote(scored, nModels, outCol)
+  }
+
+  /** Run independent fit thunks as concurrent Spark jobs, preserving order. */
+  private def parallelFits[M](thunks: Seq[() => M]): Seq[M] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence(thunks.map(t => Future(t()))), Duration.Inf)
   }
 
   /** Boosted-trees flavor of [[fitPredictVote]] — the closest offline MLlib
@@ -97,28 +111,30 @@ object Ensemble {
       .setInputCols(featureCols.toArray)
       .setOutputCol("__features")
     val trainVec = asm.transform(train).cache()
+    trainVec.count()
     val testVec = asm.transform(test)
-    val scored = drawMembers(nModels).zipWithIndex.foldLeft(testVec) {
-      case (acc, (m, i)) =>
-        val gbt = new GBTClassifier()
-          .setFeaturesCol("__features")
-          .setLabelCol(labelCol)
-          .setMaxIter(m.numTrees) // boosting rounds <- the tree-count draw
-          .setMaxDepth(m.maxDepth)
-          .setMinInstancesPerNode(m.minInstances)
-          .setSeed(m.seed)
-        weightCol.foreach(gbt.setWeightCol)
-        val est = new OneVsRest()
-          .setClassifier(gbt)
-          .setFeaturesCol("__features")
-          .setLabelCol(labelCol)
-          .setPredictionCol(s"__p_$i")
-          .setRawPredictionCol(s"__raw_$i")
-        weightCol.foreach(est.setWeightCol)
-        val model = est.fit(trainVec)
-        model.transform(acc)
-          .withColumn(s"pred_$i", col(s"__p_$i").cast("int"))
-          .drop(s"__p_$i", s"__raw_$i")
+    val models = parallelFits(drawMembers(nModels).zipWithIndex.map { case (m, i) => () =>
+      val gbt = new GBTClassifier()
+        .setFeaturesCol("__features")
+        .setLabelCol(labelCol)
+        .setMaxIter(m.numTrees) // boosting rounds <- the tree-count draw
+        .setMaxDepth(m.maxDepth)
+        .setMinInstancesPerNode(m.minInstances)
+        .setSeed(m.seed)
+      weightCol.foreach(gbt.setWeightCol)
+      val est = new OneVsRest()
+        .setClassifier(gbt)
+        .setFeaturesCol("__features")
+        .setLabelCol(labelCol)
+        .setPredictionCol(s"__p_$i")
+        .setRawPredictionCol(s"__raw_$i")
+      weightCol.foreach(est.setWeightCol)
+      est.fit(trainVec)
+    })
+    val scored = models.zipWithIndex.foldLeft(testVec) { case (acc, (model, i)) =>
+      model.transform(acc)
+        .withColumn(s"pred_$i", col(s"__p_$i").cast("int"))
+        .drop(s"__p_$i", s"__raw_$i")
     }
     trainVec.unpersist()
     withVote(scored, nModels, outCol)
