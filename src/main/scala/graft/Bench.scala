@@ -39,7 +39,7 @@ object Bench {
         out.select(xxhash64(out.columns.map(col): _*).cast("double").as("__h"))
           .agg(fsum("__h")).collect()
       } catch { case _: Throwable => () }
-      graft.ops.Dedup.releaseCaches()
+      graft.ops.Caches.releaseAll()
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -47,14 +47,15 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // sbt wraps stdout in [info] prefixes, which broke the driver's JSON
-    // parse in round 1 — ALSO write the result to a file the driver (or a
-    // human) can read unadorned, plus a bare line on stderr (sbt leaves
-    // stderr of forked/run mains mostly alone).
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_result.json"),
-      (json + "\n").getBytes("UTF-8"))
+    // parse in round 1 — print FIRST (stdout + bare stderr line), then also
+    // write the file copy; a file-write failure (read-only cwd) must not
+    // suppress the printed result.
     println(json)
     System.err.println(json)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_result.json"),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -22,9 +22,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // dedup queries persist intermediates; don't let 60+ queries' worth
-      // of cached blocks pile up in this one session
-      graft.ops.Dedup.releaseCaches()
+      // several operators persist intermediates (dedup, the IVF fit); do not
+      // let 60+ queries' worth of cached blocks pile up in this one session
+      graft.ops.Caches.releaseAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Exact decimal-quantized dot product of two float or double arrays as a
   * native Catalyst expression with codegen (float elements widen exactly to
@@ -35,6 +35,21 @@ case class ExactDot(left: Expression, right: Expression, scale: Int)
   // exactly to double, so both element types share one quantize-and-sum path
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _                                                  => false
+    }
+    if (!ok(left) || !ok(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"exact_dot expects array<float> or array<double> arguments, got " +
+          s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+    else if (scale < 0 || scale > 18)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"exact_dot scale must be in [0, 18], got $scale")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
 
   private def elemIsDouble(e: Expression): Boolean = e.dataType match {
     case ArrayType(DoubleType, _) => true

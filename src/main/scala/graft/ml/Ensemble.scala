@@ -48,47 +48,23 @@ object Ensemble {
       labelCol: String,
       nModels: Int,
       outCol: String,
-      weightCol: Option[String] = None): DataFrame = {
-    val asm = new VectorAssembler()
-      .setInputCols(featureCols.toArray)
-      .setOutputCol("__features")
-    val trainVec = asm.transform(train).cache()
-    trainVec.count() // materialize once before the concurrent fits
-    val testVec = asm.transform(test)
-    // members are independent given the cached training frame: fit them as
-    // CONCURRENT Spark jobs (each fit is seeded, so per-model results are
-    // unaffected by scheduling) — the sequential version serialized
-    // nModels × MLlib job latency
-    val models = parallelFits(drawMembers(nModels).zipWithIndex.map { case (m, i) => () =>
-      val est = new RandomForestClassifier()
-        .setFeaturesCol("__features")
-        .setLabelCol(labelCol)
-        .setPredictionCol(s"__p_$i")
-        .setProbabilityCol(s"__prob_$i")
-        .setRawPredictionCol(s"__raw_$i")
-        .setNumTrees(m.numTrees)
-        .setMaxDepth(m.maxDepth)
-        .setMinInstancesPerNode(m.minInstances)
-        .setSeed(m.seed)
-      weightCol.foreach(est.setWeightCol)
-      est.fit(trainVec)
-    })
-    val scored = models.zipWithIndex.foldLeft(testVec) { case (acc, (model, i)) =>
-      model.transform(acc)
-        .withColumn(s"pred_$i", col(s"__p_$i").cast("int"))
-        .drop(s"__p_$i", s"__prob_$i", s"__raw_$i")
-    }
-    trainVec.unpersist()
-    withVote(scored, nModels, outCol)
-  }
-
-  /** Run independent fit thunks as concurrent Spark jobs, preserving order. */
-  private def parallelFits[M](thunks: Seq[() => M]): Seq[M] = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    Await.result(Future.sequence(thunks.map(t => Future(t()))), Duration.Inf)
-  }
+      weightCol: Option[String] = None): DataFrame =
+    fitScoreVote(train, test, featureCols, nModels, outCol,
+      i => Seq(s"__p_$i", s"__prob_$i", s"__raw_$i"),
+      (m, i, trainVec) => {
+        val est = new RandomForestClassifier()
+          .setFeaturesCol("__features")
+          .setLabelCol(labelCol)
+          .setPredictionCol(s"__p_$i")
+          .setProbabilityCol(s"__prob_$i")
+          .setRawPredictionCol(s"__raw_$i")
+          .setNumTrees(m.numTrees)
+          .setMaxDepth(m.maxDepth)
+          .setMinInstancesPerNode(m.minInstances)
+          .setSeed(m.seed)
+        weightCol.foreach(est.setWeightCol)
+        est.fit(trainVec)
+      })
 
   /** Boosted-trees flavor of [[fitPredictVote]] — the closest offline MLlib
     * rendering of the reference's LightGBM boosters: each member is a
@@ -106,38 +82,67 @@ object Ensemble {
       labelCol: String,
       nModels: Int,
       outCol: String,
-      weightCol: Option[String] = None): DataFrame = {
+      weightCol: Option[String] = None): DataFrame =
+    fitScoreVote(train, test, featureCols, nModels, outCol,
+      i => Seq(s"__p_$i", s"__raw_$i"),
+      (m, i, trainVec) => {
+        val gbt = new GBTClassifier()
+          .setFeaturesCol("__features")
+          .setLabelCol(labelCol)
+          .setMaxIter(m.numTrees) // boosting rounds <- the tree-count draw
+          .setMaxDepth(m.maxDepth)
+          .setMinInstancesPerNode(m.minInstances)
+          .setSeed(m.seed)
+        weightCol.foreach(gbt.setWeightCol)
+        val est = new OneVsRest()
+          .setClassifier(gbt)
+          .setFeaturesCol("__features")
+          .setLabelCol(labelCol)
+          .setPredictionCol(s"__p_$i")
+          .setRawPredictionCol(s"__raw_$i")
+        weightCol.foreach(est.setWeightCol)
+        est.fit(trainVec)
+      })
+
+  /** Shared ensemble skeleton: assemble features, cache the training frame,
+    * fit the seeded members as CONCURRENT Spark jobs (each fit is
+    * independently seeded, so per-model results are scheduling-invariant —
+    * the sequential version serialized nModels × MLlib job latency), score
+    * the test frame with each model, vote. The cache is released even when
+    * a fit throws.
+    */
+  private def fitScoreVote(
+      train: DataFrame,
+      test: DataFrame,
+      featureCols: Seq[String],
+      nModels: Int,
+      outCol: String,
+      memberCols: Int => Seq[String],
+      fitMember: (Member, Int, DataFrame) => org.apache.spark.ml.Transformer): DataFrame = {
     val asm = new VectorAssembler()
       .setInputCols(featureCols.toArray)
       .setOutputCol("__features")
     val trainVec = asm.transform(train).cache()
-    trainVec.count()
-    val testVec = asm.transform(test)
-    val models = parallelFits(drawMembers(nModels).zipWithIndex.map { case (m, i) => () =>
-      val gbt = new GBTClassifier()
-        .setFeaturesCol("__features")
-        .setLabelCol(labelCol)
-        .setMaxIter(m.numTrees) // boosting rounds <- the tree-count draw
-        .setMaxDepth(m.maxDepth)
-        .setMinInstancesPerNode(m.minInstances)
-        .setSeed(m.seed)
-      weightCol.foreach(gbt.setWeightCol)
-      val est = new OneVsRest()
-        .setClassifier(gbt)
-        .setFeaturesCol("__features")
-        .setLabelCol(labelCol)
-        .setPredictionCol(s"__p_$i")
-        .setRawPredictionCol(s"__raw_$i")
-      weightCol.foreach(est.setWeightCol)
-      est.fit(trainVec)
-    })
-    val scored = models.zipWithIndex.foldLeft(testVec) { case (acc, (model, i)) =>
-      model.transform(acc)
-        .withColumn(s"pred_$i", col(s"__p_$i").cast("int"))
-        .drop(s"__p_$i", s"__raw_$i")
-    }
-    trainVec.unpersist()
-    withVote(scored, nModels, outCol)
+    try {
+      trainVec.count() // materialize once before the concurrent fits
+      val testVec = asm.transform(test)
+      val models = parallelFits(
+        drawMembers(nModels).zipWithIndex.map { case (m, i) => () => fitMember(m, i, trainVec) })
+      val scored = models.zipWithIndex.foldLeft(testVec) { case (acc, (model, i)) =>
+        model.transform(acc)
+          .withColumn(s"pred_$i", col(s"__p_$i").cast("int"))
+          .drop(memberCols(i): _*)
+      }
+      withVote(scored, nModels, outCol)
+    } finally trainVec.unpersist()
+  }
+
+  /** Run independent fit thunks as concurrent Spark jobs, preserving order. */
+  private def parallelFits[M](thunks: Seq[() => M]): Seq[M] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence(thunks.map(t => Future(t()))), Duration.Inf)
   }
 
   /** Majority vote with lowest-class tie-break (numpy bincount-argmax

@@ -18,13 +18,6 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  private def trackPersist(df: DataFrame): DataFrame = Caches.trackPersist(df)
-
-  /** Unpersist every intermediate cached via [[Caches]] so far (dedup and
-    * other operators share the registry).
-    */
-  def releaseCaches(): Unit = Caches.releaseAll()
-
   /** Exact dedup groups: fingerprint → group size + kept (minimum) id. */
   def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(Text.fingerprint(col(textCol)).as("fp"))
@@ -55,7 +48,7 @@ object Dedup {
     // results depend only on the equality relation, and a corpus-level
     // 64-bit collision (~1e-6 at millions of shingles) is the accepted
     // trade. Persisted because it feeds three plan branches.
-    val sh = trackPersist(
+    val sh = Caches.trackPersist(
       Text.shingleSet(df, idCol, textCol, k)
         .select(col(idCol), xxhash64(col("shingle")).as("sk")))
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
@@ -131,7 +124,7 @@ object Dedup {
     val rowsPerBand = nHashes / nBands
     // signatures feed four plan branches (band self-join sides + the two
     // agreement joins) — persist or the shingle+md5+groupBy pipeline runs 4×
-    val cachedSig = trackPersist(sig)
+    val cachedSig = Caches.trackPersist(sig)
     val banded = cachedSig.select(
       col(idCol) +:
         (0 until nBands).map { b =>
@@ -189,8 +182,11 @@ object Dedup {
     val n = df.count()
     val bits = Vectors.adaptiveSignBits(n, occupancy)
     require(bands * bits <= 64, s"bands*bits = ${bands * bits} exceeds vector dims")
-    val e = df.select(col(idCol), col(vecCol))
-      .withColumn("__n2", Vectors.norm2Exact(col(vecCol)))
+    // persisted: feeds the band-explode branch AND both candidate-
+    // verification joins (three scans + two norm folds otherwise)
+    val e = Caches.trackPersist(
+      df.select(col(idCol), col(vecCol))
+        .withColumn("__n2", Vectors.norm2Exact(col(vecCol))))
     val bandCols = (0 until bands).map { l =>
       struct(lit(l).as("band"), Vectors.signBucketSlice(col(vecCol), l * bits, bits).as("bucket"))
     }
