@@ -46,4 +46,18 @@ object Sources {
   /** S4: headerless CSV sink (ref `generate_submission.py:567-569`). */
   def writeCsvHeaderless(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "false").csv(path)
+
+  /** JSONL (newline-delimited JSON) reader — the interchange format most
+    * large text/training corpora ship in. Schema explicit, never inferred
+    * (inference scans the data twice and types drift between shards);
+    * malformed lines land in `_corrupt_record` instead of failing the job
+    * (PERMISSIVE), which at 100 TB is the difference between a nightly
+    * pipeline and a nightly page.
+    */
+  def jsonl(spark: SparkSession, schema: StructType, path: String): DataFrame =
+    spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
+
+  /** JSONL sink (one JSON object per line, standard corpus shard layout). */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
 }

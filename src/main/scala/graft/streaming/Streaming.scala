@@ -85,6 +85,25 @@ object Streaming {
       }
   }
 
+  /** Exact-dedup-as-stream: the streaming analog of
+    * [[graft.ops.Dedup.exactGroups]] for a training-data ingest pipeline —
+    * keeps the FIRST document per content fingerprint (whitespace/case-
+    * normalized md5, same normalization as batch). State is bounded by the
+    * event-time watermark: duplicates arriving within `watermarkDelay` of
+    * each other dedupe exactly; older state ages out
+    * (dropDuplicatesWithinWatermark semantics — at 100 TB/day unbounded
+    * keep-forever state is not an option, so the horizon IS the contract).
+    */
+  def exactDedupStream(
+      docs: DataFrame,
+      tsCol: String,
+      textCol: String,
+      watermarkDelay: String): DataFrame =
+    docs
+      .withColumn("fp", graft.ops.Text.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Running (cumulative) per-key aggregate — the streaming analog of the
     * reference's partial_fit scaler accumulation (A10): counts/sums update
     * incrementally per micro-batch.

@@ -47,6 +47,25 @@ class MultimodalSourcesSpec extends SparkSpec {
       Seq(("s01t01.la", 0.0, 3.4, "la-lift")))
   }
 
+  test("JSONL roundtrip with explicit schema; malformed lines stay PERMISSIVE") {
+    val dir = Files.createTempDirectory("graft_jsonl").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val df = Seq((1L, "the quick fox"), (2L, "lazy dog")).toDF("doc_id", "text")
+    Sources.writeJsonl(df, s"$dir/out")
+    val back = Sources.jsonl(spark, schema, s"$dir/out")
+    assert(back.orderBy("doc_id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "the quick fox"), (2L, "lazy dog")))
+    // a corrupt shard line yields a null-columns row, not a failed job
+    val corruptDir = Files.createTempDirectory("graft_jsonl2").toString
+    Files.write(java.nio.file.Paths.get(s"$corruptDir/shard.jsonl"),
+      "{\"doc_id\": 3, \"text\": \"ok\"}\nnot json at all\n".getBytes("UTF-8"))
+    val mixed = Sources.jsonl(spark, schema, corruptDir)
+    assert(mixed.count() == 2)
+    assert(mixed.filter(col("doc_id") === 3L).count() == 1)
+  }
+
   test("S3: filename-derived key columns via regex") {
     val dir = Files.createTempDirectory("graft_files").toString
     Seq((0.0, 1.0)).toDF("ts", "v").coalesce(1).write

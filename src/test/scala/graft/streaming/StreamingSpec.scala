@@ -68,4 +68,31 @@ class StreamingSpec extends SparkSpec {
       .as[(String, Long, Double)].collect().toSeq
     assert(out == Seq(("u1", 2L, 3.0)))
   }
+
+  test("exactDedupStream keeps the first doc per fingerprint within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val df = input.toDF().toDF("ts", "doc_id", "text")
+    val q = Streaming.exactDedupStream(df, "ts", "text", "1 minute")
+      .select("doc_id", "fp")
+      .writeStream.format("memory").queryName("dedup_stream").outputMode("append").start()
+    try {
+      // doc 2 duplicates doc 1 up to whitespace/case (same normalization as
+      // batch exactGroups); doc 3 is distinct
+      input.addData(
+        (ts(1), 1L, "The quick  fox"),
+        (ts(2), 2L, "the quick fox"),
+        (ts(3), 3L, "something else"))
+      q.processAllAvailable()
+      val kept = spark.table("dedup_stream").as[(Long, String)].collect().toSeq
+      // exactly one survivor per fingerprint: one of {1,2}, plus 3
+      assert(kept.size == 2)
+      assert(kept.map(_._2).distinct.size == 2)
+      assert(kept.exists(k => k._1 == 1L || k._1 == 2L) && kept.exists(_._1 == 3L))
+      // a later in-watermark duplicate of doc 3 is suppressed too
+      input.addData((ts(10), 4L, "SOMETHING   ELSE"))
+      q.processAllAvailable()
+      assert(spark.table("dedup_stream").count() == 2)
+    } finally q.stop()
+  }
 }
