@@ -92,6 +92,43 @@ object Vectors {
           CASE WHEN m <= 1 THEN 1 ELSE length(bin(m - 1)) END)) AS bits
         FROM (SELECT (count(*) + ${occupancy - 1}) // $occupancy AS m FROM $table)"""
 
+  /** Symmetric int8 quantization of a float vector — the storage format of
+    * large-scale embedding stores (4× smaller, SIMD-friendly dot products).
+    * q_i = round(127·x_i / amax), computed EXACTLY in integer arithmetic:
+    * components become scale-9 fixed-point BIGINTs (xq = x·10⁹ via the
+    * proven decimal cast), amax = max |xq|, and the rounded quotient is
+    * (2n + a) DIV (2a) on non-negative operands (round-half-away-from-zero)
+    * — no float division, so the DuckDB oracle matches bit-for-bit.
+    * |q| ≤ 127 by construction; a zero vector quantizes to all zeros.
+    * Returns (q8 array<int>, amax_q9 BIGINT) as two columns via [[int8Q]] /
+    * [[int8Amax]].
+    */
+  def int8Amax(vecCol: String): Column =
+    expr(s"array_max(transform($vecCol, x -> abs(${xq9("x")})))")
+
+  def int8Q(vecCol: String, amaxCol: String): Column =
+    expr(s"""transform($vecCol, x ->
+        CAST(CASE WHEN $amaxCol = 0 THEN 0
+          WHEN ${xq9("x")} >= 0
+            THEN (2 * 127 * ${xq9("x")} + $amaxCol) DIV (2 * $amaxCol)
+          ELSE -((2 * 127 * -(${xq9("x")}) + $amaxCol) DIV (2 * $amaxCol))
+        END AS INT))""")
+
+  /** Scale-9 fixed-point BIGINT of a float scalar (both engines exact). */
+  private def xq9(x: String): String =
+    s"CAST(CAST(CAST($x AS DOUBLE) AS DECIMAL(38,9)) * 1000000000 AS BIGINT)"
+
+  /** DuckDB fragments mirroring [[int8Amax]]/[[int8Q]]: per-element q8 and
+    * per-vector amax from an unnested (vec_id, dim, x) view.
+    */
+  def sqlXq9(x: String): String =
+    s"CAST(CAST(CAST($x AS DOUBLE) AS DECIMAL(38,9)) * 1000000000 AS BIGINT)"
+
+  def sqlInt8Q(xq: String, amax: String): String =
+    s"""CAST(CASE WHEN $amax = 0 THEN 0
+        WHEN $xq >= 0 THEN (2 * 127 * $xq + $amax) // (2 * $amax)
+        ELSE -((2 * 127 * -($xq) + $amax) // (2 * $amax)) END AS INTEGER)"""
+
   /** DuckDB fragments mirroring the above for oracle SQL. `e` is a list
     * column reference; dims are 1-based on both sides.
     */

@@ -105,6 +105,27 @@ object SimilarityQ {
                   FROM s) WHERE rnk <= 3""")),
 
     QDef(
+      "sim_quantize_int8",
+      // symmetric int8 embedding quantization (the 4×-smaller storage format
+      // of large embedding stores), exploded to scalar rows: pure integer
+      // arithmetic on scale-9 fixed-point components, so the oracle matches
+      // bit-for-bit — no float division anywhere
+      (s, d) => {
+        val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+          .withColumn("amax_q9", Vectors.int8Amax("embedding"))
+          .withColumn("q", Vectors.int8Q("embedding", "amax_q9"))
+        e.select(col("vec_id"), col("amax_q9"), posexplode(col("q")).as(Seq("dim", "q8")))
+          .select(col("vec_id"), col("dim").cast("long").as("dim"), col("q8"), col("amax_q9"))
+      },
+      Some(s"""WITH c AS (SELECT vec_id, i.i - 1 AS dim,
+                 ${Vectors.sqlXq9("embedding[i.i]")} AS xq
+               FROM embeddings, unnest(generate_series(1, 64)) AS i(i)),
+               a AS (SELECT vec_id, max(abs(xq)) AS amax_q9 FROM c GROUP BY 1)
+               SELECT c.vec_id, CAST(c.dim AS BIGINT) AS dim,
+                 ${Vectors.sqlInt8Q("c.xq", "a.amax_q9")} AS q8, a.amax_q9
+               FROM c JOIN a ON a.vec_id = c.vec_id""")),
+
+    QDef(
       "sim_lsh_bucket",
       // single-table sign-LSH with the bit count scaled to the corpus
       // (occupancy target 2 → 8 bits at n=500, 10 at n=2000, …): per-bucket
