@@ -72,6 +72,26 @@ object Multimodal {
       }(encoder)
   }
 
+  /** Feature resize by mean-pooling: collapse each adjacent `factor`-sized
+    * block of the feature vector into its mean — the "resize" stage of an
+    * image/audio feature pipeline (downsampling a spatial/spectral grid).
+    * Array-local, no shuffle; the fixed left-to-right pairwise sum makes the
+    * result deterministic and SQL-replicable.
+    */
+  def resizeFeatures(
+      df: DataFrame,
+      featuresCol: String,
+      factor: Int,
+      outCol: String): DataFrame = {
+    require(FeatureDim % factor == 0, s"factor $factor must divide $FeatureDim")
+    val blocks = FeatureDim / factor
+    val pooled = (0 until blocks).map { b =>
+      val terms = (1 to factor).map(j => element_at(col(featuresCol), b * factor + j))
+      (terms.reduce(_ + _) / lit(factor.toDouble)).as(s"p_$b")
+    }
+    df.withColumn(outCol, array(pooled: _*))
+  }
+
   /** Frame sampling: chop the payload into fixed-size "frames" (one row per
     * frame with frame_idx) — the video-frame / audio-window expansion as a
     * generator, no UDTF needed.

@@ -12,6 +12,22 @@ import graft.ops._
 object TextQ {
   import Q._
 
+  /** Oracle CTE chain replicating [[graft.ops.Multimodal.fakeDecodeKernel]]
+    * on the ASCII corpus: `v(doc_id, dim, value)` is the L1-normalized
+    * 16-bin byte histogram of each document's payload.
+    */
+  private val mmHistSql =
+    """docs AS (SELECT doc_id, text, CAST(greatest(strlen(text), 1) AS BIGINT) AS n
+               FROM documents),
+       b AS (SELECT doc_id, ord(substr(text, CAST(i.i AS INTEGER), 1)) % 16 AS dim
+             FROM docs, unnest(generate_series(1, CAST(strlen(text) AS BIGINT))) AS i(i)),
+       cnt AS (SELECT doc_id, dim, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+       v AS (SELECT d.doc_id, dm.dim,
+               CAST(coalesce(cnt.c, 0) AS DOUBLE) / CAST(d.n AS DOUBLE) AS value
+             FROM docs d
+             CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS dim) dm
+             LEFT JOIN cnt ON cnt.doc_id = d.doc_id AND cnt.dim = dm.dim)"""
+
   val defs: Seq[QDef] = Seq(
     QDef(
       "t1_token_stats",
@@ -126,16 +142,26 @@ object TextQ {
           .select(col("doc_id"), posexplode(col("features")).as(Seq("dim", "value")))
           .select(col("doc_id"), col("dim").cast("long").as("dim"), col("value"))
       },
-      Some("""WITH docs AS (SELECT doc_id, text, CAST(greatest(strlen(text), 1) AS BIGINT) AS n
-                            FROM documents),
-              b AS (SELECT doc_id, ord(substr(text, CAST(i.i AS INTEGER), 1)) % 16 AS dim
-                    FROM docs, unnest(generate_series(1, CAST(strlen(text) AS BIGINT))) AS i(i)),
-              cnt AS (SELECT doc_id, dim, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2)
-              SELECT d.doc_id, CAST(dm.dim AS BIGINT) AS dim,
-                     CAST(coalesce(cnt.c, 0) AS DOUBLE) / CAST(d.n AS DOUBLE) AS value
-              FROM docs d
-              CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS dim) dm
-              LEFT JOIN cnt ON cnt.doc_id = d.doc_id AND cnt.dim = dm.dim""")),
+      Some(s"""WITH $mmHistSql
+              SELECT doc_id, CAST(dim AS BIGINT) AS dim, value FROM v""")),
+
+    QDef(
+      "mm2_pool_features",
+      // the "resize" stage of the multimodal pipeline: mean-pool adjacent
+      // feature pairs (16 → 8 dims), array-local after the decode — the
+      // oracle averages the same explicit left-to-right pairs
+      (s, d) => {
+        val withPayload = Multimodal.attachPayload(t(s, d, "documents"), "text")
+        val decoded = Multimodal.decodeFeatures(withPayload, "doc_id")
+        Multimodal.resizeFeatures(decoded, "features", 2, "pooled")
+          .select(col("doc_id"), posexplode(col("pooled")).as(Seq("dim", "value")))
+          .select(col("doc_id"), col("dim").cast("long").as("dim"), col("value"))
+      },
+      Some(s"""WITH $mmHistSql
+              SELECT va.doc_id, CAST(va.dim // 2 AS BIGINT) AS dim,
+                     (va.value + vb.value) / CAST(2.0 AS DOUBLE) AS value
+              FROM v va JOIN v vb ON vb.doc_id = va.doc_id AND vb.dim = va.dim + 1
+              WHERE va.dim % 2 = 0""")),
 
     QDef(
       "t4_fingerprint",
