@@ -103,16 +103,33 @@ object Vectors {
     * Returns (q8 array<int>, amax_q9 BIGINT) as two columns via [[int8Q]] /
     * [[int8Amax]].
     */
-  def int8Amax(vecCol: String): Column =
-    expr(s"array_max(transform($vecCol, x -> abs(${xq9("x")})))")
+  /** Fixed-point view of the vector: one scale-9 BIGINT per component,
+    * computed ONCE (the decimal cast is the expensive interpreted step —
+    * downstream amax/q read this array, not the floats).
+    */
+  def int8Xq(vecCol: String): Column =
+    expr(s"transform($vecCol, x -> ${xq9("x")})")
 
-  def int8Q(vecCol: String, amaxCol: String): Column =
-    expr(s"""transform($vecCol, x ->
+  def int8Amax(xqCol: String): Column =
+    expr(s"array_max(transform($xqCol, v -> abs(v)))")
+
+  def int8Q(xqCol: String, amaxCol: String): Column =
+    expr(s"""transform($xqCol, v ->
         CAST(CASE WHEN $amaxCol = 0 THEN 0
-          WHEN ${xq9("x")} >= 0
-            THEN (2 * 127 * ${xq9("x")} + $amaxCol) DIV (2 * $amaxCol)
-          ELSE -((2 * 127 * -(${xq9("x")}) + $amaxCol) DIV (2 * $amaxCol))
+          WHEN v >= 0 THEN (2 * 127 * v + $amaxCol) DIV (2 * $amaxCol)
+          ELSE -((2 * 127 * -v + $amaxCol) DIV (2 * $amaxCol))
         END AS INT))""")
+
+  /** Scalar form of [[int8Q]] for exploded (id, dim, xq) rows — pure
+    * codegen integer arithmetic, the shape to use under a generator (array
+    * lambdas referenced by a post-explode projection re-evaluate per output
+    * row; scalars don't).
+    */
+  def int8QScalar(xqCol: String, amaxCol: String): Column =
+    expr(s"""CAST(CASE WHEN $amaxCol = 0 THEN 0
+        WHEN $xqCol >= 0 THEN (2 * 127 * $xqCol + $amaxCol) DIV (2 * $amaxCol)
+        ELSE -((2 * 127 * -($xqCol) + $amaxCol) DIV (2 * $amaxCol))
+      END AS INT)""")
 
   /** Scale-9 fixed-point BIGINT of a float scalar (both engines exact). */
   private def xq9(x: String): String =

@@ -111,11 +111,21 @@ object SimilarityQ {
       // arithmetic on scale-9 fixed-point components, so the oracle matches
       // bit-for-bit — no float division anywhere
       (s, d) => {
-        val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-          .withColumn("amax_q9", Vectors.int8Amax("embedding"))
-          .withColumn("q", Vectors.int8Q("embedding", "amax_q9"))
-        e.select(col("vec_id"), col("amax_q9"), posexplode(col("q")).as(Seq("dim", "q8")))
-          .select(col("vec_id"), col("dim").cast("long").as("dim"), col("q8"), col("amax_q9"))
+        // explode the fixed-point array FIRST, then scalar integer math —
+        // the oracle's own shape; array lambdas under a generator would
+        // re-evaluate per output row
+        val base = t(s, d, "embeddings").select(
+          col("vec_id"),
+          posexplode(Vectors.int8Xq("embedding")).as(Seq("dim", "xq")))
+        base
+          .withColumn(
+            "amax_q9",
+            max(abs(col("xq"))).over(org.apache.spark.sql.expressions.Window.partitionBy("vec_id")))
+          .select(
+            col("vec_id"),
+            col("dim").cast("long").as("dim"),
+            Vectors.int8QScalar("xq", "amax_q9").as("q8"),
+            col("amax_q9"))
       },
       Some(s"""WITH c AS (SELECT vec_id, i.i - 1 AS dim,
                  ${Vectors.sqlXq9("embedding[i.i]")} AS xq
@@ -135,8 +145,9 @@ object SimilarityQ {
       // retrieval never touches the float vectors: 4× less scan at 100 TB.
       (s, d) => {
         val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-          .withColumn("amax_q9", Vectors.int8Amax("embedding"))
-          .withColumn("q", Vectors.int8Q("embedding", "amax_q9"))
+          .withColumn("xq", Vectors.int8Xq("embedding"))
+          .withColumn("amax_q9", Vectors.int8Amax("xq"))
+          .withColumn("q", Vectors.int8Q("xq", "amax_q9"))
           .select(col("vec_id"), col("amax_q9"),
             // double-element view of the int8 vector: values ≤127 are exact
             // doubles, so ExactDot at scale 0 IS the integer dot
