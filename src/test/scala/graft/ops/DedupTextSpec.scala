@@ -62,6 +62,36 @@ class DedupTextSpec extends SparkSpec {
     assert(joined.filter(col("lang") =!= col("pred_lang")).count() == 0)
   }
 
+  test("embeddingNearDup = sign-agreement candidates filtered by cosine; planted dup recalled") {
+    val rng = new scala.util.Random(5)
+    val base = (0L until 40L).map(i => (i, Array.fill(64)(rng.nextFloat() - 0.5f)))
+    val planted = (40L, base(0)._2.map(x => x + 0.001f)) // near-dup of vec 0
+    val all = base :+ planted
+    val df = all.toDF("vec_id", "embedding")
+    val out = Dedup.embeddingNearDup(df, "vec_id", "embedding",
+        occupancy = 8, bands = 4, minCos = 0.9)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+
+    // direct replication of the contract: candidates are pairs agreeing on
+    // ANY band's sign slice; survivors have cosine >= 0.9
+    val bits = Vectors.adaptiveSignBits(all.size.toLong, 8)
+    def bandKeys(v: Array[Float]) =
+      (0 until 4).map(l => (l, (0 until bits).map(i => v(l * bits + i) >= 0).mkString))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    val expected = (for {
+      (ia, va) <- all; (ib, vb) <- all if ia < ib
+      if bandKeys(va).intersect(bandKeys(vb)).nonEmpty
+      if cos(va, vb) >= 0.9
+    } yield (ia, ib)).toSet
+    assert(out == expected)
+    assert(out.contains((0L, 40L))) // planted pair agrees on every sign bit
+  }
+
   test("fingerprint normalizes whitespace and case") {
     val df = Seq((1L, "A  b\tc"), (2L, "a b c")).toDF("id", "t")
     val fps = df.select(Text.fingerprint(col("t")).as("f")).as[String].collect()
