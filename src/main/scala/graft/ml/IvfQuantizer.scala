@@ -39,6 +39,23 @@ object IvfQuantizer {
       vecCol: String,
       n2Col: String,
       k: Int,
+      iters: Int): DataFrame =
+    fitRanked(e, idCol, vecCol, n2Col, k, iters)
+      .filter(col("cell_rank") === 1)
+      .select(col(idCol), col("cell"))
+
+  /** Like [[fitAssign]] but returns the FULL final cell ranking per vector
+    * (idCol, cell, cell_rank ordered by cosine desc, cell asc) — rank 1 is
+    * the assignment; ranks ≤ nprobe are a query's probe set for multi-cell
+    * IVF search (the recall knob: searching nprobe cells costs nprobe× the
+    * candidates and recovers neighbors that straddle a cell boundary).
+    */
+  def fitRanked(
+      e: DataFrame,
+      idCol: String,
+      vecCol: String,
+      n2Col: String,
+      k: Int,
       iters: Int): DataFrame = {
     // corpus view: (id, vec, n2). Persisted — scanned once per assignment
     // and once per update.
@@ -57,7 +74,7 @@ object IvfQuantizer {
     val cent0 = src.filter(col("__id") < k)
       .select(col("__id").as("cell"), expr(s"transform(__v, $quantize)").as("__sv"))
 
-    def assign(cent: DataFrame): DataFrame = {
+    def rankCells(cent: DataFrame): DataFrame = {
       // both exact sums run through the native ExactDot codegen expression
       // (float×double and double×double element paths) — the equivalent
       // zip_with/aggregate decimal folds are interpreted per element and
@@ -71,9 +88,11 @@ object IvfQuantizer {
         .withColumn(
           "__rn",
           row_number().over(Window.partitionBy(col("__id")).orderBy(col("__cos").desc, col("cell"))))
-        .filter(col("__rn") === 1)
-        .select(col("__id"), col("cell"))
+        .select(col("__id"), col("cell"), col("__rn"))
     }
+
+    def assignFrom(ranked: DataFrame): DataFrame =
+      ranked.filter(col("__rn") === 1).select(col("__id"), col("cell"))
 
     // new centroid = per-dim exact decimal sum over members, re-assembled
     // into an ordered array (array_sort on (dim, s) structs — collect_list
@@ -90,15 +109,18 @@ object IvfQuantizer {
     // intermediate (centroid table, assignment) is referenced exactly once
     // by the next stage, so the nested plan evaluates each subtree once —
     // only `src` (scanned by every assignment and update) is cached
-    var a = assign(cent0)
-    for (_ <- 1 to iters) a = assign(update(a))
-    a.select(col("__id").as(idCol), col("cell"))
+    var cent = cent0
+    for (_ <- 1 to iters) cent = update(assignFrom(rankCells(cent)))
+    rankCells(cent).select(
+      col("__id").as(idCol), col("cell"), col("__rn").cast("long").as("cell_rank"))
   }
 
-  /** DuckDB CTE chain mirroring [[fitAssign]] exactly: comp → cent0 →
-    * (ns_t, dots_t, a_t, cent_{t+1})* → `assigned(vec_id, cell)`. Expects a
-    * CTE `n(vec_id, n2)` with the exact squared norms in scope, and the
-    * table `embeddings(vec_id, embedding)` with `dims` components.
+  /** DuckDB CTE chain mirroring [[fitRanked]] exactly: comp → cent0 →
+    * (ns_t, dots_t, ranked_t, a_t, cent_{t+1})* → `assigned(vec_id, cell)`
+    * (final rank 1) and `cellranks(vec_id, cell, rn)` (the full final
+    * ranking — probe sets come from rn ≤ nprobe). Expects a CTE
+    * `n(vec_id, n2)` with the exact squared norms in scope, and the table
+    * `embeddings(vec_id, embedding)` with `dims` components.
     */
   def lloydSql(k: Int, iters: Int, dims: Int): String = {
     val sb = new StringBuilder
@@ -112,17 +134,18 @@ object IvfQuantizer {
                   FROM cent$t GROUP BY 1),
          dots$t AS (SELECT c.vec_id, ct.cell, CAST(sum(CAST(c.x * ct.s AS DECIMAL(38,9))) AS DOUBLE) AS dot
                     FROM comp c JOIN cent$t ct ON ct.dim = c.dim GROUP BY 1, 2),
-         a$t AS (SELECT vec_id, cell FROM (
-                  SELECT d.vec_id, d.cell, row_number() OVER (PARTITION BY d.vec_id ORDER BY
+         ranked$t AS (SELECT d.vec_id, d.cell, row_number() OVER (PARTITION BY d.vec_id ORDER BY
                     d.dot / nullif(sqrt(n.n2) * sqrt(ns.ns2), CAST(0.0 AS DOUBLE)) DESC, d.cell) AS rn
-                  FROM dots$t d JOIN n ON n.vec_id = d.vec_id JOIN ns$t ns ON ns.cell = d.cell)
-                 WHERE rn = 1)""")
+                  FROM dots$t d JOIN n ON n.vec_id = d.vec_id JOIN ns$t ns ON ns.cell = d.cell),
+         a$t AS (SELECT vec_id, cell FROM ranked$t WHERE rn = 1)""")
       if (t < iters) sb.append(s""",
          cent${t + 1} AS (SELECT a.cell, c.dim, CAST(sum(CAST(c.x AS DECIMAL(38,9))) AS DOUBLE) AS s
                           FROM comp c JOIN a$t a ON a.vec_id = c.vec_id GROUP BY 1, 2)""")
     }
     sb.append(s""",
-         assigned AS (SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM a$iters)""")
+         assigned AS (SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM a$iters),
+         cellranks AS (SELECT vec_id, CAST(cell AS BIGINT) AS cell, CAST(rn AS BIGINT) AS rn
+                       FROM ranked$iters)""")
     sb.toString
   }
 }

@@ -65,16 +65,21 @@ object SimilarityQ {
       // k-means (k=8, 2 Lloyd updates, seeded on the lowest-id vectors)
       // expressed as exact-decimal DataFrame aggregations
       // ([[graft.ml.IvfQuantizer]]) so the oracle replicates the fit;
-      // every vector lands in its max-cosine cell and queries search ONLY
-      // their own cell — the inverted-file structure that bounds candidate
+      // every vector lands in its max-cosine cell and queries probe their
+      // TOP-2 cells (nprobe=2 — the recall knob for neighbors straddling a
+      // cell boundary) — the inverted-file structure that bounds candidate
       // counts at scale. Candidate cosines exact-decimal as before.
       (s, d) => {
         val e = withNorm(t(s, d, "embeddings"))
-        val cells = graft.ml.IvfQuantizer.fitAssign(e, "vec_id", "embedding", "n2", 8, 2)
-        val assigned = e.join(cells, "vec_id")
-        val q = assigned.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("n2").as("qn2"), col("cell"))
-        val c = assigned
+        val ranked = graft.ops.Caches.trackPersist(
+          graft.ml.IvfQuantizer.fitRanked(e, "vec_id", "embedding", "n2", 8, 2))
+        val cells = ranked.filter(col("cell_rank") === 1).select(col("vec_id"), col("cell"))
+        val probes = ranked.filter(col("vec_id") < 5 && col("cell_rank") <= 2)
+          .select(col("vec_id").as("query_id"), col("cell"))
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("n2").as("qn2"))
+          .join(probes, "query_id")
+        val c = e.join(cells, "vec_id")
           .select(col("vec_id"), col("embedding").as("ce2"), col("n2").as("cn22"), col("cell"))
         c.join(broadcast(q), Seq("cell"))
           .filter(col("vec_id") =!= col("query_id"))
@@ -88,8 +93,9 @@ object SimilarityQ {
       },
       Some(s"""WITH $normSql,
                ${graft.ml.IvfQuantizer.lloydSql(8, 2, 64)},
-               q AS (SELECT a.vec_id AS query_id, a.cell, e.embedding AS qe
-                     FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id WHERE a.vec_id < 5),
+               q AS (SELECT cr.vec_id AS query_id, cr.cell, e.embedding AS qe
+                     FROM cellranks cr JOIN embeddings e ON e.vec_id = cr.vec_id
+                     WHERE cr.vec_id < 5 AND cr.rn <= 2),
                c AS (SELECT a.vec_id, a.cell, e.embedding AS ce2
                      FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id),
                d AS (SELECT q.query_id, q.cell, c.vec_id,
