@@ -73,18 +73,22 @@ object Multimodal {
   }
 
   /** Feature resize by mean-pooling: collapse each adjacent `factor`-sized
-    * block of the feature vector into its mean — the "resize" stage of an
-    * image/audio feature pipeline (downsampling a spatial/spectral grid).
-    * Array-local, no shuffle; the fixed left-to-right pairwise sum makes the
-    * result deterministic and SQL-replicable.
+    * block of the `dims`-element feature vector into its mean — the
+    * "resize" stage of an image/audio feature pipeline (downsampling a
+    * spatial/spectral grid). `dims` is the INPUT length (so resizes chain:
+    * 16→8→4), not tied to the decode kernel's dimension. Array-local, no
+    * shuffle; the fixed left-to-right sum makes the result deterministic
+    * and SQL-replicable.
     */
   def resizeFeatures(
       df: DataFrame,
       featuresCol: String,
+      dims: Int,
       factor: Int,
       outCol: String): DataFrame = {
-    require(FeatureDim % factor == 0, s"factor $factor must divide $FeatureDim")
-    val blocks = FeatureDim / factor
+    require(dims > 0 && factor > 0 && dims % factor == 0,
+      s"factor $factor must divide input dims $dims")
+    val blocks = dims / factor
     val pooled = (0 until blocks).map { b =>
       val terms = (1 to factor).map(j => element_at(col(featuresCol), b * factor + j))
       (terms.reduce(_ + _) / lit(factor.toDouble)).as(s"p_$b")

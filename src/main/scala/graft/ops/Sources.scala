@@ -51,11 +51,19 @@ object Sources {
     * large text/training corpora ship in. Schema explicit, never inferred
     * (inference scans the data twice and types drift between shards);
     * malformed lines land in `_corrupt_record` instead of failing the job
-    * (PERMISSIVE), which at 100 TB is the difference between a nightly
-    * pipeline and a nightly page.
+    * (the column is appended to the schema here — PERMISSIVE mode only
+    * captures the raw line when the schema carries it), which at 100 TB is
+    * the difference between a quarantine bucket and a nightly page.
     */
-  def jsonl(spark: SparkSession, schema: StructType, path: String): DataFrame =
-    spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
+  def jsonl(spark: SparkSession, schema: StructType, path: String): DataFrame = {
+    val withCorrupt =
+      if (schema.fieldNames.contains("_corrupt_record")) schema
+      else schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    spark.read.schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+  }
 
   /** JSONL sink (one JSON object per line, standard corpus shard layout). */
   def writeJsonl(df: DataFrame, path: String): Unit =

@@ -95,30 +95,25 @@ object Vectors {
   /** Symmetric int8 quantization of a float vector — the storage format of
     * large-scale embedding stores (4× smaller, SIMD-friendly dot products).
     * q_i = round(127·x_i / amax), computed EXACTLY in integer arithmetic:
-    * components become scale-9 fixed-point BIGINTs (xq = x·10⁹ via the
-    * proven decimal cast), amax = max |xq|, and the rounded quotient is
-    * (2n + a) DIV (2a) on non-negative operands (round-half-away-from-zero)
-    * — no float division, so the DuckDB oracle matches bit-for-bit.
-    * |q| ≤ 127 by construction; a zero vector quantizes to all zeros.
-    * Returns (q8 array<int>, amax_q9 BIGINT) as two columns via [[int8Q]] /
-    * [[int8Amax]].
-    */
-  /** Fixed-point view of the vector: one scale-9 BIGINT per component,
-    * computed ONCE (the decimal cast is the expensive interpreted step —
-    * downstream amax/q read this array, not the floats).
+    * components become scale-9 fixed-point BIGINTs ([[int8Xq]]: xq = x·10⁹
+    * via the proven decimal cast, computed ONCE — the decimal cast is the
+    * expensive interpreted step, downstream amax/q read the array), amax =
+    * max |xq| ([[int8Amax]]), and the rounded quotient is (2n + a) DIV (2a)
+    * on non-negative operands (round-half-away-from-zero) — no float
+    * division, so the DuckDB oracle ([[sqlXq9]]/[[sqlInt8Q]]) matches
+    * bit-for-bit. |q| ≤ 127 by construction; a zero vector quantizes to
+    * all zeros. Both dialects render from ONE shared fragment builder —
+    * the rounding rule is the bit-exactness linchpin and must never be
+    * hand-synced across copies.
     */
   def int8Xq(vecCol: String): Column =
-    expr(s"transform($vecCol, x -> ${xq9("x")})")
+    expr(s"transform($vecCol, x -> ${xq9Frag("x")})")
 
   def int8Amax(xqCol: String): Column =
     expr(s"array_max(transform($xqCol, v -> abs(v)))")
 
   def int8Q(xqCol: String, amaxCol: String): Column =
-    expr(s"""transform($xqCol, v ->
-        CAST(CASE WHEN $amaxCol = 0 THEN 0
-          WHEN v >= 0 THEN (2 * 127 * v + $amaxCol) DIV (2 * $amaxCol)
-          ELSE -((2 * 127 * -v + $amaxCol) DIV (2 * $amaxCol))
-        END AS INT))""")
+    expr(s"transform($xqCol, v -> ${int8QFrag("v", amaxCol, "DIV", "INT")})")
 
   /** Scalar form of [[int8Q]] for exploded (id, dim, xq) rows — pure
     * codegen integer arithmetic, the shape to use under a generator (array
@@ -126,25 +121,31 @@ object Vectors {
     * row; scalars don't).
     */
   def int8QScalar(xqCol: String, amaxCol: String): Column =
-    expr(s"""CAST(CASE WHEN $amaxCol = 0 THEN 0
-        WHEN $xqCol >= 0 THEN (2 * 127 * $xqCol + $amaxCol) DIV (2 * $amaxCol)
-        ELSE -((2 * 127 * -($xqCol) + $amaxCol) DIV (2 * $amaxCol))
-      END AS INT)""")
+    expr(int8QFrag(xqCol, amaxCol, "DIV", "INT"))
 
-  /** Scale-9 fixed-point BIGINT of a float scalar (both engines exact). */
-  private def xq9(x: String): String =
-    s"CAST(CAST(CAST($x AS DOUBLE) AS DECIMAL(38,9)) * 1000000000 AS BIGINT)"
-
-  /** DuckDB fragments mirroring [[int8Amax]]/[[int8Q]]: per-element q8 and
-    * per-vector amax from an unnested (vec_id, dim, x) view.
+  /** DuckDB fragments mirroring [[int8Xq]]/[[int8Q]]: the fixed-point
+    * component and per-element q8 for an unnested (vec_id, dim, x) view.
     */
-  def sqlXq9(x: String): String =
-    s"CAST(CAST(CAST($x AS DOUBLE) AS DECIMAL(38,9)) * 1000000000 AS BIGINT)"
+  def sqlXq9(x: String): String = xq9Frag(x)
 
   def sqlInt8Q(xq: String, amax: String): String =
+    int8QFrag(xq, amax, "//", "INTEGER")
+
+  /** Scale-9 fixed-point BIGINT of a float scalar — valid in BOTH dialects. */
+  private def xq9Frag(x: String): String =
+    s"CAST(CAST(CAST($x AS DOUBLE) AS DECIMAL(38,9)) * 1000000000 AS BIGINT)"
+
+  /** The shared rounded-quotient CASE; `div` is the truncating integer
+    * division operator (`DIV` Spark, `//` DuckDB), `intTy` the int cast
+    * target — numerators are kept non-negative so truncation == floor in
+    * both engines.
+    */
+  private def int8QFrag(v: String, amax: String, div: String, intTy: String): String =
     s"""CAST(CASE WHEN $amax = 0 THEN 0
-        WHEN $xq >= 0 THEN (2 * 127 * $xq + $amax) // (2 * $amax)
-        ELSE -((2 * 127 * -($xq) + $amax) // (2 * $amax)) END AS INTEGER)"""
+        WHEN $v >= 0 THEN (2 * 127 * ($v) + $amax) $div (2 * $amax)
+        ELSE -((2 * 127 * -($v) + $amax) $div (2 * $amax))
+      END AS $intTy)"""
+
 
   /** DuckDB fragments mirroring the above for oracle SQL. `e` is a list
     * column reference; dims are 1-based on both sides.

@@ -153,7 +153,7 @@ object TextQ {
       (s, d) => {
         val withPayload = Multimodal.attachPayload(t(s, d, "documents"), "text")
         val decoded = Multimodal.decodeFeatures(withPayload, "doc_id")
-        Multimodal.resizeFeatures(decoded, "features", 2, "pooled")
+        Multimodal.resizeFeatures(decoded, "features", Multimodal.FeatureDim, 2, "pooled")
           .select(col("doc_id"), posexplode(col("pooled")).as(Seq("dim", "value")))
           .select(col("doc_id"), col("dim").cast("long").as("dim"), col("value"))
       },

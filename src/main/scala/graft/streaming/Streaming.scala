@@ -87,8 +87,11 @@ object Streaming {
 
   /** Exact-dedup-as-stream: the streaming analog of
     * [[graft.ops.Dedup.exactGroups]] for a training-data ingest pipeline —
-    * keeps the FIRST document per content fingerprint (whitespace/case-
-    * normalized md5, same normalization as batch). State is bounded by the
+    * keeps a SINGLE survivor per content fingerprint (whitespace/case-
+    * normalized md5, same normalization as batch). Across micro-batches the
+    * earlier batch's doc wins; WITHIN a micro-batch the survivor is
+    * partition-order dependent (arbitrary but single) — impose an upstream
+    * ordering if "first by timestamp" matters. State is bounded by the
     * event-time watermark: duplicates arriving within `watermarkDelay` of
     * each other dedupe exactly; older state ages out
     * (dropDuplicatesWithinWatermark semantics — at 100 TB/day unbounded

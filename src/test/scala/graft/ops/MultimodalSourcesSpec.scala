@@ -54,16 +54,27 @@ class MultimodalSourcesSpec extends SparkSpec {
       StructField("text", StringType)))
     val df = Seq((1L, "the quick fox"), (2L, "lazy dog")).toDF("doc_id", "text")
     Sources.writeJsonl(df, s"$dir/out")
-    val back = Sources.jsonl(spark, schema, s"$dir/out")
-    assert(back.orderBy("doc_id").as[(Long, String)].collect().toSeq ==
+    // Spark disallows queries touching ONLY the corrupt column on raw
+    // files — cache first (the documented pattern)
+    val back = Sources.jsonl(spark, schema, s"$dir/out").cache()
+    assert(back.orderBy("doc_id").select("doc_id", "text").as[(Long, String)].collect().toSeq ==
       Seq((1L, "the quick fox"), (2L, "lazy dog")))
-    // a corrupt shard line yields a null-columns row, not a failed job
+    assert(back.filter(col("_corrupt_record").isNotNull).count() == 0)
+    back.unpersist()
+    // a corrupt shard line is QUARANTINED into _corrupt_record (carrying the
+    // raw line), distinguishable from a legitimate record with null fields
     val corruptDir = Files.createTempDirectory("graft_jsonl2").toString
     Files.write(java.nio.file.Paths.get(s"$corruptDir/shard.jsonl"),
-      "{\"doc_id\": 3, \"text\": \"ok\"}\nnot json at all\n".getBytes("UTF-8"))
-    val mixed = Sources.jsonl(spark, schema, corruptDir)
-    assert(mixed.count() == 2)
+      "{\"doc_id\": 3, \"text\": \"ok\"}\nnot json at all\n{\"doc_id\": null, \"text\": null}\n".getBytes("UTF-8"))
+    val mixed = Sources.jsonl(spark, schema, corruptDir).cache()
+    assert(mixed.count() == 3)
     assert(mixed.filter(col("doc_id") === 3L).count() == 1)
+    val corrupt = mixed.filter(col("_corrupt_record").isNotNull)
+      .select("_corrupt_record").as[String].collect().toSeq
+    assert(corrupt == Seq("not json at all"))
+    // the all-null-but-valid record is NOT flagged corrupt
+    assert(mixed.filter(col("_corrupt_record").isNull && col("doc_id").isNull).count() == 1)
+    mixed.unpersist()
   }
 
   test("S3: filename-derived key columns via regex") {
