@@ -1,0 +1,34 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-quality profiling — the audit every training-data ingest runs
+  * before anything else: per-column row/null/distinct counts.
+  *
+  * Scale shape: ONE aggregation pass over the table computes every
+  * column's counters (Spark plans the multi-distinct via Expand — one scan,
+  * one shuffle), then a `stack` unpivots the single result row into one row
+  * per column. Never one scan per column.
+  */
+object Profiling {
+
+  /** One row per profiled column: (column, n_rows, n_null, n_distinct).
+    * n_distinct excludes NULL (SQL count-distinct semantics).
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap(c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+        countDistinct(col(c)).as(s"__dist_$c"))) :+ count(lit(1)).as("__n")
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols
+      .map(c => s"'$c', __null_$c, __dist_$c")
+      .mkString(", ")
+    row.select(
+      expr(s"stack(${cols.size}, $stackArgs) AS (column, n_null, n_distinct)"),
+      col("__n").as("n_rows"))
+      .select(col("column"), col("n_rows"), col("n_null"), col("n_distinct"))
+  }
+}

@@ -164,6 +164,23 @@ object TextQ {
               WHERE va.dim % 2 = 0""")),
 
     QDef(
+      "profile_documents",
+      // the ingest-time data-quality audit: one aggregation pass profiles
+      // every column's row/null/distinct counts
+      (s, d) => Profiling.profile(t(s, d, "documents"), Seq("doc_id", "lang", "text")),
+      Some("""SELECT 'doc_id' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(count(*) - count(doc_id) AS BIGINT) AS n_null,
+                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct FROM documents
+              UNION ALL
+              SELECT 'lang', CAST(count(*) AS BIGINT),
+                CAST(count(*) - count(lang) AS BIGINT),
+                CAST(count(DISTINCT lang) AS BIGINT) FROM documents
+              UNION ALL
+              SELECT 'text', CAST(count(*) AS BIGINT),
+                CAST(count(*) - count(text) AS BIGINT),
+                CAST(count(DISTINCT text) AS BIGINT) FROM documents""")),
+
+    QDef(
       "t4_fingerprint",
       (s, d) =>
         t(s, d, "documents").select(
