@@ -33,6 +33,26 @@ class MultimodalSourcesSpec extends SparkSpec {
     assert(firstFrame == "abc")
   }
 
+  test("resizeFeatures chains 16→8→4 and means adjacent blocks") {
+    val feats = (0 until 16).map(_.toDouble) // 0..15
+    val df = Seq((1L, feats)).toDF("id", "features")
+    val once = Multimodal.resizeFeatures(df, "features", 16, 2, "p8")
+    val twice = Multimodal.resizeFeatures(once, "p8", 8, 2, "p4")
+    val (p8, p4) = twice.select("p8", "p4").as[(Seq[Double], Seq[Double])].head()
+    assert(p8 == Seq(0.5, 2.5, 4.5, 6.5, 8.5, 10.5, 12.5, 14.5))
+    assert(p4 == Seq(1.5, 5.5, 9.5, 13.5))
+  }
+
+  test("Profiling.profile: one row per column; distinct excludes NULL") {
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(1L), None), (Some(2L), Some("b")), (None, Some("a")))
+      .toDF("k", "v")
+    val out = Profiling.profile(df, Seq("k", "v"))
+      .orderBy("column")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(("k", 4L, 1L, 2L), ("v", 4L, 1L, 2L)))
+  }
+
   test("S1/S4: headerless CSV roundtrip with positional schema") {
     val dir = Files.createTempDirectory("graft_csv").toString
     val schema = StructType(Seq(
