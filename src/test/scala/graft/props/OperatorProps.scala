@@ -37,6 +37,22 @@ object OperatorProps extends Properties("graft.ops") {
       }
     }
 
+  property("stridedWindows matches the reference get_windows on random configs") =
+    Prop.forAll(
+      Gen.choose(1, 30), Gen.choose(1, 10), Gen.choose(1, 10), Gen.choose(0, 3)) {
+      (len, win, shift, cut) =>
+        // direct replication of ref utils.py:10-16
+        val all = (0 until len by shift).map(st => st until math.min(st + win, len))
+        val kept = if (cut == 0) all else all.dropRight(cut)
+        val expected = (for ((rng, w) <- kept.zipWithIndex; r <- rng)
+          yield (w.toLong, r.toLong, (r - w * shift).toLong)).sorted
+        val df = (0 until len).map(i => ("k", i.toLong)).toDF("k", "ts")
+        val got = Windows.stridedWindows(df, Seq("k"), Seq(col("ts")), win, shift, cut)
+          .select(col("win_id"), col("ts"), col("win_pos"))
+          .as[(Long, Long, Long)].collect().toSeq.sorted
+        got == expected
+    }
+
   property("interpolation on a linear ramp recovers the ramp exactly") =
     Prop.forAll(Gen.choose(2, 10), Gen.choose(-5.0, 5.0), Gen.choose(-3.0, 3.0)) { (n, a, b) =>
       val full = (0 until n).map(i => a + b * i)
