@@ -157,6 +157,47 @@ object Dedup {
         (agree.cast("double") / lit(nHashes.toDouble)).as("est_jaccard"))
   }
 
+  /** Exact shared-substring spans between document pairs — the substring-
+    * level dedup unit (train-data near-dup removal à la "Deduplicating
+    * Training Data Makes Language Models Better": duplicated SPANS matter,
+    * not just whole-document similarity). A span is a maximal run of ≥
+    * `minSpanTokens` consecutive shared tokens, found as islands of
+    * consecutive shared k-grams along each (pair, diagonal): positions
+    * joining on gram equality land on diagonal a_pos − b_pos; consecutive
+    * a_pos runs (a_pos − row_number constant) are the maximal spans, of
+    * token length run + k − 1.
+    *
+    * Scale shape: like [[jaccardPairs]], the join is an inverted index on
+    * the gram (never all pairs), and islands are one window over the
+    * matched positions — pair weight concentrates on genuinely duplicated
+    * text. Emits (a_id, b_id, a_start, b_start, span_len), positions
+    * 0-based in tokens.
+    */
+  def sharedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      minSpanTokens: Int): DataFrame = {
+    val toks = Text.tokens(col(textCol))
+    val grams = Spread.byKey(df.filter(size(toks) >= k), col(idCol))
+      .select(col(idCol), posexplode(Text.shingles(toks, k)).as(Seq("pos", "gram")))
+    val a = grams.select(col(idCol).as("a_id"), col("pos").as("a_pos"), col("gram"))
+    val b = grams.select(col(idCol).as("b_id"), col("pos").as("b_pos"), col("gram"))
+    val pairs = a.join(b, Seq("gram")).filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_pos", "b_pos")
+    val diag = col("a_pos") - col("b_pos")
+    val w = Window.partitionBy(col("a_id"), col("b_id"), diag).orderBy(col("a_pos"))
+    pairs.withColumn("__grp", col("a_pos") - row_number().over(w))
+      .groupBy(col("a_id"), col("b_id"), diag.as("__diag"), col("__grp"))
+      .agg(
+        min(col("a_pos")).cast("long").as("a_start"),
+        min(col("b_pos")).cast("long").as("b_start"),
+        (count(lit(1)) + (k - 1)).as("span_len"))
+      .filter(col("span_len") >= minSpanTokens)
+      .select("a_id", "b_id", "a_start", "b_start", "span_len")
+  }
+
   /** Embedding-cosine near-duplicate pairs via MULTI-BAND sign-LSH:
     * `bands` independent hash tables, band ℓ bucketing on sign bits of
     * dimensions ℓ·bits+1 .. ℓ·bits+bits, with `bits` scaled to the corpus

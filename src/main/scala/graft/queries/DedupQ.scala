@@ -78,6 +78,27 @@ object DedupQ {
       }),
 
     QDef(
+      "d6_shared_spans",
+      // exact substring-level dedup: maximal shared token spans >= 5 between
+      // doc pairs, via 3-gram position join + diagonal islands
+      (s, d) => Dedup.sharedSpans(t(s, d, "documents"), "doc_id", "text", 3, 5),
+      Some("""WITH g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                 toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+               FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+                    unnest(generate_series(1, len(toks) - 2)) AS u(i)),
+              p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.pos AS a_pos, b.pos AS b_pos
+                    FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+              r AS (SELECT *,
+                      a_pos - row_number() OVER (PARTITION BY a_id, b_id, a_pos - b_pos
+                                                 ORDER BY a_pos) AS grp
+                    FROM p)
+              SELECT a_id, b_id, CAST(min(a_pos) AS BIGINT) AS a_start,
+                     CAST(min(b_pos) AS BIGINT) AS b_start,
+                     CAST(count(*) + 2 AS BIGINT) AS span_len
+              FROM r GROUP BY a_id, b_id, a_pos - b_pos, grp
+              HAVING count(*) + 2 >= 5""")),
+
+    QDef(
       "d5_embedding_neardup",
       // embedding-cosine near-dup: MULTI-BAND sign-LSH (4 bands, bit count
       // scaled to corpus size: occupancy target 32 → 4 bits at n=500,
