@@ -93,6 +93,18 @@ class StreamingSpec extends SparkSpec {
       input.addData((ts(10), 4L, "SOMETHING   ELSE"))
       q.processAllAvailable()
       assert(spark.table("dedup_stream").count() == 2)
+      // ... but the horizon IS the contract: advance the watermark far past
+      // the stored fingerprints (batch N's max event time sets the watermark
+      // used by batch N+1), then a long-delayed duplicate is RE-ADMITTED
+      // because its fingerprint state expired
+      input.addData((ts(200), 5L, "fresh text to advance the watermark"))
+      q.processAllAvailable()
+      assert(spark.table("dedup_stream").count() == 3)
+      input.addData((ts(201), 6L, "something else")) // dup of doc 3, post-expiry
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").as[(Long, String)].collect().map(_._1).toSet
+      assert(ids.contains(6L), s"expired-state duplicate should be re-admitted, got $ids")
+      assert(spark.table("dedup_stream").count() == 4)
     } finally q.stop()
   }
 }
