@@ -21,11 +21,16 @@ import org.apache.spark.sql.types.DecimalType
   *   - Assignment ties (equal cosine) break to the lowest cell id via
   *     row_number, a total order both engines share.
   *
-  * Scale shape: the fit is O(n·k·d) with one shuffle per assignment and
-  * per update — at 100 TB you fit on a sample (the assignment of the full
-  * corpus is one broadcast join against k·d centroid rows, embarrassingly
-  * parallel), which is exactly how IVF quantizers are trained in practice.
-  * Seeding: the k lowest-id vectors are the initial centroids.
+  * Scale shape: the fit is O(n_fit·k·d) with one shuffle per assignment
+  * and per update, where n_fit is the SAMPLE size: `sampleEvery = s` fits
+  * on the deterministic systematic sample id % s == 0 (oracle-replicable,
+  * no RNG) and only the single FINAL assignment — one broadcast join
+  * against k·d centroid rows, embarrassingly parallel — touches the full
+  * corpus. That is exactly how IVF quantizers are trained in practice: at
+  * 100 TB, Lloyd passes over the corpus are unaffordable and unnecessary
+  * (centroids converge on a sample), so pick s to bring n/s down to
+  * millions. Seeding: the k lowest-id SAMPLE vectors are the initial
+  * centroids (cells are labelled by their seed vector id).
   */
 object IvfQuantizer {
 
@@ -39,8 +44,9 @@ object IvfQuantizer {
       vecCol: String,
       n2Col: String,
       k: Int,
-      iters: Int): DataFrame =
-    fitRanked(e, idCol, vecCol, n2Col, k, iters)
+      iters: Int,
+      sampleEvery: Int = 1): DataFrame =
+    fitRanked(e, idCol, vecCol, n2Col, k, iters, sampleEvery)
       .filter(col("cell_rank") === 1)
       .select(col(idCol), col("cell"))
 
@@ -56,11 +62,19 @@ object IvfQuantizer {
       vecCol: String,
       n2Col: String,
       k: Int,
-      iters: Int): DataFrame = {
+      iters: Int,
+      sampleEvery: Int = 1): DataFrame = {
+    require(sampleEvery >= 1, "sampleEvery must be >= 1")
     // corpus view: (id, vec, n2). Persisted — scanned once per assignment
     // and once per update.
     val src = graft.ops.Caches.trackPersist(
       e.select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"), col(n2Col).as("__n2")))
+    // fit view: the systematic sample the Lloyd passes scan. id-dense
+    // corpora get exactly n/sampleEvery fit rows; the FULL corpus is only
+    // touched by the single final assignment below.
+    val fit =
+      if (sampleEvery == 1) src
+      else graft.ops.Caches.trackPersist(src.filter(col("__id") % sampleEvery === 0))
 
     // Centroids ride as k array<double> rows — broadcastable, so each
     // assignment is a broadcast nested-loop over the corpus with the dot
@@ -71,17 +85,19 @@ object IvfQuantizer {
     // scale mid-fold; the values are identical to the oracle's DECIMAL(38,s)
     // sums because both are exact at these magnitudes.
     val quantize = s"x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,9)) AS DOUBLE)"
-    val cent0 = src.filter(col("__id") < k)
+    // seeds: the k lowest-id sample vectors — ids 0, s, …, (k−1)·s on a
+    // dense corpus, so the cutoff k·s is oracle-expressible as a literal
+    val cent0 = fit.filter(col("__id") < k.toLong * sampleEvery)
       .select(col("__id").as("cell"), expr(s"transform(__v, $quantize)").as("__sv"))
 
-    def rankCells(cent: DataFrame): DataFrame = {
+    def rankCells(base: DataFrame, cent: DataFrame): DataFrame = {
       // both exact sums run through the native ExactDot codegen expression
       // (float×double and double×double element paths) — the equivalent
       // zip_with/aggregate decimal folds are interpreted per element and
       // were the measured fit bottleneck
       val withNs = cent.withColumn(
         "__ns2", graft.functions.ExactDot.ofScale(col("__sv"), col("__sv"), 4))
-      src.crossJoin(broadcast(withNs))
+      base.crossJoin(broadcast(withNs))
         .withColumn(
           "__dot", graft.functions.ExactDot.ofScale(col("__v"), col("__sv"), 9))
         .withColumn("__cos", graft.ops.Vectors.cosineFrom(col("__dot"), col("__n2"), col("__ns2")))
@@ -98,7 +114,7 @@ object IvfQuantizer {
     // into an ordered array (array_sort on (dim, s) structs — collect_list
     // order is nondeterministic, the sort restores it)
     def update(assigned: DataFrame): DataFrame =
-      src.join(assigned, "__id")
+      fit.join(assigned, "__id")
         .select(col("cell"), posexplode(col("__v")).as(Seq("__dim", "__xf")))
         .groupBy("cell", "__dim")
         .agg(sum(col("__xf").cast("double").cast(DecimalType(38, 9))).cast("double").as("__s"))
@@ -110,8 +126,8 @@ object IvfQuantizer {
     // by the next stage, so the nested plan evaluates each subtree once —
     // only `src` (scanned by every assignment and update) is cached
     var cent = cent0
-    for (_ <- 1 to iters) cent = update(assignFrom(rankCells(cent)))
-    rankCells(cent).select(
+    for (_ <- 1 to iters) cent = update(assignFrom(rankCells(fit, cent)))
+    rankCells(src, cent).select(
       col("__id").as(idCol), col("cell"), col("__rn").cast("long").as("cell_rank"))
   }
 
@@ -122,25 +138,29 @@ object IvfQuantizer {
     * `n(vec_id, n2)` with the exact squared norms in scope, and the table
     * `embeddings(vec_id, embedding)` with `dims` components.
     */
-  def lloydSql(k: Int, iters: Int, dims: Int): String = {
+  def lloydSql(k: Int, iters: Int, dims: Int, sampleEvery: Int = 1): String = {
     val sb = new StringBuilder
     sb.append(s"""comp AS (SELECT vec_id, i.i AS dim, CAST(embedding[i.i] AS DOUBLE) AS x
            FROM embeddings, unnest(generate_series(1, $dims)) AS i(i)),
+         fcomp AS (SELECT * FROM comp WHERE vec_id % $sampleEvery = 0),
          cent0 AS (SELECT vec_id AS cell, dim, CAST(CAST(x AS DECIMAL(38,9)) AS DOUBLE) AS s
-                   FROM comp WHERE vec_id < $k)""")
+                   FROM fcomp WHERE vec_id < ${k.toLong * sampleEvery})""")
     for (t <- 0 to iters) {
+      // Lloyd passes (t < iters) scan only the fit sample; the final pass
+      // (t = iters) assigns the FULL corpus against the fitted centroids
+      val compT = if (t < iters) "fcomp" else "comp"
       sb.append(s""",
          ns$t AS (SELECT cell, CAST(sum(CAST(s * s AS DECIMAL(38,4))) AS DOUBLE) AS ns2
                   FROM cent$t GROUP BY 1),
          dots$t AS (SELECT c.vec_id, ct.cell, CAST(sum(CAST(c.x * ct.s AS DECIMAL(38,9))) AS DOUBLE) AS dot
-                    FROM comp c JOIN cent$t ct ON ct.dim = c.dim GROUP BY 1, 2),
+                    FROM $compT c JOIN cent$t ct ON ct.dim = c.dim GROUP BY 1, 2),
          ranked$t AS (SELECT d.vec_id, d.cell, row_number() OVER (PARTITION BY d.vec_id ORDER BY
                     d.dot / nullif(sqrt(n.n2) * sqrt(ns.ns2), CAST(0.0 AS DOUBLE)) DESC, d.cell) AS rn
                   FROM dots$t d JOIN n ON n.vec_id = d.vec_id JOIN ns$t ns ON ns.cell = d.cell),
          a$t AS (SELECT vec_id, cell FROM ranked$t WHERE rn = 1)""")
       if (t < iters) sb.append(s""",
          cent${t + 1} AS (SELECT a.cell, c.dim, CAST(sum(CAST(c.x AS DECIMAL(38,9))) AS DOUBLE) AS s
-                          FROM comp c JOIN a$t a ON a.vec_id = c.vec_id GROUP BY 1, 2)""")
+                          FROM fcomp c JOIN a$t a ON a.vec_id = c.vec_id GROUP BY 1, 2)""")
     }
     sb.append(s""",
          assigned AS (SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM a$iters),

@@ -169,8 +169,23 @@ object Dedup {
     *
     * Scale shape: like [[jaccardPairs]], the join is an inverted index on
     * the gram (never all pairs), and islands are one window over the
-    * matched positions — pair weight concentrates on genuinely duplicated
-    * text. Emits (a_id, b_id, a_start, b_start, span_len), positions
+    * matched positions. The inverted index alone is NOT enough at scale: a
+    * common natural-language k-gram appearing in f documents contributes
+    * ~f² join rows that mostly verify to sub-threshold spans, so `maxGramDf`
+    * caps gram document frequency — grams appearing in more than that many
+    * documents are dropped (broadcast anti-join: the hot-gram list is the
+    * Zipf head, tiny relative to the corpus) BEFORE the position join, which
+    * bounds per-gram pair fan-out at maxGramDf²/2 and keeps total candidate
+    * work linear in corpus size for fixed df distribution.
+    *
+    * Recall contract under the cap: reported spans are maximal runs of
+    * consecutive shared SUB-CAP grams along a (pair, diagonal). A shared
+    * region is detected iff it contains ≥ minSpanTokens − k + 1 consecutive
+    * sub-cap shared grams; a hot gram inside a long duplicated region splits
+    * it into fragments (each still reported if it meets the length bar) —
+    * genuinely duplicated long spans are made of rare grams and survive,
+    * while boilerplate made ONLY of corpus-hot grams is intentionally not
+    * reported. Emits (a_id, b_id, a_start, b_start, span_len), positions
     * 0-based in tokens.
     */
   def sharedSpans(
@@ -178,10 +193,22 @@ object Dedup {
       idCol: String,
       textCol: String,
       k: Int,
-      minSpanTokens: Int): DataFrame = {
+      minSpanTokens: Int,
+      maxGramDf: Int = Int.MaxValue): DataFrame = {
     val toks = Text.tokens(col(textCol))
-    val grams = Spread.byKey(df.filter(size(toks) >= k), col(idCol))
+    val allGrams = Spread.byKey(df.filter(size(toks) >= k), col(idCol))
       .select(col(idCol), posexplode(Text.shingles(toks, k)).as(Seq("pos", "gram")))
+    val grams =
+      if (maxGramDf == Int.MaxValue) allGrams
+      else {
+        // persisted: feeds the df aggregation AND the anti-join input
+        val g = Caches.trackPersist(allGrams)
+        val hot = g.groupBy(col("gram"))
+          .agg(countDistinct(col(idCol)).as("__df"))
+          .filter(col("__df") > maxGramDf)
+          .select("gram")
+        g.join(broadcast(hot), Seq("gram"), "left_anti")
+      }
     val a = grams.select(col(idCol).as("a_id"), col("pos").as("a_pos"), col("gram"))
     val b = grams.select(col(idCol).as("b_id"), col("pos").as("b_pos"), col("gram"))
     val pairs = a.join(b, Seq("gram")).filter(col("a_id") < col("b_id"))
@@ -219,15 +246,19 @@ object Dedup {
       vecCol: String,
       occupancy: Long,
       bands: Int,
-      minCos: Double): DataFrame = {
-    val n = df.count()
-    val bits = Vectors.adaptiveSignBits(n, occupancy)
-    require(bands * bits <= 64, s"bands*bits = ${bands * bits} exceeds vector dims")
+      minCos: Double,
+      n: Option[Long] = None): DataFrame = {
     // persisted: feeds the band-explode branch AND both candidate-
     // verification joins (three scans + two norm folds otherwise)
     val e = Caches.trackPersist(
       df.select(col(idCol), col(vecCol))
         .withColumn("__n2", Vectors.norm2Exact(col(vecCol))))
+    // corpus size drives the adaptive bit count. Pass `n` from table
+    // statistics/metadata at scale; when absent, counting the PERSISTED
+    // frame doubles as its materialization — the scan warms the cache the
+    // downstream branches reuse, so no extra cold pass over the corpus.
+    val bits = Vectors.adaptiveSignBits(n.getOrElse(e.count()), occupancy)
+    require(bands * bits <= 64, s"bands*bits = ${bands * bits} exceeds vector dims")
     val bandCols = (0 until bands).map { l =>
       struct(lit(l).as("band"), Vectors.signBucketSlice(col(vecCol), l * bits, bits).as("bucket"))
     }

@@ -80,12 +80,18 @@ object DedupQ {
     QDef(
       "d6_shared_spans",
       // exact substring-level dedup: maximal shared token spans >= 5 between
-      // doc pairs, via 3-gram position join + diagonal islands
-      (s, d) => Dedup.sharedSpans(t(s, d, "documents"), "doc_id", "text", 3, 5),
-      Some("""WITH g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+      // doc pairs, via 3-gram position join + diagonal islands. Grams in
+      // more than 50 documents are dropped pre-join (hot-gram df cap: keeps
+      // the position join linear in corpus size — a corpus-hot trigram would
+      // otherwise contribute df² join rows of mostly sub-threshold spans)
+      (s, d) => Dedup.sharedSpans(t(s, d, "documents"), "doc_id", "text", 3, 5, maxGramDf = 50),
+      Some("""WITH g0 AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
                  toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
                FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
                     unnest(generate_series(1, len(toks) - 2)) AS u(i)),
+              hot AS (SELECT gram FROM g0 GROUP BY gram HAVING count(DISTINCT doc_id) > 50),
+              g AS (SELECT * FROM g0 WHERE NOT EXISTS
+                      (SELECT 1 FROM hot WHERE hot.gram = g0.gram)),
               p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.pos AS a_pos, b.pos AS b_pos
                     FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
               r AS (SELECT *,

@@ -57,6 +57,44 @@ object MlQ {
       None),
 
     QDef(
+      "m5b_impute_ols1",
+      // the hash-checkable impute flavor: same masked channel (dim 1 of
+      // every 5th vector), repaired from dim 2 alone via closed-form OLS on
+      // exact decimal sums — slope/intercept/prediction are identical IEEE
+      // double expressions in both engines, so this row hash-matches where
+      // the MLlib multi-feature fit (m5) is rows-only by contract
+      (s, d) => {
+        val e = t(s, d, "embeddings").select(
+          col("vec_id"),
+          element_at(col("embedding"), 1).cast("double").as("e_1"),
+          element_at(col("embedding"), 2).cast("double").as("e_2"))
+        Impute.ols1Repair(
+          e.withColumn("e_1_orig", col("e_1")),
+          "e_1", "e_2",
+          trainFilter = col("vec_id") % 5 =!= 0,
+          fixPredicate = col("vec_id") % 5 === 0)
+          .select("vec_id", "e_1_orig", "e_1")
+      },
+      Some("""WITH tr AS (SELECT CAST(embedding[2] AS DOUBLE) AS x,
+                     CAST(embedding[1] AS DOUBLE) AS y
+                   FROM embeddings WHERE vec_id % 5 <> 0),
+              s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                     CAST(sum(CAST(x AS DECIMAL(38,9))) AS DOUBLE) AS sx,
+                     CAST(sum(CAST(y AS DECIMAL(38,9))) AS DOUBLE) AS sy,
+                     CAST(sum(CAST(x * y AS DECIMAL(38,9))) AS DOUBLE) AS sxy,
+                     CAST(sum(CAST(x * x AS DECIMAL(38,9))) AS DOUBLE) AS sxx
+                    FROM tr),
+              p AS (SELECT n, sx, sy,
+                     (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope FROM s),
+              p2 AS (SELECT slope, (sy - slope * sx) / n AS icept FROM p)
+              SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS e_1_orig,
+                CASE WHEN vec_id % 5 = 0
+                     THEN p2.slope * CAST(embedding[2] AS DOUBLE) + p2.icept
+                     ELSE CAST(embedding[1] AS DOUBLE) END AS e_1
+              FROM embeddings, p2"""),
+    ),
+
+    QDef(
       "m6_ensemble_vote",
       // seeded randomized-param RF ensemble + majority vote on the
       // embeddings classification task (labels 0..9)

@@ -62,17 +62,20 @@ object SimilarityQ {
     QDef(
       "sim_ivf_topk",
       // IVF-style ANN with a REAL fitted coarse quantizer: spherical
-      // k-means (k=8, 2 Lloyd updates, seeded on the lowest-id vectors)
-      // expressed as exact-decimal DataFrame aggregations
-      // ([[graft.ml.IvfQuantizer]]) so the oracle replicates the fit;
-      // every vector lands in its max-cosine cell and queries probe their
+      // k-means (k=8, 2 Lloyd updates, seeded on the lowest-id SAMPLE
+      // vectors) expressed as exact-decimal DataFrame aggregations
+      // ([[graft.ml.IvfQuantizer]]) so the oracle replicates the fit.
+      // The fit scans only the systematic vec_id % 4 == 0 sample — the
+      // 100 TB recipe (Lloyd on a sample, ONE full-corpus assignment
+      // against broadcast centroids) exercised for real, not documented.
+      // Every vector lands in its max-cosine cell and queries probe their
       // TOP-2 cells (nprobe=2 — the recall knob for neighbors straddling a
       // cell boundary) — the inverted-file structure that bounds candidate
       // counts at scale. Candidate cosines exact-decimal as before.
       (s, d) => {
         val e = withNorm(t(s, d, "embeddings"))
         val ranked = graft.ops.Caches.trackPersist(
-          graft.ml.IvfQuantizer.fitRanked(e, "vec_id", "embedding", "n2", 8, 2))
+          graft.ml.IvfQuantizer.fitRanked(e, "vec_id", "embedding", "n2", 8, 2, sampleEvery = 4))
         val cells = ranked.filter(col("cell_rank") === 1).select(col("vec_id"), col("cell"))
         val probes = ranked.filter(col("vec_id") < 5 && col("cell_rank") <= 2)
           .select(col("vec_id").as("query_id"), col("cell"))
@@ -92,7 +95,7 @@ object SimilarityQ {
           .select("query_id", "cell", "rnk", "vec_id", "cos")
       },
       Some(s"""WITH $normSql,
-               ${graft.ml.IvfQuantizer.lloydSql(8, 2, 64)},
+               ${graft.ml.IvfQuantizer.lloydSql(8, 2, 64, sampleEvery = 4)},
                q AS (SELECT cr.vec_id AS query_id, cr.cell, e.embedding AS qe
                      FROM cellranks cr JOIN embeddings e ON e.vec_id = cr.vec_id
                      WHERE cr.vec_id < 5 AND cr.rn <= 2),
@@ -199,10 +202,12 @@ object SimilarityQ {
       // (occupancy target 2 → 8 bits at n=500, 10 at n=2000, …): per-bucket
       // self-join cost stays ~n·occ/2 pairs instead of n²/2^bits
       (s, d) => {
-        val src = t(s, d, "embeddings")
+        // persisted: the bucketed frame feeds both self-join sides, and
+        // counting the persisted frame materializes the cache instead of
+        // costing an extra cold scan (at 100 TB pass n from table stats)
+        val src = Caches.trackPersist(withNorm(t(s, d, "embeddings")))
         val bits = Vectors.adaptiveSignBits(src.count(), 2)
-        val e = withNorm(src)
-          .withColumn("bucket", Vectors.signBucket(col("embedding"), bits))
+        val e = src.withColumn("bucket", Vectors.signBucket(col("embedding"), bits))
         val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ae"),
           col("n2").as("an2"), col("bucket"))
         val b = e.select(col("vec_id").as("b_id"), col("embedding").as("be"),

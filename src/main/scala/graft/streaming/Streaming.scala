@@ -41,21 +41,45 @@ object Streaming {
   /** W9-as-stream: run-length encoding with custom state via
     * flatMapGroupsWithState — the incremental form of
     * [[graft.ops.Segments.runLengthEncode]]: per key, an open run lives in
-    * GroupState; a label change (or processing-time timeout) closes and
-    * emits the previous segment with the reference's end-exclusive bound.
-    * Batch RLE and this operator agree on closed segments; the final open
-    * run flushes on timeout instead of the batch closing flush.
+    * GroupState; a label change (or timeout) closes and emits the previous
+    * segment with the reference's end-exclusive bound. Batch RLE and this
+    * operator agree on closed segments; the final open run flushes on
+    * timeout instead of the batch closing flush.
+    *
+    * Two flush clocks:
+    *   - `eventTimeWatermark = Some(delay)` (preferred): the open-run flush
+    *     is WATERMARK-driven — a run flushes once event time has moved
+    *     `timeoutMs` past its last observation, so the flush point is a
+    *     function of the DATA, replayable and independent of wall clock.
+    *     The input stream carries the watermark on `tsMs`.
+    *   - `eventTimeWatermark = None`: processing-time timeout — the flush
+    *     depends on wall clock (and makes the engine self-trigger empty
+    *     micro-batches to check timers); kept for pipelines without
+    *     meaningful event time.
     */
   def sessionizeRle(
       events: Dataset[Obs],
-      timeoutMs: Option[Long] = None): Dataset[Segment] = {
+      timeoutMs: Option[Long] = None,
+      eventTimeWatermark: Option[String] = None): Dataset[Segment] = {
     import events.sparkSession.implicits._
-    // ProcessingTimeTimeout makes the engine self-trigger empty micro-batches
-    // continuously to check timers — only opt in when an idle-flush matters
+    require(
+      eventTimeWatermark.isEmpty || timeoutMs.isDefined,
+      "eventTimeWatermark needs timeoutMs: the flush fires when the watermark passes lastMs + timeoutMs")
+    val eventTime = eventTimeWatermark.isDefined
     val timeoutConf =
-      if (timeoutMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      if (eventTime) GroupStateTimeout.EventTimeTimeout()
+      else if (timeoutMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
       else GroupStateTimeout.NoTimeout()
-    events
+    // EventTimeTimeout requires a watermark in the plan; extra columns under
+    // .as[Obs] are fine (the encoder reads the case-class fields only)
+    val src = eventTimeWatermark match {
+      case Some(delay) =>
+        events.withColumn("__et", timestamp_millis(col("tsMs")))
+          .withWatermark("__et", delay)
+          .as[Obs]
+      case None => events
+    }
+    src
       .groupByKey(_.user)
       .flatMapGroupsWithState[RunState, Segment](OutputMode.Append(), timeoutConf) {
         case (user, rows, state: GroupState[RunState]) =>
@@ -79,7 +103,16 @@ object Streaming {
               }
             }
             cur.foreach(state.update)
-            timeoutMs.foreach(state.setTimeoutDuration)
+            timeoutMs.foreach { ms =>
+              if (eventTime)
+                // fire when the watermark passes the run's last event + ms;
+                // clamped one tick past the current watermark (Spark rejects
+                // timestamps at or before it — possible when a run's events
+                // arrive with nearly-expired lateness)
+                cur.foreach(s => state.setTimeoutTimestamp(
+                  math.max(s.lastMs + ms, state.getCurrentWatermarkMs() + 1)))
+              else state.setTimeoutDuration(ms)
+            }
             out.result().iterator
           }
       }

@@ -31,4 +31,27 @@ class ImputeSpec extends SparkSpec {
       .select(max(abs(col("y") - col("true_y")))).as[Double].head()
     assert(healthyErr == 0.0)
   }
+
+  test("ols1Repair recovers an exact single-feature linear relation") {
+    val rng = new Random(9)
+    // y = -1.5*x + 4 exactly; every 5th row corrupted
+    val rows = (0 until 100).map { i =>
+      val x = rng.nextDouble() * 8
+      val trueY = -1.5 * x + 4
+      val y = if (i % 5 == 0) 777.0 else trueY
+      (i.toLong, x, y, trueY)
+    }
+    val df = rows.toDF("id", "x", "y", "true_y")
+    val repaired = Impute.ols1Repair(
+      df, "y", "x",
+      trainFilter = col("id") % 5 =!= 0,
+      fixPredicate = col("id") % 5 === 0)
+    val fixErr = repaired.filter(col("id") % 5 === 0)
+      .select(max(abs(col("y") - col("true_y")))).as[Double].head()
+    // exact decimal sums quantize inputs at scale 9 → recovery to ~1e-6
+    assert(fixErr < 1e-6, s"broken rows not recovered, max err $fixErr")
+    val healthyErr = repaired.filter(col("id") % 5 =!= 0)
+      .select(max(abs(col("y") - col("true_y")))).as[Double].head()
+    assert(healthyErr == 0.0)
+  }
 }

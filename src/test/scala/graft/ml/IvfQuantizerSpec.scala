@@ -1,0 +1,74 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+class IvfQuantizerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val k = 3
+  private val iters = 2
+
+  private def corpus(n: Int, seed: Int): DataFrame = {
+    val rng = new Random(seed)
+    val rows = (0 until n).map { i =>
+      (i.toLong, Array.fill(4)(rng.nextFloat() * 2f - 1f))
+    }
+    rows.toDF("vec_id", "embedding")
+      .withColumn("n2", graft.ops.Vectors.norm2Exact(col("embedding")))
+  }
+
+  private def collectRanked(df: DataFrame): Set[(Long, Long, Long)] =
+    df.select(col("vec_id").cast("long"), col("cell").cast("long"), col("cell_rank"))
+      .as[(Long, Long, Long)].collect().toSet
+
+  test("sampled fit still assigns the FULL corpus, with sample-seed cell labels") {
+    val e = corpus(40, seed = 11)
+    val ranked = IvfQuantizer.fitRanked(e, "vec_id", "embedding", "n2", k, iters, sampleEvery = 2)
+    val rows = collectRanked(ranked)
+    graft.ops.Caches.releaseAll()
+    // every corpus vector (sampled or not) gets a full k-cell ranking
+    assert(rows.map(_._1) == (0L until 40L).toSet)
+    assert(rows.size == 40 * k)
+    // cells are labelled by their seed vector ids: the k lowest SAMPLE ids
+    val seedIds = (0 until k).map(i => i.toLong * 2).toSet
+    assert(rows.map(_._2) == seedIds)
+    // rank 1 is a function: one assignment per vector
+    assert(rows.count(_._3 == 1L) == 40)
+  }
+
+  test("sampleEvery=s fit == full fit on the manually filtered sample") {
+    val e = corpus(40, seed = 23)
+    val sampled = collectRanked(
+      IvfQuantizer.fitRanked(e, "vec_id", "embedding", "n2", k, iters, sampleEvery = 2))
+    graft.ops.Caches.releaseAll()
+    // fitting the even-id sub-corpus (ids re-densified: i → i/2, so the
+    // dense-id seed formula picks the SAME k seed vectors) with
+    // sampleEvery=1 must produce the same centroids (same seeds, same Lloyd
+    // passes), hence the same ranking on the vectors both runs share —
+    // modulo the id/cell-label remap
+    val manual = collectRanked(
+      IvfQuantizer.fitRanked(
+        e.filter(col("vec_id") % 2 === 0).withColumn("vec_id", col("vec_id") / 2),
+        "vec_id", "embedding", "n2", k, iters))
+    graft.ops.Caches.releaseAll()
+    val sampledRemapped = sampled.collect {
+      case (id, cell, rank) if id % 2 == 0 => (id / 2, cell / 2, rank)
+    }
+    assert(sampledRemapped == manual)
+  }
+
+  test("sampled fit is deterministic across runs") {
+    val e = corpus(30, seed = 37)
+    val r1 = collectRanked(
+      IvfQuantizer.fitRanked(e, "vec_id", "embedding", "n2", k, iters, sampleEvery = 3))
+    graft.ops.Caches.releaseAll()
+    val r2 = collectRanked(
+      IvfQuantizer.fitRanked(e, "vec_id", "embedding", "n2", k, iters, sampleEvery = 3))
+    graft.ops.Caches.releaseAll()
+    assert(r1 == r2)
+  }
+}

@@ -45,6 +45,33 @@ class DedupTextSpec extends SparkSpec {
     assert(!cand.contains((1L, 3L)))
   }
 
+  test("sharedSpans finds the maximal shared token span") {
+    val spans = Dedup.sharedSpans(docs, "doc_id", "text", 3, 5)
+      .select("a_id", "b_id", "a_start", "b_start", "span_len")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // docs 1 and 4 are identical 9-token texts: one maximal span of 9
+    assert(spans.contains((1L, 4L, 0L, 0L, 9L)))
+  }
+
+  test("sharedSpans maxGramDf drops hot grams and splits spans at them") {
+    val span10 = "alpha beta gamma delta HOT1 HOT2 HOT3 epsilon zeta eta"
+    val base = Seq((10L, span10), (11L, span10))
+    // six filler docs make the gram (HOT1 HOT2 HOT3) corpus-hot (df = 8)
+    val filler = (20L to 25L).map(i => (i, "HOT1 HOT2 HOT3"))
+    val df = (base ++ filler).toDF("doc_id", "text")
+    val uncapped = Dedup.sharedSpans(df, "doc_id", "text", 3, 5)
+      .select("a_id", "b_id", "a_start", "span_len")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(uncapped.contains((10L, 11L, 0L, 10L))) // one maximal span
+    val capped = Dedup.sharedSpans(df, "doc_id", "text", 3, 5, maxGramDf = 3)
+      .select("a_id", "b_id", "a_start", "span_len")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    graft.ops.Caches.releaseAll()
+    // the hot gram at position 4 is dropped: the span splits into the
+    // fragments [0..5] (grams 0-3) and [5..9] (grams 5-7), both >= 5 tokens
+    assert(capped == Set((10L, 11L, 0L, 6L), (10L, 11L, 5L, 5L)))
+  }
+
   test("simhash: equal text → equal fingerprint; disjoint text → different") {
     val fp = Dedup.simhash(docs, "doc_id", "text", 16)
       .select("doc_id", "simhash").as[(Long, Long)].collect().toMap

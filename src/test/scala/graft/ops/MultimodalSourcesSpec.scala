@@ -53,6 +53,20 @@ class MultimodalSourcesSpec extends SparkSpec {
     assert(out == Seq(("k", 4L, 1L, 2L), ("v", 4L, 1L, 2L)))
   }
 
+  test("Profiling.profile(approx = true): same shape, HLL distincts, no Expand") {
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(1L), None), (Some(2L), Some("b")), (None, Some("a")))
+      .toDF("k", "v")
+    val approx = Profiling.profile(df, Seq("k", "v"), approx = true)
+    // HLL++ at default rsd is exact on tiny cardinalities, so values match
+    val out = approx.orderBy("column").as[(String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(("k", 4L, 1L, 2L), ("v", 4L, 1L, 2L)))
+    // the scale rationale: the approx plan must not contain the exact
+    // path's Expand row-replication
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"approx profile still plans an Expand:\n$plan")
+  }
+
   test("S1/S4: headerless CSV roundtrip with positional schema") {
     val dir = Files.createTempDirectory("graft_csv").toString
     val schema = StructType(Seq(

@@ -60,6 +60,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeRle event-time flush: the watermark, not wall clock, closes idle runs") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streaming.Obs]
+    // flush a run once event time moves 1s past its last observation;
+    // watermark delay 0 → watermark = max event time seen in the prior batch
+    val q = Streaming.sessionizeRle(
+      input.toDS(), timeoutMs = Some(1000L), eventTimeWatermark = Some("0 seconds"))
+      .writeStream.format("memory").queryName("rle_et_stream").outputMode("append").start()
+    try {
+      // event times sit above the initial watermark (0) — epoch-0 rows would
+      // be dropped as late before ever reaching the state function
+      input.addData(Streaming.Obs("u1", 10000L, "a"), Streaming.Obs("u1", 10200L, "a"))
+      q.processAllAvailable()
+      // run is open; nothing emitted, and no amount of WALL time would flush it
+      assert(spark.table("rle_et_stream").count() == 0)
+      // another user's event advances event time past 10200 + 1000 → u1's
+      // idle run must flush on the next timer check, at its true extent
+      input.addData(Streaming.Obs("u2", 15000L, "x"))
+      q.processAllAvailable()
+      input.addData(Streaming.Obs("u2", 19000L, "x")) // one more batch: timers fire after watermark update
+      q.processAllAvailable()
+      val flushed = spark.table("rle_et_stream").as[Streaming.Segment].collect().toSeq
+      assert(flushed.contains(Streaming.Segment("u1", "a", 10000L, 10200L, 2L)),
+        s"idle run not flushed by watermark advance: $flushed")
+    } finally q.stop()
+  }
+
   test("tumblingAgg is the same code path for batch frames") {
     val batch = Seq((ts(1), "u1", 2.0), (ts(5), "u1", 4.0))
       .toDF("ts", "user", "value")
