@@ -80,6 +80,34 @@ object Segments {
       .drop("__seg")
   }
 
+  /** Gap-based sessionization: a new session starts at every row whose
+    * time gap to the previous row (same key, `order` total order) exceeds
+    * `gapUs` — the classic events → sessions boundary rule. Appends a
+    * 0-based `session_idx` per key; callers aggregate to session grain
+    * (count/min/max) or keep the row-level label for downstream joins.
+    *
+    * Scale shape: identical to [[runLengthEncode]] — one shuffle on the
+    * keys, two window functions (lag + running sum), no self-join and no
+    * per-session materialization. All arithmetic integral (µs), so results
+    * are engine- and partition-count-independent.
+    */
+  def gapSessions(
+      df: DataFrame,
+      parts: Seq[String],
+      tsCol: String,
+      gapUs: Long,
+      order: Seq[Column] = Nil,
+      idxCol: String = "session_idx"): DataFrame = {
+    require(gapUs > 0, "gapUs must be positive")
+    val ord = if (order.isEmpty) Seq(col(tsCol)) else order
+    val w = Window.partitionBy(parts.map(col): _*).orderBy(ord: _*)
+    val prev = lag(col(tsCol), 1).over(w)
+    val isNew = when(prev.isNull || col(tsCol) - prev > gapUs, 1L).otherwise(0L)
+    df.withColumn(
+      idxCol,
+      sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1)
+  }
+
   /** Generated dense grid of buckets per key over [minMs, maxMs] — the
     * padding lattice for J3-style out-of-range handling (every window must
     * exist even where no samples fell; ref `utils.py:66-73`).

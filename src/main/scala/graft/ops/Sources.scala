@@ -68,4 +68,36 @@ object Sources {
   /** JSONL sink (one JSON object per line, standard corpus shard layout). */
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
+
+  /** Bucketed parquet table writer — the co-located-join layout: rows are
+    * hash-distributed into `nBuckets` files per partition by `bucketCol`
+    * (optionally sorted within buckets), and the catalog records the
+    * layout, so an equi-join or aggregation on the bucket key reads both
+    * sides WITHOUT a shuffle exchange (Spark trusts the on-disk
+    * distribution). At 100 TB this is the difference between re-shuffling
+    * the corpus on every join and never shuffling it again after ingest —
+    * pay the distribution cost once at write time, amortize it over every
+    * downstream join/groupBy on that key. Both join sides must use the
+    * same bucket count (or a divisor, with
+    * `spark.sql.bucketing.coalesceBucketsInJoin.enabled`).
+    *
+    * `path` keeps the data outside the warehouse dir; the table entry
+    * lives in the session catalog (swap for a shared metastore in
+    * production — the layout metadata is what makes the optimization
+    * portable across jobs).
+    */
+  def writeBucketed(
+      df: DataFrame,
+      name: String,
+      path: String,
+      bucketCol: String,
+      nBuckets: Int,
+      sortCols: Seq[String] = Nil): Unit = {
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS $name")
+    val w = df.write.mode("overwrite").format("parquet")
+      .option("path", path)
+      .bucketBy(nBuckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(name)
+  }
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops._
 
@@ -33,6 +34,30 @@ object DedupQ {
           CAST(md5_number_upper(shingle) AS HUGEINT) AS h2 FROM sh),
         sig AS (SELECT doc_id, $mins FROM shh GROUP BY 1)"""
   }
+
+  /** Oracle CTEs (on top of [[shSql]]): Jaccard ≥ 0.5 pairs (d2's
+    * relation, ids only), their symmetric edge list, the RECURSIVE
+    * transitive closure, and every document labelled with the minimum
+    * reachable doc_id (own id for singletons) — the oracle twin of
+    * [[graft.ops.Dedup.connectedComponents]].
+    */
+  private val ccSql =
+    """sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+       pp AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS shared
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+       jp AS (SELECT a_id, b_id FROM pp
+              JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+              WHERE CAST(shared AS DOUBLE) / CAST(sa.n + sb.n - shared AS DOUBLE)
+                    >= CAST(0.5 AS DOUBLE)),
+       e AS (SELECT a_id AS src, b_id AS dst FROM jp
+             UNION SELECT b_id, a_id FROM jp),
+       reach AS (SELECT src AS id, dst AS r FROM e
+                 UNION
+                 SELECT reach.id, e.dst FROM reach JOIN e ON e.src = reach.r),
+       comp AS (SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id),
+       lab AS (SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS cluster_id
+               FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)"""
 
   val defs: Seq[QDef] = Seq(
     QDef(
@@ -103,6 +128,71 @@ object DedupQ {
                      CAST(count(*) + 2 AS BIGINT) AS span_len
               FROM r GROUP BY a_id, b_id, a_pos - b_pos, grp
               HAVING count(*) + 2 >= 5""")),
+
+    QDef(
+      "d7_dup_clusters",
+      // cluster resolution: near-dup PAIRS (d2's Jaccard >= 0.5 relation)
+      // -> connected components (min-label + pointer jumping) -> every doc
+      // labelled with its canonical cluster id (min reachable doc_id;
+      // singletons label themselves) and the cluster size
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+          .select("a_id", "b_id")
+        val comp = Dedup.connectedComponents(pairs, "a_id", "b_id")
+          .withColumnRenamed("id", "doc_id")
+        docs.join(comp, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+          .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("cluster_id")))
+      },
+      Some(s"""WITH RECURSIVE $shSql, $ccSql
+               SELECT doc_id, cluster_id,
+                 CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+               FROM lab""")),
+
+    QDef(
+      "d8_dedup_keep",
+      // the keep/drop decision a dedup pipeline actually ships: within each
+      // duplicate cluster keep the highest-quality doc (t2's quality score,
+      // bit-identical across engines; doc_id breaks exact-tie dup copies)
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+          .select("a_id", "b_id")
+        val comp = Dedup.connectedComponents(pairs, "a_id", "b_id")
+          .withColumnRenamed("id", "doc_id")
+        val lab = docs.join(comp, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+        val stops = Seq("the", "a", "of", "to", "in")
+        val tok = docs.select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+        val g = tok.groupBy("doc_id").agg(
+          count(lit(1)).as("n_tokens"),
+          countDistinct(col("token")).as("n_distinct"),
+          sum(when(col("token").isin(stops: _*), 1).otherwise(0)).as("n_stop"))
+        val dr = col("n_distinct").cast("double") / col("n_tokens").cast("double")
+        val sr = col("n_stop").cast("double") / col("n_tokens").cast("double")
+        val qual = g.select(col("doc_id"), (dr * (lit(1.0) - sr)).as("quality_score"))
+        val w = Window.partitionBy("cluster_id").orderBy(col("quality_score").desc, col("doc_id"))
+        lab.join(qual, "doc_id")
+          .withColumn("keep", (row_number().over(w) === 1).cast("long"))
+          .select("doc_id", "cluster_id", "quality_score", "keep")
+      },
+      Some(s"""WITH RECURSIVE $shSql, $ccSql,
+               tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+                       FROM documents),
+               qg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                        CAST(count(DISTINCT token) AS BIGINT) AS n_distinct,
+                        CAST(sum(CASE WHEN token IN ('the','a','of','to','in') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+                      FROM tok GROUP BY 1),
+               qual AS (SELECT doc_id,
+                        (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+                        * (CAST(1.0 AS DOUBLE) - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS quality_score
+                      FROM qg)
+               SELECT l.doc_id, l.cluster_id, q.quality_score,
+                 CAST(CASE WHEN row_number() OVER (PARTITION BY l.cluster_id
+                        ORDER BY q.quality_score DESC, l.doc_id) = 1
+                      THEN 1 ELSE 0 END AS BIGINT) AS keep
+               FROM lab l JOIN qual q ON q.doc_id = l.doc_id""")),
 
     QDef(
       "d5_embedding_neardup",

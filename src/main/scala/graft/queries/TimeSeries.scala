@@ -221,6 +221,32 @@ object TimeSeries {
               FROM g GROUP BY user_id, seg, event_type""")),
 
     QDef(
+      "w11_gap_sessions",
+      // events -> sessions: a 30-minute silence per user opens a new
+      // session; emit session grain (count + start/end in µs). Pure
+      // integer window arithmetic — engine- and partition-independent.
+      (s, d) =>
+        Segments.gapSessions(
+          events(s, d), Seq("user_id"), "ts_us", 30L * 60L * 1000000L,
+          order = Seq(col("ts_us"), col("event_id")))
+          .groupBy("user_id", "session_idx")
+          .agg(
+            count(lit(1)).as("n_events"),
+            min("ts_us").as("start_us"),
+            max("ts_us").as("end_us")),
+      Some(s"""WITH ev AS ($evSql),
+               b AS (SELECT user_id, event_id, ts_us,
+                       CASE WHEN lag(ts_us) OVER w IS NULL
+                              OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS chg
+                     FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+               sx AS (SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id
+                        ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
+                      FROM b)
+               SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events,
+                 min(ts_us) AS start_us, max(ts_us) AS end_us
+               FROM sx GROUP BY 1, 2""")),
+
+    QDef(
       "p10_interpolate",
       // every 'click' row's value is masked to NULL, then linearly
       // interpolated per user over the µs axis; leading NULLs → 0 (the

@@ -72,6 +72,31 @@ class DedupTextSpec extends SparkSpec {
     assert(capped == Set((10L, 11L, 0L, 6L), (10L, 11L, 5L, 5L)))
   }
 
+  test("connectedComponents labels every node with the component minimum") {
+    // two components: a 6-node PATH 10-11-12-13-14-15 (forces label chains —
+    // pointer jumping must still converge) and a triangle 20-21-22
+    val pairs = Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("a", "b")
+    val comp = Dedup.connectedComponents(pairs, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    graft.ops.Caches.releaseAll()
+    assert((10L to 15L).forall(comp(_) == 10L))
+    assert((20L to 22L).forall(comp(_) == 20L))
+    assert(comp.size == 9) // nodes outside the pair graph are absent
+  }
+
+  test("connectedComponents: edge direction and duplication don't matter; empty input is empty") {
+    val pairs = Seq((5L, 3L), (3L, 5L), (5L, 3L), (7L, 3L)).toDF("a", "b")
+    val comp = Dedup.connectedComponents(pairs, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    graft.ops.Caches.releaseAll()
+    assert(comp == Map(3L -> 3L, 5L -> 3L, 7L -> 3L))
+    val empty = Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b")
+    assert(empty.isEmpty)
+  }
+
   test("simhash: equal text → equal fingerprint; disjoint text → different") {
     val fp = Dedup.simhash(docs, "doc_id", "text", 16)
       .select("doc_id", "simhash").as[(Long, Long)].collect().toMap

@@ -67,6 +67,38 @@ class MultimodalSourcesSpec extends SparkSpec {
     assert(!plan.contains("Expand"), s"approx profile still plans an Expand:\n$plan")
   }
 
+  test("bucketed tables equi-join on the bucket key with NO shuffle exchange") {
+    val dir = Files.createTempDirectory("graft_bucket").toString
+    val a = spark.range(1000).select(col("id"), (col("id") % 7).as("va"))
+    val b = spark.range(1000).select(col("id"), (col("id") * 2).as("vb"))
+    Sources.writeBucketed(a, "bkt_a", s"$dir/a", "id", 4, sortCols = Seq("id"))
+    Sources.writeBucketed(b, "bkt_b", s"$dir/b", "id", 4, sortCols = Seq("id"))
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() == 1000)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.sql("DROP TABLE IF EXISTS bkt_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_b")
+    }
+  }
+
+  test("gapSessions: strict-gap boundary, 0-based ids, leading row opens session 0") {
+    val rows = Seq(
+      ("u1", 0L), ("u1", 1000L), // gap == gapUs: SAME session (strict >)
+      ("u1", 2001L), // gap 1001 > 1000: new session
+      ("u2", 50L)
+    ).toDF("user", "ts")
+    val out = Segments.gapSessions(rows, Seq("user"), "ts", 1000L)
+      .select("user", "ts", "session_idx").as[(String, Long, Long)].collect().toSet
+    assert(out == Set(
+      ("u1", 0L, 0L), ("u1", 1000L, 0L), ("u1", 2001L, 1L), ("u2", 50L, 0L)))
+  }
+
   test("S1/S4: headerless CSV roundtrip with positional schema") {
     val dir = Files.createTempDirectory("graft_csv").toString
     val schema = StructType(Seq(
