@@ -82,4 +82,59 @@ object Text {
       .filter(col("rn") === 1)
       .select(col(idCol), col("profile_lang").as("pred_lang"), col("score"))
   }
+
+  /** BM25 relevance of every document against a fixed query-term set —
+    * corpus-level text retrieval scoring (idf from the corpus, tf and
+    * length normalization per doc):
+    *
+    *   score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl)),
+    *   idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)   (always-positive form)
+    *
+    * Scale shape: one token explode + per-doc hash agg (tf per term + doc
+    * length), then ONE corpus stat row (N, Σdl, per-term df) broadcast back
+    * — the corpus is scanned twice and never shuffled by token. The term
+    * list is plan-time (columns, not rows), right for query scoring; an
+    * all-terms tf-idf MATRIX would instead group by (doc, token).
+    *
+    * Float determinism (oracle contract): per-term contributions are summed
+    * in the FIXED left-associated term order, all literals are double-cast,
+    * and `ln` itself was verified bit-identical between the JVM and DuckDB
+    * over the full relevant input range (both correctly rounded) — so the
+    * score hash-matches, no quantization needed. tf = 0 contributes an
+    * exact 0.0 in both engines.
+    */
+  def bm25(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val tok = spread(df, idCol)
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val tfAggs = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("token") === t, 1L).otherwise(0L)).as(s"__tf_$i")
+    }
+    val g = tok.groupBy(col(idCol))
+      .agg(count(lit(1)).as("dl"), tfAggs: _*)
+    val dfAggs = terms.indices.map(i =>
+      sum(when(col(s"__tf_$i") > 0, 1L).otherwise(0L)).as(s"__df_$i"))
+    val stats = g.agg(count(lit(1)).as("__n"), (sum(col("dl")).as("__sdl") +: dfAggs): _*)
+    val nD = col("__n").cast("double")
+    val avgdl = col("__sdl").cast("double") / nD
+    def contrib(i: Int): Column = {
+      val tf = col(s"__tf_$i").cast("double")
+      val dfT = col(s"__df_$i").cast("double")
+      // NOT functions.log: Spark's builtin goes through StrictMath.log
+      // (fdlibm), one ulp off the platform/DuckDB correctly-rounded log on
+      // some inputs — see [[graft.functions.MathLn]]
+      val idf = graft.functions.MathLn((nD - dfT + lit(0.5)) / (dfT + lit(0.5)) + lit(1.0))
+      idf * ((tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / avgdl))))
+    }
+    val score = terms.indices.map(contrib).reduce(_ + _)
+    g.crossJoin(broadcast(stats))
+      .select(col(idCol), col("dl"), score.as("bm25_score"))
+  }
 }

@@ -99,6 +99,32 @@ object TextQ {
                  FROM sc) WHERE rn = 1""")),
 
     QDef(
+      "t6_bm25",
+      // BM25 scoring of the corpus against a 3-term query — idf from the
+      // corpus, tf + length normalization per doc, contributions summed in
+      // fixed term order (ln verified bit-identical across engines)
+      (s, d) => Text.bm25(t(s, d, "documents"), "doc_id", "text", Seq("spark", "join", "window")),
+      Some {
+        val terms = Seq("spark", "join", "window")
+        val tfs = terms.zipWithIndex.map { case (t, i) =>
+          s"CAST(sum(CASE WHEN token = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS tf_$i"
+        }.mkString(", ")
+        val dfs = terms.indices.map(i =>
+          s"CAST(sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i").mkString(", ")
+        val d = (x: String) => s"CAST($x AS DOUBLE)"
+        val contribs = terms.indices.map { i =>
+          val idf = s"ln((${d("n")} - ${d(s"df_$i")} + ${d("0.5")}) / (${d(s"df_$i")} + ${d("0.5")}) + ${d("1.0")})"
+          s"$idf * ((${d(s"tf_$i")} * ${d("2.2")}) / (${d(s"tf_$i")} + ${d("1.2")} * (${d("0.25")} + ${d("0.75")} * (${d("dl")} / (${d("sdl")} / ${d("n")})))))"
+        }.mkString(" + ")
+        s"""WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+                         FROM documents),
+            g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl, $tfs FROM tok GROUP BY 1),
+            st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sdl, $dfs
+                   FROM g)
+            SELECT doc_id, dl, $contribs AS bm25_score FROM g, st"""
+      }),
+
+    QDef(
       "t5_rolling_fingerprint",
       // polynomial rolling hash over the token stream — order-sensitive
       // document fingerprint (md5-based t4 is order-insensitive after

@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextBm25Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "spark spark spark runs fast"),
+    (2L, "spark runs on a cluster today"),
+    (3L, "ducks swim on the pond"),
+    (4L, "the pond is calm and still today")
+  ).toDF("doc_id", "text")
+
+  test("bm25: tf monotonicity, absent terms score exactly zero") {
+    val scores = Text.bm25(docs, "doc_id", "text", Seq("spark"))
+      .select("doc_id", "bm25_score").as[(Long, Double)].collect().toMap
+    // doc 1 has tf=3 vs doc 2 tf=1 and is shorter: strictly higher score
+    assert(scores(1L) > scores(2L))
+    assert(scores(2L) > 0.0)
+    // no occurrence -> tf=0 -> contribution is an exact 0.0
+    assert(scores(3L) == 0.0 && scores(4L) == 0.0)
+  }
+
+  test("bm25: multi-term score is the fixed-order sum of single-term scores") {
+    val both = Text.bm25(docs, "doc_id", "text", Seq("spark", "pond"))
+      .select("doc_id", "bm25_score").as[(Long, Double)].collect().toMap
+    val s1 = Text.bm25(docs, "doc_id", "text", Seq("spark"))
+      .select("doc_id", "bm25_score").as[(Long, Double)].collect().toMap
+    val s2 = Text.bm25(docs, "doc_id", "text", Seq("pond"))
+      .select("doc_id", "bm25_score").as[(Long, Double)].collect().toMap
+    docs.select("doc_id").as[Long].collect().foreach { id =>
+      assert(both(id) == s1(id) + s2(id), s"doc $id")
+    }
+  }
+
+  test("MathLn matches java.lang.Math.log (not StrictMath) and is null-safe") {
+    val xs = Seq(Some(1.2975), Some(0.5), Some(1.0), None).toDF("x")
+    val out = xs.select(graft.functions.MathLn(col("x")).as("l"))
+      .as[Option[Double]].collect().toSeq
+    assert(out(0).contains(java.lang.Math.log(1.2975)))
+    assert(out(1).contains(java.lang.Math.log(0.5)))
+    assert(out(2).contains(0.0))
+    assert(out(3).isEmpty)
+    // the reason this expression exists: StrictMath disagrees on some inputs
+    val diverging = (380 to 410).map(df => (500.0 - df + 0.5) / (df + 0.5) + 1.0)
+      .filter(x => java.lang.Math.log(x) != StrictMath.log(x))
+    assert(diverging.nonEmpty)
+    val viaExpr = diverging.toDF("x")
+      .select(graft.functions.MathLn(col("x"))).as[Double].collect()
+    assert(viaExpr.toSeq == diverging.map(java.lang.Math.log))
+  }
+}
