@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and dataset splitting — the selection ops a
+  * training pipeline needs to be REPRODUCIBLE: the same row lands in the
+  * same split/sample on every run, every engine, every partition count.
+  *
+  * The randomness source is a 24-bit uniform value parsed from the md5 hex
+  * prefix of the key (md5 is byte-stable across engines; the DuckDB oracle
+  * parses the same six hex digits — same trick as the SimHash oracle).
+  * Never `rand()`: per-task seeds make resampled rows differ across
+  * retries/partitionings, which silently leaks eval rows into train at
+  * re-ingest time.
+  *
+  * Scale shape: pure per-row projection/filter — no shuffle, no state,
+  * trivially parallel.
+  */
+object Sampling {
+
+  /** 24-bit uniform hash of a key: first 6 hex digits of md5(key). */
+  def hashU24(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 6), 16, 10).cast("long")
+
+  /** Oracle twin of [[hashU24]] for a DuckDB expression `key` (rendered as
+    * VARCHAR exactly like Spark's string cast for integral types).
+    */
+  def sqlHashU24(key: String): String = {
+    val digit = (p: Int) => s"(instr('0123456789abcdef', substr(md5(CAST($key AS VARCHAR)), $p, 1)) - 1)"
+    (1 to 6).map(digit).reduce((a, b) => s"($a * 16 + $b)")
+  }
+
+  /** Deterministic `num`/`den` sample: keep rows with bucket < num of den
+    * equal hash buckets (e.g. 1/10 ≈ 10%, exact w.r.t. the hash, not the
+    * row count).
+    */
+  def sampleDeterministic(df: DataFrame, keyCol: String, num: Int, den: Int): DataFrame = {
+    require(num >= 0 && den > 0 && num <= den, "need 0 <= num <= den, den > 0")
+    df.filter(hashU24(col(keyCol)) % den < num)
+  }
+
+  /** Split assignment: `cuts` are (label, upperBoundExclusive) pairs over
+    * `den` hash buckets, in ascending bound order with the last bound ==
+    * den — e.g. Seq(("train",8),("val",9),("test",10)) with den=10 is an
+    * 80/10/10 split. Appends a `split` column; rows never move between
+    * splits when the corpus grows (bucket membership depends only on the
+    * key).
+    */
+  def assignSplit(
+      df: DataFrame,
+      keyCol: String,
+      den: Int,
+      cuts: Seq[(String, Int)],
+      splitCol: String = "split"): DataFrame = {
+    require(cuts.nonEmpty && cuts.last._2 == den, "last cut must equal den")
+    require(cuts.map(_._2) == cuts.map(_._2).sorted, "cut bounds must ascend")
+    val b = hashU24(col(keyCol)) % den
+    val assigned = cuts.foldLeft(Option.empty[Column]) { case (acc, (label, hi)) =>
+      Some(acc match {
+        case None    => when(b < hi, label)
+        case Some(c) => c.when(b < hi, label)
+      })
+    }.get
+    df.withColumn(splitCol, assigned)
+  }
+}

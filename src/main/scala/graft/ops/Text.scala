@@ -83,6 +83,37 @@ object Text {
       .select(col(idCol), col("profile_lang").as("pred_lang"), col("score"))
   }
 
+  /** Sequence packing — assign documents to fixed-capacity token packs
+    * (context windows), the concat-and-chunk layout LLM training shards
+    * use: within each shard, docs are laid end-to-end in id order and a
+    * doc belongs to the pack where it STARTS (`pack_offset` = its position
+    * in that pack; a doc may spill into the next pack, which is exactly
+    * what the training-time chunker does with the concatenated stream).
+    *
+    * Scale shape: packing is PER SHARD (`shard = id % nShards`) — the
+    * cumulative sum is a window per shard, never a global single-partition
+    * scan; this mirrors production packing, where each writer packs its
+    * own shard independently. All arithmetic integral.
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      capacity: Int,
+      nShards: Int): DataFrame = {
+    require(capacity > 0 && nShards > 0, "capacity and nShards must be positive")
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(
+      col(idCol),
+      pmod(col(idCol), lit(nShards)).cast("long").as("shard"),
+      size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("__cb", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"__cb DIV $capacity"))
+      .withColumn("pack_offset", col("__cb") % capacity)
+      .drop("__cb")
+  }
+
   /** BM25 relevance of every document against a fixed query-term set —
     * corpus-level text retrieval scoring (idf from the corpus, tf and
     * length normalization per doc):

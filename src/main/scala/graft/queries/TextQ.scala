@@ -99,6 +99,39 @@ object TextQ {
                  FROM sc) WHERE rn = 1""")),
 
     QDef(
+      "t7_pack_sequences",
+      // concat-and-chunk sequence packing: 512-token packs, 8 shards,
+      // docs laid end-to-end in id order per shard — integer window
+      // arithmetic, one shuffle on the shard key
+      (s, d) => Text.packSequences(t(s, d, "documents"), "doc_id", "text", 512, 8),
+      Some("""WITH g AS (SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard,
+                  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+                FROM documents),
+              c AS (SELECT *, CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard
+                      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS cb
+                    FROM g)
+              SELECT doc_id, shard, n_tokens,
+                cb // 512 AS pack_id, cb % 512 AS pack_offset
+              FROM c""")),
+
+    QDef(
+      "split_assign",
+      // reproducible 80/10/10 split: bucket = md5-hex-prefix(doc_id) % 10;
+      // membership depends only on the key, so rows never migrate between
+      // splits as the corpus grows (never rand(): task retries would
+      // resample and leak eval rows into train)
+      (s, d) => Sampling.assignSplit(
+        t(s, d, "documents").select("doc_id"), "doc_id", 10,
+        Seq(("train", 8), ("val", 9), ("test", 10))),
+      Some(s"""SELECT doc_id,
+                 CASE WHEN u % 10 < 8 THEN 'train'
+                      WHEN u % 10 < 9 THEN 'val'
+                      ELSE 'test' END AS split
+               FROM (SELECT doc_id, ${Sampling.sqlHashU24("doc_id")} AS u
+                     FROM documents)""")),
+
+    QDef(
       "t6_bm25",
       // BM25 scoring of the corpus against a 3-term query — idf from the
       // corpus, tf + length normalization per doc, contributions summed in

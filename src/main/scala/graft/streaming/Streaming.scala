@@ -152,4 +152,37 @@ object Streaming {
         sum(col("value")).as("sum_value"),
         min(col("value")).as("min_value"),
         max(col("value")).as("max_value"))
+
+  /** J2-as-stream: stream-stream INTERVAL join — enrich each left event
+    * with right-stream events for the same key whose event time falls in
+    * [left − before, left + after]. Both sides carry watermarks, and the
+    * time-bound join condition is what lets the engine EXPIRE buffered
+    * rows: without it, a stream-stream join must keep every row forever
+    * (unbounded state — the 100 TB/day failure mode). State per side is
+    * bounded by watermarkDelay + the interval width.
+    *
+    * Inner join: a left event with no right match in the interval emits
+    * nothing (outer flavors need the same bounds and emit on watermark
+    * expiry). Works unchanged on batch frames (the condition degrades to
+    * a plain range join).
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTsCol: String,
+      rightTsCol: String,
+      before: String,
+      after: String,
+      watermarkDelay: String): DataFrame = {
+    val l = left.withWatermark(leftTsCol, watermarkDelay)
+    val r = right.withWatermark(rightTsCol, watermarkDelay)
+      .withColumnRenamed(keyCol, "__rkey")
+    l.join(
+      r,
+      col(keyCol) === col("__rkey") &&
+        col(rightTsCol) >= col(leftTsCol) - expr(s"INTERVAL $before") &&
+        col(rightTsCol) <= col(leftTsCol) + expr(s"INTERVAL $after"))
+      .drop("__rkey")
+  }
 }

@@ -1,0 +1,49 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingPackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("assignSplit: covers every row, roughly proportional, stable under corpus growth") {
+    val small = spark.range(1000).toDF("id")
+    val big = spark.range(5000).toDF("id")
+    val cuts = Seq(("train", 8), ("val", 9), ("test", 10))
+    val s1 = Sampling.assignSplit(small, "id", 10, cuts)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(s1.values.sum == 1000 && s1.keySet == Set("train", "val", "test"))
+    assert(s1("train") > 700 && s1("train") < 900) // hash-uniform ±
+    // growth stability: the same id keeps its split when the corpus grows
+    val a = Sampling.assignSplit(small, "id", 10, cuts).as[(Long, String)].collect().toMap
+    val b = Sampling.assignSplit(big, "id", 10, cuts).as[(Long, String)].collect().toMap
+    assert(a.forall { case (id, sp) => b(id) == sp })
+  }
+
+  test("sampleDeterministic: repeatable subset, sample(1/1) is everything, (0/n) empty") {
+    val df = spark.range(2000).toDF("id")
+    val s1 = Sampling.sampleDeterministic(df, "id", 1, 10).as[Long].collect().toSet
+    val s2 = Sampling.sampleDeterministic(df, "id", 1, 10).as[Long].collect().toSet
+    assert(s1 == s2 && s1.nonEmpty && s1.size < 2000)
+    assert(Sampling.sampleDeterministic(df, "id", 10, 10).count() == 2000)
+    assert(Sampling.sampleDeterministic(df, "id", 0, 10).count() == 0)
+  }
+
+  test("packSequences: offsets accumulate in id order, pack flips at capacity, spill keeps start pack") {
+    // one shard; docs of 4 tokens each, capacity 10: starts at 0,4,8,12,…
+    val docs = (0L to 4L).map(i => (i, "a b c d")).toDF("doc_id", "text")
+    val out = Text.packSequences(docs, "doc_id", "text", 10, 1)
+      .select("doc_id", "pack_id", "pack_offset")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // cum-before: 0,4,8,12,16 → packs 0,0,0,1,1; offsets 0,4,8,2,6
+    assert(out == Seq((0L, 0L, 0L), (1L, 0L, 4L), (2L, 0L, 8L), (3L, 1L, 2L), (4L, 1L, 6L)))
+  }
+
+  test("packSequences shards independently") {
+    val docs = (0L to 3L).map(i => (i, "a b c")).toDF("doc_id", "text")
+    val out = Text.packSequences(docs, "doc_id", "text", 4, 2)
+      .select("doc_id", "shard", "pack_offset").as[(Long, Long, Long)].collect().toSet
+    // shard 0: ids 0,2 → offsets 0,3; shard 1: ids 1,3 → offsets 0,3
+    assert(out == Set((0L, 0L, 0L), (2L, 0L, 3L), (1L, 1L, 0L), (3L, 1L, 3L)))
+  }
+}

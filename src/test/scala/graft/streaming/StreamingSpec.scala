@@ -87,6 +87,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoin: stream-stream join matches only within the time bounds") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, String, String)]
+    val buys = MemoryStream[(Timestamp, String, Double)]
+    val joined = Streaming.intervalJoin(
+      clicks.toDF().toDF("cts", "user", "page"),
+      buys.toDF().toDF("bts", "user", "amount"),
+      "user", "cts", "bts",
+      before = "0 seconds", after = "10 seconds",
+      watermarkDelay = "5 seconds")
+    val q = joined
+      .select(col("user"), col("page"), col("amount"),
+        col("cts").cast("long"), col("bts").cast("long"))
+      .writeStream.format("memory").queryName("ij_test").outputMode("append").start()
+    try {
+      // u1 buys 8s after the click (inside [0, +10]); u2 buys 20s after
+      // (outside); u3 buys 2s BEFORE (outside: before-bound is 0)
+      clicks.addData((ts(10), "u1", "home"), (ts(10), "u2", "cart"), (ts(10), "u3", "promo"))
+      buys.addData((ts(18), "u1", 5.0), (ts(30), "u2", 9.0), (ts(8), "u3", 7.0))
+      q.processAllAvailable()
+      val rows = spark.table("ij_test")
+        .as[(String, String, Double, Long, Long)].collect().toSet
+      assert(rows == Set(("u1", "home", 5.0, 10L, 18L)))
+    } finally q.stop()
+  }
+
+  test("intervalJoin runs unchanged on batch frames") {
+    val clicks = Seq((ts(10), "u1", "home"), (ts(10), "u2", "cart"))
+      .toDF("cts", "user", "page")
+    val buys = Seq((ts(18), "u1", 5.0), (ts(30), "u2", 9.0))
+      .toDF("bts", "user", "amount")
+    val rows = Streaming.intervalJoin(
+      clicks, buys, "user", "cts", "bts", "0 seconds", "10 seconds", "5 seconds")
+      .select("user", "amount").as[(String, Double)].collect().toSet
+    assert(rows == Set(("u1", 5.0)))
+  }
+
   test("tumblingAgg is the same code path for batch frames") {
     val batch = Seq((ts(1), "u1", 2.0), (ts(5), "u1", 4.0))
       .toDF("ts", "user", "value")
