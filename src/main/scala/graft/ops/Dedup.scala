@@ -269,8 +269,13 @@ object Dedup {
     val rev = pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst"))
     // symmetric edge list, persisted: scanned once per round
     val edges = Caches.trackPersist(fwd.union(rev).distinct())
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    // seed with round 1's propagation for free: label(v) = min(v, min
+    // neighbor) straight off the grouped edge list (edges are symmetric, so
+    // grouping by src covers every node) — tiny components (the common
+    // dedup case: pairs/triples) then converge on the FIRST loop round
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("__m"))
+      .select(col("id"), least(col("id"), col("__m")).as("comp"))
       .localCheckpoint()
     def labelSum(l: DataFrame): Option[java.math.BigDecimal] =
       Option(l.agg(sum(col("comp").cast(DecimalType(38, 0)))).collect()(0).getDecimal(0))

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -155,4 +155,81 @@ object Vectors {
 
   def sqlSignBucket(e: String, dims: Int): String =
     (1 to dims).map(i => s"(CASE WHEN $e[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+
+  /** Random-projection dimensionality reduction (Achlioptas ±1 flavor):
+    * out_j = Σ_i s(i,j)·x_i / √outDims, with the sign matrix derived from
+    * md5 parity — s(i,j) = +1 iff the first hex digit of md5("j_i") is
+    * even — so BOTH engines regenerate the identical matrix from nothing
+    * (no RNG, no shipped artifact; the projection is reproducible across
+    * runs, engines, and cluster layouts). The JL lemma gives ~ε-isometry
+    * at outDims = O(log n / ε²); √outDims normalization keeps expected
+    * norms comparable to the input.
+    *
+    * Scale shape: the sign matrix is outDims·inDims rows — broadcast; the
+    * corpus explodes to (id, i, x), joins the broadcast signs, and one
+    * partial-agged integer sum per (id, j) accumulates scale-9 fixed-point
+    * components (order-independent → partition-count-independent). Output
+    * is LONG form (id, out_dim, value) — the shape downstream aggs want;
+    * pivot to arrays only at the edge. For a shuffle-free variant at
+    * extreme scale, fold the signs into a codegen expression
+    * ([[graft.functions.ExactDot]] pattern); the relational form is
+    * preferred while the agg is not the bottleneck.
+    *
+    * Fixed point by TRUNCATION (sign·⌊|x|·10⁹⌋), NOT the decimal cast: a
+    * raw float is dyadic, and one whose decimal expansion terminates
+    * exactly at digit 10 is a TRUE rounding tie at scale 9 — Java HALF_UP
+    * rounds away from zero, DuckDB half-to-even, and the engines diverge
+    * (observed: 0.1494140625 = 613/4096 at sf0.1). Truncating the
+    * bit-identical IEEE product x·10⁹ has no tie to break.
+    */
+  def randomProject(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      inDims: Int,
+      outDims: Int): DataFrame = {
+    require(inDims > 0 && outDims > 0, "dims must be positive")
+    val spark = df.sparkSession
+    // sign matrix (j, i, s) — generated relationally so the plan is free of
+    // driver-computed literals; md5 parity matches the oracle's
+    val signs = spark.range(outDims.toLong)
+      .select(col("id").as("j"))
+      .crossJoin(spark.range(1, inDims + 1L).select(col("id").as("i")))
+      .withColumn(
+        "s",
+        lit(1L) - lit(2L) * (conv(
+          substring(md5(concat(col("j").cast("string"), lit("_"), col("i").cast("string"))), 1, 1), 16, 10)
+          .cast("long") % 2L))
+    val x = col("x").cast("double")
+    val xq = when(x >= 0, floor(x * lit(1e9))).otherwise(-floor(-x * lit(1e9)))
+    val ex = df.select(
+      col(idCol),
+      posexplode(col(vecCol)).as(Seq("i0", "x")))
+      .select(col(idCol), (col("i0") + 1).cast("long").as("i"), xq.cast("long").as("xq"))
+    ex.join(broadcast(signs), "i")
+      .groupBy(col(idCol), col("j").as("out_dim"))
+      .agg((sum(col("s") * col("xq")).cast("double") / lit(1e9) /
+        sqrt(lit(outDims.toDouble))).as("value"))
+  }
+
+  /** Oracle twin of [[randomProject]]: CTE body over `embeddings(vec_id,
+    * embedding)` producing (vec_id, out_dim, value).
+    */
+  def sqlRandomProject(inDims: Int, outDims: Int): String = {
+    val hexDigit = "(instr('0123456789abcdef', substr(md5(CAST(j.j AS VARCHAR) || '_' || CAST(i.i AS VARCHAR)), 1, 1)) - 1)"
+    s"""sgn AS (SELECT j.j, i.i, 1 - 2 * ($hexDigit % 2) AS s
+                FROM unnest(generate_series(0, ${outDims - 1})) AS j(j),
+                     unnest(generate_series(1, $inDims)) AS i(i)),
+        ex AS (SELECT vec_id, i.i AS i,
+                 CAST(CASE WHEN CAST(embedding[i.i] AS DOUBLE) >= 0
+                        THEN floor(CAST(embedding[i.i] AS DOUBLE) * CAST(1000000000 AS DOUBLE))
+                        ELSE -floor(-CAST(embedding[i.i] AS DOUBLE) * CAST(1000000000 AS DOUBLE))
+                      END AS BIGINT) AS xq
+               FROM embeddings, unnest(generate_series(1, $inDims)) AS i(i)),
+        rp AS (SELECT e.vec_id, CAST(g.j AS BIGINT) AS out_dim,
+                 CAST(CAST(sum(g.s * e.xq) AS BIGINT) AS DOUBLE)
+                   / CAST(1000000000 AS DOUBLE) / sqrt(CAST($outDims AS DOUBLE)) AS value
+               FROM ex e JOIN sgn g ON g.i = e.i
+               GROUP BY 1, 2)"""
+  }
 }

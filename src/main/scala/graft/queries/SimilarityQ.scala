@@ -197,6 +197,16 @@ object SimilarityQ {
                  FROM d) WHERE rnk <= 3""")),
 
     QDef(
+      "rp_project",
+      // random-projection dim reduction 64 → 16 (Achlioptas ±1 signs from
+      // md5 parity — both engines regenerate the identical matrix, no RNG):
+      // broadcast sign matrix, exploded corpus, one partial-agged exact-
+      // decimal sum per (vec, out_dim)
+      (s, d) => Vectors.randomProject(t(s, d, "embeddings"), "vec_id", "embedding", 64, 16),
+      Some(s"""WITH ${Vectors.sqlRandomProject(64, 16)}
+               SELECT vec_id, out_dim, value FROM rp""")),
+
+    QDef(
       "sim_lsh_bucket",
       // single-table sign-LSH with the bit count scaled to the corpus
       // (occupancy target 2 → 8 bits at n=500, 10 at n=2000, …): per-bucket
