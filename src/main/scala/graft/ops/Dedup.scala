@@ -233,6 +233,42 @@ object Dedup {
       .select("a_id", "b_id", "a_start", "b_start", "span_len")
   }
 
+  /** Benchmark decontamination check — the train-vs-eval overlap scan every
+    * serious training pipeline runs before shipping data: for each TRAIN
+    * document, count the k-gram shingles it shares with ANY benchmark
+    * document (and how many benchmark docs it hits); `contaminated` flags
+    * any overlap. Docs with zero overlap are kept in the output (left
+    * join) — the decision table is the product, not just the hit list.
+    *
+    * Scale shape: benchmark suites are small by nature (thousands of docs
+    * vs a 100 TB corpus), so the benchmark shingle set is BROADCAST and
+    * the corpus streams through a map-side join — the corpus is never
+    * shuffled. Shingles join on xxhash64 keys (8 bytes, same contract as
+    * [[jaccardPairs]]).
+    */
+  def contaminationCheck(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
+    val tSh = Text.shingleSet(train, idCol, textCol, k)
+      .select(col(idCol), xxhash64(col("shingle")).as("sk"))
+    val bSh = Text.shingleSet(bench, idCol, textCol, k)
+      .select(col(idCol).as("__bid"), xxhash64(col("shingle")).as("sk"))
+    val hits = tSh.join(broadcast(bSh), "sk")
+      .groupBy(col(idCol))
+      .agg(
+        countDistinct(col("sk")).as("n_shared_grams"),
+        countDistinct(col("__bid")).as("n_bench_docs"))
+    train.select(col(idCol)).join(hits, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"),
+        coalesce(col("n_bench_docs"), lit(0L)).as("n_bench_docs"),
+        (coalesce(col("n_shared_grams"), lit(0L)) > 0).cast("long").as("contaminated"))
+  }
+
   /** Connected components over a candidate-pair graph — the cluster-
     * resolution step of a dedup pipeline: pair emitters ([[jaccardPairs]],
     * [[lshCandidates]], [[embeddingNearDup]]) say "these two are dups";

@@ -40,6 +40,25 @@ object Sampling {
     df.filter(hashU24(col(keyCol)) % den < num)
   }
 
+  /** Deterministic stratified sample: up to `nPerStratum` rows per stratum,
+    * chosen by hash order (plus the key as total tiebreak) — per-class
+    * balancing / per-source capping without `rand()`, reproducible across
+    * runs and partitionings. One shuffle on the strata keys.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      keyCol: String,
+      strataCols: Seq[String],
+      nPerStratum: Int): DataFrame = {
+    require(nPerStratum > 0 && strataCols.nonEmpty, "need strata and n > 0")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCols.map(col): _*)
+      .orderBy(hashU24(col(keyCol)), col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= nPerStratum)
+      .drop("__rn")
+  }
+
   /** Split assignment: `cuts` are (label, upperBoundExclusive) pairs over
     * `den` hash buckets, in ascending bound order with the last bound ==
     * den — e.g. Seq(("train",8),("val",9),("test",10)) with den=10 is an

@@ -195,6 +195,51 @@ object DedupQ {
                FROM lab l JOIN qual q ON q.doc_id = l.doc_id""")),
 
     QDef(
+      "d9_decontaminate",
+      // benchmark decontamination: docs with doc_id % 97 == 0 stand in for
+      // the eval suite; every remaining (train) doc is scanned for shared
+      // 5-gram shingles against the broadcast benchmark shingle set —
+      // the corpus itself is never shuffled
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.contaminationCheck(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", 5)
+      },
+      Some("""WITH g5 AS (SELECT DISTINCT doc_id, shingle FROM (
+                 SELECT doc_id,
+                   toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4] AS shingle
+                 FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+                      unnest(generate_series(1, len(toks) - 4)) AS u(i))),
+              tsh AS (SELECT * FROM g5 WHERE doc_id % 97 <> 0),
+              bsh AS (SELECT * FROM g5 WHERE doc_id % 97 = 0),
+              h AS (SELECT t.doc_id,
+                      CAST(count(DISTINCT t.shingle) AS BIGINT) AS n_shared_grams,
+                      CAST(count(DISTINCT b.doc_id) AS BIGINT) AS n_bench_docs
+                    FROM tsh t JOIN bsh b ON b.shingle = t.shingle GROUP BY 1)
+              SELECT d.doc_id,
+                coalesce(h.n_shared_grams, 0) AS n_shared_grams,
+                coalesce(h.n_bench_docs, 0) AS n_bench_docs,
+                CAST(CASE WHEN coalesce(h.n_shared_grams, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+              FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+              LEFT JOIN h ON h.doc_id = d.doc_id""")),
+
+    QDef(
+      "stratified_sample",
+      // per-(lang, source) cap of 5 docs, chosen by hash order with a key
+      // tiebreak — reproducible class balancing, no rand()
+      (s, d) => Sampling.stratifiedSample(
+        t(s, d, "documents").select("doc_id", "lang", "source"),
+        "doc_id", Seq("lang", "source"), 5),
+      Some(s"""SELECT doc_id, lang, source FROM (
+                 SELECT doc_id, lang, source,
+                   row_number() OVER (PARTITION BY lang, source
+                     ORDER BY ${Sampling.sqlHashU24("doc_id")}, doc_id) AS rn
+                 FROM documents)
+               WHERE rn <= 5""")),
+
+    QDef(
       "d5_embedding_neardup",
       // embedding-cosine near-dup: MULTI-BAND sign-LSH (4 bands, bit count
       // scaled to corpus size: occupancy target 32 → 4 bits at n=500,

@@ -29,6 +29,35 @@ class SamplingPackingSpec extends SparkSpec {
     assert(Sampling.sampleDeterministic(df, "id", 0, 10).count() == 0)
   }
 
+  test("stratifiedSample caps each stratum, deterministically") {
+    val df = (0L until 100L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    val s1 = Sampling.stratifiedSample(df, "id", Seq("lang"), 7)
+      .as[(Long, String)].collect().toSet
+    val s2 = Sampling.stratifiedSample(df, "id", Seq("lang"), 7)
+      .as[(Long, String)].collect().toSet
+    assert(s1 == s2)
+    assert(s1.count(_._2 == "en") == 7 && s1.count(_._2 == "de") == 7)
+    // a stratum smaller than the cap is kept whole
+    val tiny = Sampling.stratifiedSample(df.filter(col("id") < 3), "id", Seq("lang"), 7)
+    assert(tiny.count() == 3)
+  }
+
+  test("contaminationCheck flags shared shingles against the benchmark, keeps clean docs") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // contains bench 5-gram
+      (2L, "one two three four five six seven")    // clean
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val out = Dedup.contaminationCheck(train, bench, "doc_id", "text", 5)
+      .select("doc_id", "n_shared_grams", "n_bench_docs", "contaminated")
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (a, b, c, d) => a -> ((b, c, d)) }.toMap
+    graft.ops.Caches.releaseAll()
+    assert(out(1L) == ((1L, 1L, 1L)))
+    assert(out(2L) == ((0L, 0L, 0L)))
+  }
+
   test("packSequences: offsets accumulate in id order, pack flips at capacity, spill keeps start pack") {
     // one shard; docs of 4 tokens each, capacity 10: starts at 0,4,8,12,…
     val docs = (0L to 4L).map(i => (i, "a b c d")).toDF("doc_id", "text")
