@@ -76,4 +76,25 @@ object Scaling {
           .otherwise((v - col("__center")) / col("__scale")))
       .drop("__center", "__scale")
   }
+
+  /** Percent-rank (ECDF) normalization per group — the QuantileTransformer-
+    * style feature map to [0, 1]: out = (rank − 1)/(n − 1), ranked by the
+    * raw value only, so TIED values share a quantile (sklearn semantics)
+    * and the result is deterministic without a tiebreak — `rank()` is
+    * tie-stable in both engines and the division is one double op.
+    *
+    * Scale shape: one shuffle on the group keys, one ordered window pass.
+    * Unlike the fitted scalers above there is no stats row to broadcast —
+    * the "fit" IS the ranking.
+    */
+  def rankNormalize(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      outCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(valueCol))
+    df.withColumn(outCol, percent_rank().over(w))
+  }
 }

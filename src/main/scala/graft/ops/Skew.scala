@@ -39,4 +39,32 @@ object Skew {
         min(col("__min")).as("min_value"),
         max(col("__max")).as("max_value"))
   }
+
+  /** Salted equi-join for a skewed BIG side: the big side gets a
+    * deterministic per-row salt (hash of `spreadCol` — any well-distributed
+    * payload column), the small side is replicated `saltBuckets`× with
+    * every salt value, and the join runs on (key, salt) — a key carrying
+    * 30% of the corpus now lands on `saltBuckets` reducers instead of one.
+    * The salt never reaches the output, so the result is EXACTLY the plain
+    * join's (and the oracle's).
+    *
+    * This is the manual form of what AQE skew-join does adaptively; use it
+    * when the skew is known ahead of time (Zipf keys in training data) or
+    * the join sits under an aggregation where AQE's split doesn't reach.
+    * Cost: small side inflates `saltBuckets`× — keep it for genuinely
+    * small dimension sides.
+    */
+  def saltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      key: String,
+      spreadCol: String,
+      saltBuckets: Int): DataFrame = {
+    require(saltBuckets > 0, "saltBuckets must be positive")
+    val saltedBig = big.withColumn(
+      "__salt", pmod(xxhash64(col(spreadCol)), lit(saltBuckets.toLong)))
+    val replicated = small
+      .withColumn("__salt", explode(lit((0L until saltBuckets.toLong).toArray)))
+    saltedBig.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -100,6 +100,23 @@ object Relational {
                FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2""")),
 
     QDef(
+      "j6_salted_join",
+      // manually salted skewed join: lineitem's partkey distribution fans
+      // out over 8 salt buckets, part replicates 8x — the salt never
+      // reaches the output, so the aggregate is exactly the plain join's
+      (s, d) => {
+        val li = t(s, d, "lineitem").select(
+          col("l_partkey").as("pk"), col("l_orderkey"), col("l_quantity"))
+        val p = t(s, d, "part").select(col("p_partkey").as("pk"), col("p_brand"))
+        Skew.saltedJoin(li, p, "pk", "l_orderkey", 8)
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n"), Exact.dsum(col("l_quantity")).as("sum_qty"))
+      },
+      Some(s"""SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+               ${Exact.sqlDsum("l_quantity")} AS sum_qty
+               FROM lineitem JOIN part ON p_partkey = l_partkey GROUP BY 1""")),
+
+    QDef(
       "j4_lookup_default",
       (s, d) =>
         t(s, d, "customer")

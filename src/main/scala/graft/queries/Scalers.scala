@@ -58,6 +58,18 @@ object Scalers {
                FROM part JOIN s USING (p_brand)""")),
 
     QDef(
+      "m4_scale_rank",
+      // percent-rank (ECDF) normalization per event_type — the
+      // QuantileTransformer-style map to [0,1]; ties share a quantile
+      // (rank is tie-stable in both engines, no tiebreak needed)
+      (s, d) =>
+        Scaling.rankNormalize(events(s, d), Seq("event_type"), "value", "q")
+          .select("event_id", "event_type", "value", "q"),
+      Some("""SELECT event_id, event_type, value,
+                percent_rank() OVER (PARTITION BY event_type ORDER BY value) AS q
+              FROM events""")),
+
+    QDef(
       "m4_scale_robust",
       (s, d) =>
         Scaling.scale(events(s, d), Seq("event_type"), "value", "robust", "scaled")

@@ -58,6 +58,22 @@ class SamplingPackingSpec extends SparkSpec {
     assert(out(2L) == ((0L, 0L, 0L)))
   }
 
+  test("saltedJoin equals the plain join exactly; rankNormalize ties share a quantile") {
+    val big = (0L until 200L).map(i => (i % 5, i, i * 0.5)).toDF("k", "payload", "v")
+    val small = Seq((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d"), (4L, "e")).toDF("k", "lbl")
+    val salted = Skew.saltedJoin(big, small, "k", "payload", 4)
+      .select("k", "payload", "v", "lbl").as[(Long, Long, Double, String)].collect().toSet
+    val plain = big.join(small, "k")
+      .select("k", "payload", "v", "lbl").as[(Long, Long, Double, String)].collect().toSet
+    assert(salted == plain && plain.size == 200)
+
+    val vals = Seq(("g", 1.0), ("g", 2.0), ("g", 2.0), ("g", 4.0)).toDF("grp", "v")
+    val q = Scaling.rankNormalize(vals, Seq("grp"), "v", "q")
+      .select("v", "q").as[(Double, Double)].collect().toSet
+    // ranks: 1, 2, 2, 4 over n=4 → q = 0, 1/3, 1/3, 1
+    assert(q == Set((1.0, 0.0), (2.0, 1.0 / 3.0), (4.0, 1.0)))
+  }
+
   test("packSequences: offsets accumulate in id order, pack flips at capacity, spill keeps start pack") {
     // one shard; docs of 4 tokens each, capacity 10: starts at 0,4,8,12,…
     val docs = (0L to 4L).map(i => (i, "a b c d")).toDF("doc_id", "text")
