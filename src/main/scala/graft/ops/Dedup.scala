@@ -42,15 +42,14 @@ object Dedup {
       textCol: String,
       k: Int,
       minJaccard: Double): DataFrame = {
-    // join on a 64-bit hash of the shingle, not the string: the inverted-
-    // index shuffle carries 8-byte keys instead of ~25-byte strings (2-3x
-    // less shuffle payload and far steadier GC). The hash is internal —
-    // results depend only on the equality relation, and a corpus-level
-    // 64-bit collision (~1e-6 at millions of shingles) is the accepted
-    // trade. Persisted because it feeds three plan branches.
-    val sh = Caches.trackPersist(
-      Text.shingleSet(df, idCol, textCol, k)
-        .select(col(idCol), xxhash64(col("shingle")).as("sk")))
+    // 64-bit shingle KEYS, hashed natively in place (ShingleKeys codegen —
+    // the composed string-building form was the measured bottleneck of the
+    // whole scan): the inverted-index shuffle carries 8-byte keys instead
+    // of ~25-byte strings. The hash is internal — results depend only on
+    // the equality relation, and a corpus-level 64-bit collision (~1e-6 at
+    // millions of shingles) is the accepted trade. Persisted because it
+    // feeds three plan branches.
+    val sh = Caches.trackPersist(Text.shingleKeySet(df, idCol, textCol, k))
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("a")
       .join(sh.as("b"), col("a.sk") === col("b.sk") && col(s"a.$idCol") < col(s"b.$idCol"))
@@ -252,10 +251,9 @@ object Dedup {
       idCol: String,
       textCol: String,
       k: Int): DataFrame = {
-    val tSh = Text.shingleSet(train, idCol, textCol, k)
-      .select(col(idCol), xxhash64(col("shingle")).as("sk"))
-    val bSh = Text.shingleSet(bench, idCol, textCol, k)
-      .select(col(idCol).as("__bid"), xxhash64(col("shingle")).as("sk"))
+    val tSh = Text.shingleKeySet(train, idCol, textCol, k)
+    val bSh = Text.shingleKeySet(bench, idCol, textCol, k)
+      .withColumnRenamed(idCol, "__bid")
     val hits = tSh.join(broadcast(bSh), "sk")
       .groupBy(col(idCol))
       .agg(

@@ -36,6 +36,20 @@ object Text {
       .filter(size(tokens(col(textCol))) >= k)
       .select(col(idCol), explode(array_distinct(shingles(tokens(col(textCol)), k))).as("shingle"))
 
+  /** (id, sk) rows: per-doc-distinct 64-bit shingle KEYS — the fast form of
+    * [[shingleSet]] for consumers that only need the equality relation
+    * (inverted-index joins): one native pass hashes each k-token window in
+    * place ([[graft.functions.ShingleKeys]]), never building the shingle
+    * strings. Same 64-bit collision contract as hashing the strings.
+    */
+  def shingleKeySet(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    spread(df, idCol)
+      .filter(size(tokens(col(textCol))) >= k)
+      .select(
+        col(idCol),
+        explode(array_distinct(
+          graft.functions.ShingleKeys(tokens(col(textCol)), k))).as("sk"))
+
   /** (id, token) rows, one per distinct token per doc. */
   def tokenSet(df: DataFrame, idCol: String, textCol: String): DataFrame =
     spread(df, idCol)

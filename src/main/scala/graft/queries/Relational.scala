@@ -100,6 +100,26 @@ object Relational {
                FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2""")),
 
     QDef(
+      "pivot_event_counts",
+      // long→wide pivot with an EXPLICIT value list (never inferred: an
+      // inference pass scans the corpus once just to learn column names,
+      // and a late-arriving category silently changes the schema)
+      (s, d) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        events(s, d)
+          .groupBy("user_id")
+          .pivot("event_type", types)
+          .agg(count(lit(1)))
+          .select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+      },
+      Some {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val cols = types.map(t =>
+          s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$t").mkString(", ")
+        s"SELECT user_id, $cols FROM events GROUP BY 1"
+      }),
+
+    QDef(
       "j6_salted_join",
       // manually salted skewed join: lineitem's partkey distribution fans
       // out over 8 salt buckets, part replicates 8x — the salt never

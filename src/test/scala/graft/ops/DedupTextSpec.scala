@@ -72,6 +72,22 @@ class DedupTextSpec extends SparkSpec {
     assert(capped == Set((10L, 11L, 0L, 6L), (10L, 11L, 5L, 5L)))
   }
 
+  test("shingleKeySet: same equality relation as the string shingle set") {
+    val ss = Text.shingleSet(docs, "doc_id", "text", 3)
+      .as[(Long, String)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ks = Text.shingleKeySet(docs, "doc_id", "text", 3)
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(ss.keySet == ks.keySet)
+    for (a <- ss.keySet; b <- ss.keySet if a < b) {
+      // shared-shingle COUNTS agree doc-pair-wise (no collisions here)
+      assert(ss(a).intersect(ss(b)).size == ks(a).intersect(ks(b)).size, s"pair ($a,$b)")
+      assert(ss(a).size == ks(a).size)
+    }
+    // shorter than k → no rows
+    val tiny = Seq((9L, "a b")).toDF("doc_id", "text")
+    assert(Text.shingleKeySet(tiny, "doc_id", "text", 3).isEmpty)
+  }
+
   test("connectedComponents labels every node with the component minimum") {
     // two components: a 6-node PATH 10-11-12-13-14-15 (forces label chains —
     // pointer jumping must still converge) and a triangle 20-21-22
