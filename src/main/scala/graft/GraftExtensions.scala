@@ -14,8 +14,11 @@ import graft.functions.ExactDot
   *   SELECT exact_dot(a.embedding, b.embedding) FROM ...
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.exactDotDescriptor)
+    // whole-operator extension: heap-based top-k per key
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+  }
 }
 
 /** Registration helpers usable on an already-built session too. */

@@ -235,6 +235,24 @@ object Relational {
                FROM orders) WHERE rnk <= 3""")),
 
     QDef(
+      "o5_topk_heap",
+      // o2's semantics through the custom whole-operator path: the
+      // TopKPerKeyExec physical node keeps a bounded k-heap per key
+      // (O(n log k), no partition sort, no spill) instead of ranking a
+      // fully sorted window — same rows, same ranks, pinned against the
+      // row_number oracle
+      (s, d) => TopK.perKey(
+        t(s, d, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
+        Seq("o_custkey"),
+        Seq(("o_totalprice", true), ("o_orderkey", false)),
+        3)
+        .select("o_custkey", "rnk", "o_orderkey", "o_totalprice"),
+      Some("""SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM
+              (SELECT o_custkey, o_orderkey, o_totalprice,
+                      row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+               FROM orders) WHERE rnk <= 3""")),
+
+    QDef(
       "agg_grouping_sets",
       // explicit GROUPING SETS (beyond the rollup/cube shorthands)
       (s, d) => {
