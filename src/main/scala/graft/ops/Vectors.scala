@@ -131,9 +131,19 @@ object Vectors {
   def sqlInt8Q(xq: String, amax: String): String =
     int8QFrag(xq, amax, "//", "INTEGER")
 
-  /** Scale-9 fixed-point BIGINT of a float scalar — valid in BOTH dialects. */
+  /** Scale-9 fixed-point BIGINT of a float scalar — valid in BOTH dialects.
+    * TRUNCATED (sign·⌊|x|·10⁹⌋ of the bit-identical IEEE product), not the
+    * decimal cast: a raw float is dyadic, and one whose decimal expansion
+    * ends exactly at digit 10 is a TRUE scale-9 tie where Java HALF_UP and
+    * DuckDB half-to-even rounding diverge by one ulp (observed:
+    * 0.1494140625 at sf0.1 — the q8 output only survived because ÷2·amax
+    * collapsed it). Truncation has no tie to break. Spark `floor(DOUBLE)`
+    * returns BIGINT and DuckDB's returns DOUBLE — the outer CAST unifies.
+    */
   private def xq9Frag(x: String): String =
-    s"CAST(CAST(CAST($x AS DOUBLE) AS DECIMAL(38,9)) * 1000000000 AS BIGINT)"
+    s"""CAST(CASE WHEN CAST($x AS DOUBLE) >= 0
+         THEN floor(CAST($x AS DOUBLE) * 1000000000)
+         ELSE -floor(-CAST($x AS DOUBLE) * 1000000000) END AS BIGINT)"""
 
   /** The shared rounded-quotient CASE; `div` is the truncating integer
     * division operator (`DIV` Spark, `//` DuckDB), `intTy` the int cast
