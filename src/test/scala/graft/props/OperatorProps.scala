@@ -89,4 +89,52 @@ object OperatorProps extends Properties("graft.ops") {
         .select("s").as[Double].head()
       math.abs(s) == vs.map(math.abs).max && vs.contains(s)
     }
+
+  property("gapSessions: session count is 1 + number of over-gap steps; indices dense from 0") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.choose(1L, 50L)), Gen.choose(5L, 30L)) { (deltas, gap) =>
+      // strictly increasing series from cumulative positive deltas
+      val ts = deltas.scanLeft(0L)(_ + _)
+      val df = ts.map(("k", _)).toDF("k", "ts")
+      val idx = Segments.gapSessions(df, Seq("k"), "ts", gap)
+        .select("session_idx").as[Long].collect().toSeq
+      val expectedSessions = 1 + deltas.count(_ > gap)
+      idx.max == expectedSessions - 1 && idx.min == 0 &&
+        idx.distinct.sorted == (0L until expectedSessions.toLong)
+    }
+
+  property("packSequences: offset < capacity ∨ pack advances; per-shard offsets reconstruct the cumsum") =
+    Prop.forAll(
+      Gen.choose(1, 20), Gen.choose(4, 64), Gen.nonEmptyListOf(Gen.choose(1, 12))) {
+      (cap, shards, lens) =>
+        val docs = lens.zipWithIndex
+          .map { case (n, i) => (i.toLong, Seq.fill(n)("w").mkString(" ")) }
+          .toDF("doc_id", "text")
+        val out = Text.packSequences(docs, "doc_id", "text", cap, shards)
+          .select("doc_id", "shard", "n_tokens", "pack_id", "pack_offset")
+          .as[(Long, Long, Long, Long, Long)].collect().toSeq
+        out.groupBy(_._2).values.forall { shard =>
+          val ordered = shard.sortBy(_._1)
+          val cums = ordered.map(_._3).scanLeft(0L)(_ + _)
+          ordered.zip(cums).forall { case ((_, _, _, pid, off), cb) =>
+            pid == cb / cap && off == cb % cap
+          }
+        }
+    }
+
+  property("heap top-k == window top-k on random groups/values/k") =
+    Prop.forAll(
+      Gen.choose(1, 4), Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 4L), Gen.choose(0, 9)))) {
+      (k, rows) =>
+        val df = rows.zipWithIndex
+          .map { case ((g, v), i) => (g, i.toLong, v.toDouble) }
+          .toDF("g", "id", "v")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("g").orderBy(col("v").desc, col("id"))
+        val expected = df.withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= k)
+          .select("g", "id", "v", "rnk").as[(Long, Long, Double, Long)].collect().toSet
+        val got = TopK.perKey(df, Seq("g"), Seq(("v", true), ("id", false)), k)
+          .select("g", "id", "v", "rnk").as[(Long, Long, Double, Long)].collect().toSet
+        got == expected
+    }
 }
