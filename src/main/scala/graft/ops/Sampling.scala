@@ -59,6 +59,35 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Mixture sampling: per-stratum keep RATES (the data-mixture op — each
+    * source/domain is up- or down-weighted by its own fraction, e.g. wiki
+    * 1.0, crawl 0.15). `rates` maps stratum value → keep fraction in
+    * [0, 1], resolved to per-ten-thousand hash-bucket thresholds; strata
+    * absent from the map use `defaultRate`. Deterministic like everything
+    * here: a row's fate depends only on (key, its stratum's rate) —
+    * re-ingests, retries, and corpus growth never flip it.
+    *
+    * Scale shape: pure projection + filter against a broadcast-size CASE
+    * over the rate map — no shuffle, no join.
+    */
+  def mixtureSample(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double = 0.0): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
+      "rates must be in [0, 1]")
+    def perMyriad(r: Double): Long = math.round(r * 10000).toLong
+    val threshold = rates.foldLeft(Option.empty[Column]) { case (acc, (s, r)) =>
+      Some(acc match {
+        case None    => when(col(strataCol) === s, perMyriad(r))
+        case Some(c) => c.when(col(strataCol) === s, perMyriad(r))
+      })
+    }.map(_.otherwise(perMyriad(defaultRate))).getOrElse(lit(perMyriad(defaultRate)))
+    df.filter(hashU24(col(keyCol)) % 10000L < threshold)
+  }
+
   /** Split assignment: `cuts` are (label, upperBoundExclusive) pairs over
     * `den` hash buckets, in ascending bound order with the last bound ==
     * den — e.g. Seq(("train",8),("val",9),("test",10)) with den=10 is an

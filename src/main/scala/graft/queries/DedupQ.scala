@@ -226,6 +226,24 @@ object DedupQ {
               LEFT JOIN h ON h.doc_id = d.doc_id""")),
 
     QDef(
+      "mixture_sample",
+      // data-mixture weighting: src0 kept whole, src1 at 50%, src2 at 10%,
+      // everything else at 25% — per-row fate depends only on (doc_id,
+      // source rate), so the mixture is stable under re-ingest and growth
+      (s, d) => Sampling.mixtureSample(
+        t(s, d, "documents").select("doc_id", "source"),
+        "doc_id", "source",
+        Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.1),
+        defaultRate = 0.25),
+      Some(s"""SELECT doc_id, source FROM (
+                 SELECT doc_id, source, ${Sampling.sqlHashU24("doc_id")} % 10000 AS b
+                 FROM documents)
+               WHERE b < CASE source WHEN 'src0' THEN 10000
+                                     WHEN 'src1' THEN 5000
+                                     WHEN 'src2' THEN 1000
+                                     ELSE 2500 END""")),
+
+    QDef(
       "stratified_sample",
       // per-(lang, source) cap of 5 docs, chosen by hash order with a key
       // tiebreak — reproducible class balancing, no rand()

@@ -58,6 +58,23 @@ class SamplingPackingSpec extends SparkSpec {
     assert(out(2L) == ((0L, 0L, 0L)))
   }
 
+  test("mixtureSample: rate 1 keeps all, rate 0 drops all, rates are per-stratum and stable") {
+    val df = (0L until 1000L).map(i => (i, if (i % 2 == 0) "keep" else "thin"))
+      .toDF("id", "src")
+    val out = Sampling.mixtureSample(df, "id", "src", Map("keep" -> 1.0, "thin" -> 0.2))
+      .as[(Long, String)].collect()
+    assert(out.count(_._2 == "keep") == 500) // rate 1.0: everything survives
+    val thin = out.count(_._2 == "thin")
+    assert(thin > 50 && thin < 150, s"thin kept $thin of 500 at rate 0.2")
+    // default rate 0 drops unknown strata entirely
+    val dropped = Sampling.mixtureSample(df, "id", "src", Map("keep" -> 1.0))
+    assert(dropped.filter(col("src") === "thin").count() == 0)
+    // stability: same rows on every evaluation
+    val again = Sampling.mixtureSample(df, "id", "src", Map("keep" -> 1.0, "thin" -> 0.2))
+      .as[(Long, String)].collect()
+    assert(out.toSet == again.toSet)
+  }
+
   test("saltedJoin equals the plain join exactly; rankNormalize ties share a quantile") {
     val big = (0L until 200L).map(i => (i % 5, i, i * 0.5)).toDF("k", "payload", "v")
     val small = Seq((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d"), (4L, "e")).toDF("k", "lbl")
