@@ -97,6 +97,28 @@ object Text {
       .select(col(idCol), col("profile_lang").as("pred_lang"), col("score"))
   }
 
+  /** Self-repetition score — the Gopher-class quality signal: the fraction
+    * of a doc's k-grams that are repeats (1 − distinct/total). Boilerplate,
+    * keyboard-mash and template spam score high; natural prose scores near
+    * zero. Array-local: the gram count and distinct count come off the
+    * shingle array without an explode, so this is a pure projection.
+    */
+  def repetitionScore(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    // sub-k docs get an EMPTY gram list (sequence(0, negative) would
+    // descend — the [[shingles]] caller contract is size >= k)
+    val sh = when(size(tokens(col(textCol))) >= k, shingles(tokens(col(textCol)), k))
+      .otherwise(array().cast("array<string>"))
+    df.select(
+      col(idCol),
+      size(tokens(col(textCol))).cast("long").as("n_tokens"),
+      size(sh).cast("long").as("n_grams"),
+      size(array_distinct(sh)).cast("long").as("n_distinct_grams"))
+      .withColumn(
+        "dup_frac",
+        when(col("n_grams") <= 0, lit(0.0)).otherwise(
+          lit(1.0) - col("n_distinct_grams").cast("double") / col("n_grams").cast("double")))
+  }
+
   /** Sequence packing — assign documents to fixed-capacity token packs
     * (context windows), the concat-and-chunk layout LLM training shards
     * use: within each shard, docs are laid end-to-end in id order and a

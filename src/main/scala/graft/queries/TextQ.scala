@@ -99,6 +99,36 @@ object TextQ {
                  FROM sc) WHERE rn = 1""")),
 
     QDef(
+      "t8_quality_gate",
+      // the document filter a pipeline actually ships: keep docs that are
+      // long enough AND not self-repetitive (Gopher-style gate) — signals
+      // emitted alongside the decision so thresholds stay auditable
+      (s, d) =>
+        Text.repetitionScore(t(s, d, "documents"), "doc_id", "text", 3)
+          .withColumn(
+            "keep",
+            (col("n_tokens") >= 40 && col("dup_frac") <= 0.03).cast("long"))
+          .select("doc_id", "n_tokens", "dup_frac", "keep"),
+      Some("""WITH g AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                  CAST(len(grams) AS BIGINT) AS n_grams,
+                  CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct
+                FROM (SELECT doc_id, toks,
+                        [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                         FOR i IN generate_series(1, len(toks) - 2)] AS grams
+                      FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks
+                            FROM documents))),
+              sgn AS (SELECT doc_id, n_tokens,
+                        CASE WHEN n_grams <= 0 THEN CAST(0.0 AS DOUBLE)
+                             ELSE CAST(1.0 AS DOUBLE)
+                                  - CAST(n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE)
+                        END AS dup_frac
+                      FROM g)
+              SELECT doc_id, n_tokens, dup_frac,
+                CAST(CASE WHEN n_tokens >= 40 AND dup_frac <= CAST(0.03 AS DOUBLE)
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep
+              FROM sgn""")),
+
+    QDef(
       "curriculum_bins",
       // per-language curriculum deciles: ntile(10) over the quality score
       // (t2's, bit-identical across engines) with a doc_id tiebreak —
