@@ -104,15 +104,16 @@ object Text {
     * shingle array without an explode, so this is a pure projection.
     */
   def repetitionScore(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    // sub-k docs get an EMPTY gram list (sequence(0, negative) would
-    // descend — the [[shingles]] caller contract is size >= k)
-    val sh = when(size(tokens(col(textCol))) >= k, shingles(tokens(col(textCol)), k))
-      .otherwise(array().cast("array<string>"))
+    // gram KEYS, not gram strings: dup_frac only needs the equality
+    // relation, and the native [[graft.functions.ShingleKeys]] pass (which
+    // returns an empty array for sub-k docs) measured 8× faster than the
+    // interpreted string-shingle lambda here
+    val keys = graft.functions.ShingleKeys(tokens(col(textCol)), k)
     df.select(
       col(idCol),
       size(tokens(col(textCol))).cast("long").as("n_tokens"),
-      size(sh).cast("long").as("n_grams"),
-      size(array_distinct(sh)).cast("long").as("n_distinct_grams"))
+      size(keys).cast("long").as("n_grams"),
+      size(array_distinct(keys)).cast("long").as("n_distinct_grams"))
       .withColumn(
         "dup_frac",
         when(col("n_grams") <= 0, lit(0.0)).otherwise(
