@@ -195,16 +195,18 @@ object Dedup {
       minSpanTokens: Int,
       maxGramDf: Int = Int.MaxValue): DataFrame = {
     val toks = Text.tokens(col(textCol))
-    // grams ride as xxhash64 keys from the start: the join/groupBy shuffles
-    // move 8-byte longs instead of k-word strings (measured 3× end-to-end on
-    // a 300k-doc / 10M-gram corpus). A 64-bit collision (odds ~m²/2⁶⁵ for m
-    // distinct grams) adds one spurious matched position; a FALSE SPAN needs
-    // minSpanTokens − k + 1 consecutive collisions on one diagonal —
-    // vanishing. The string-keyed oracle hash-matching at every sf is the
-    // standing evidence no collision has fired.
+    // grams ride as 64-bit keys from the start, hashed NATIVELY in one
+    // ShingleKeys pass (positional output, so posexplode yields (pos, key)
+    // directly — no gram string is ever built): the join/groupBy shuffles
+    // move 8-byte longs instead of k-word strings. A 64-bit collision (odds
+    // ~m²/2⁶⁵ for m distinct grams) adds one spurious matched position; a
+    // FALSE SPAN needs minSpanTokens − k + 1 consecutive collisions on one
+    // diagonal — vanishing. The string-keyed oracle hash-matching at every
+    // sf is the standing evidence no collision has fired.
     val allGrams = Spread.byKey(df.filter(size(toks) >= k), col(idCol))
-      .select(col(idCol), posexplode(Text.shingles(toks, k)).as(Seq("pos", "gram")))
-      .withColumn("gram", xxhash64(col("gram")))
+      .select(
+        col(idCol),
+        posexplode(graft.functions.ShingleKeys(toks, k)).as(Seq("pos", "gram")))
     val grams =
       if (maxGramDf == Int.MaxValue) allGrams
       else {
