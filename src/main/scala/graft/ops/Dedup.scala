@@ -35,13 +35,24 @@ object Dedup {
     * The single inverted-index join + count groupBy keeps all pair weight
     * inside one shuffle. For genuinely large corpora the scale path is
     * MinHash+LSH ([[lshCandidates]]); this operator is the exact baseline.
+    *
+    * The exact baseline's failure mode is a corpus-HOT shingle: df docs
+    * sharing one shingle contribute ~df²/2 join pairs (measured: a
+    * 300k-doc corpus with one df=60k boilerplate shingle ran the join past
+    * 10 minutes). `maxShingleDf` bounds it the same way [[sharedSpans]]'s
+    * gram cap does — shingles above the doc-frequency cap are dropped from
+    * EVERY set before sizes and intersections, so the reported jaccard is
+    * exact over the capped shingle universe (a consistent, documented
+    * semantics: boilerplate shingles carry no similarity signal anyway).
+    * Default keeps the uncapped exact semantics.
     */
   def jaccardPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       k: Int,
-      minJaccard: Double): DataFrame = {
+      minJaccard: Double,
+      maxShingleDf: Int = Int.MaxValue): DataFrame = {
     // 64-bit shingle KEYS, hashed natively in place (ShingleKeys codegen —
     // the composed string-building form was the measured bottleneck of the
     // whole scan): the inverted-index shuffle carries 8-byte keys instead
@@ -49,7 +60,17 @@ object Dedup {
     // the equality relation, and a corpus-level 64-bit collision (~1e-6 at
     // millions of shingles) is the accepted trade. Persisted because it
     // feeds three plan branches.
-    val sh = Caches.trackPersist(Text.shingleKeySet(df, idCol, textCol, k))
+    val allSh = Text.shingleKeySet(df, idCol, textCol, k)
+    val sh = Caches.trackPersist(
+      if (maxShingleDf == Int.MaxValue) allSh
+      else {
+        val base = Caches.trackPersist(allSh)
+        val hot = base.groupBy(col("sk"))
+          .agg(count(lit(1)).as("__df")) // shingleKeySet is per-doc distinct
+          .filter(col("__df") > maxShingleDf)
+          .select("sk")
+        base.join(broadcast(hot), Seq("sk"), "left_anti")
+      })
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("a")
       .join(sh.as("b"), col("a.sk") === col("b.sk") && col(s"a.$idCol") < col(s"b.$idCol"))

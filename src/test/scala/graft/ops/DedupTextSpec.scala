@@ -72,6 +72,28 @@ class DedupTextSpec extends SparkSpec {
     assert(capped == Set((10L, 11L, 0L, 6L), (10L, 11L, 5L, 5L)))
   }
 
+  test("jaccardPairs maxShingleDf: hot boilerplate shingles stop creating pairs") {
+    // every doc shares the hot run "H1 H2 H3"; only 30/31 genuinely overlap
+    val hot = "H1 H2 H3"
+    val df = Seq(
+      (30L, s"alpha beta gamma delta $hot"),
+      (31L, s"alpha beta gamma delta $hot epsilon")
+    ) ++ (40L to 49L).map(i => (i, s"unique$i words$i only$i here$i $hot"))
+    val docs = df.toDF("doc_id", "text")
+    val uncapped = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.01)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    Caches.releaseAll()
+    // the hot trigram alone pairs every doc with every other
+    assert(uncapped.size == 12 * 11 / 2)
+    val capped = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.01, maxShingleDf = 5)
+      .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect()
+    Caches.releaseAll()
+    // only the genuine near-dup pair survives, with jaccard over the
+    // capped shingle universe
+    assert(capped.map(p => (p._1, p._2)).toSet == Set((30L, 31L)))
+    assert(capped.head._3 > 0.3)
+  }
+
   test("shingleKeySet: same equality relation as the string shingle set") {
     val ss = Text.shingleSet(docs, "doc_id", "text", 3)
       .as[(Long, String)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
