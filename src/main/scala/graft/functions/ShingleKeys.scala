@@ -66,8 +66,14 @@ object ShingleKeys {
       var h = 42L
       var j = 0
       while (j < k) {
-        val s = toks.getUTF8String(i + j)
-        h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, h)
+        // null tokens hash as a fixed sentinel (split() never yields them,
+        // but transform()/constructed arrays may — a raw getUTF8String
+        // would NPE at runtime)
+        if (toks.isNullAt(i + j)) h = XXH64.hashLong(-1L, h)
+        else {
+          val s = toks.getUTF8String(i + j)
+          h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, h)
+        }
         j += 1
       }
       out(i) = h

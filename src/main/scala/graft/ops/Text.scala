@@ -97,6 +97,51 @@ object Text {
       .select(col(idCol), col("profile_lang").as("pred_lang"), col("score"))
   }
 
+  /** Stopword list shared by the quality score (both engines). */
+  val qualityStops: Seq[String] = Seq("the", "a", "of", "to", "in")
+
+  /** T2 quality score: per doc, (n_tokens, distinct_ratio, stop_ratio,
+    * quality_score = distinct_ratio · (1 − stop_ratio)). THE single
+    * definition — `t2_quality_score`, `d8_dedup_keep` and
+    * `curriculum_bins` all consume this operator and [[qualitySql]], so
+    * the score cannot silently fork between queries (six hand-synced
+    * copies previously had to stay expression-identical for the oracle
+    * gate).
+    */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val g = tok.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_tokens"),
+      countDistinct(col("token")).as("n_distinct"),
+      sum(when(col("token").isin(qualityStops: _*), 1).otherwise(0)).as("n_stop"))
+    val dr = col("n_distinct").cast("double") / col("n_tokens").cast("double")
+    val sr = col("n_stop").cast("double") / col("n_tokens").cast("double")
+    g.select(
+      col(idCol),
+      col("n_tokens"),
+      dr.as("distinct_ratio"),
+      sr.as("stop_ratio"),
+      (dr * (lit(1.0) - sr)).as("quality_score"))
+  }
+
+  /** Oracle twin of [[qualityScore]]: CTE chain ending in
+    * `qual(doc_id, n_tokens, distinct_ratio, stop_ratio, quality_score)`.
+    */
+  def qualitySql(table: String = "documents"): String = {
+    val stops = qualityStops.map(s => s"'$s'").mkString(",")
+    s"""qtok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token FROM $table),
+        qg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(count(DISTINCT token) AS BIGINT) AS n_distinct,
+                 CAST(sum(CASE WHEN token IN ($stops) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+               FROM qtok GROUP BY 1),
+        qual AS (SELECT doc_id, n_tokens,
+                 CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS distinct_ratio,
+                 CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+                 (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+                 * (CAST(1.0 AS DOUBLE) - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS quality_score
+               FROM qg)"""
+  }
+
   /** Self-repetition score — the Gopher-class quality signal: the fraction
     * of a doc's k-grams that are repeats (1 − distinct/total). Boilerplate,
     * keyboard-mash and template spam score high; natural prose scores near
@@ -202,7 +247,10 @@ object Text {
         (tf + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / avgdl))))
     }
     val score = terms.indices.map(contrib).reduce(_ + _)
-    g.crossJoin(broadcast(stats))
+    // persisted: g feeds the corpus-stats aggregation AND the final
+    // projection — otherwise the token explode + hash agg run twice
+    val gc = Caches.trackPersist(g)
+    gc.crossJoin(broadcast(stats))
       .select(col(idCol), col("dl"), score.as("bm25_score"))
   }
 }

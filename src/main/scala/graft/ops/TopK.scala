@@ -36,7 +36,17 @@ object TopK {
     def attr(n: String) = child.output.find(a => resolver(a.name, n)).getOrElse(
       throw new IllegalArgumentException(
         s"column $n not found among ${child.output.map(_.name).mkString(", ")}"))
-    val group: Seq[Expression] = groupCols.map(attr)
+    // float/double group keys must be normalized (0.0 == -0.0, one NaN):
+    // the optimizer rule that does this for Window/Aggregate partition keys
+    // (NormalizeFloatingNumbers) never visits a custom logical node, and
+    // the exec compares keys as raw UnsafeRow bytes
+    val group: Seq[Expression] = groupCols.map(attr).map { a =>
+      a.dataType match {
+        case org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType =>
+          org.apache.spark.sql.catalyst.optimizer.NormalizeNaNAndZero(a)
+        case _ => a
+      }
+    }
     val order = orderBy.map { case (n, desc) =>
       SortOrder(attr(n), if (desc) Descending else Ascending)
     }

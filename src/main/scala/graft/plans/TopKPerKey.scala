@@ -82,8 +82,16 @@ case class TopKPerKeyExec(
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
       while (iter.hasNext) {
         val row = iter.next()
-        val heap = heaps.getOrElseUpdate(
-          keyProj(row).copy(), mutable.PriorityQueue.empty[InternalRow](rowOrd))
+        // look up with the projection's reused row; COPY only on first
+        // sight of a key (getOrElseUpdate would allocate a copy per row)
+        val key = keyProj(row)
+        val heap = heaps.get(key) match {
+          case Some(h) => h
+          case None =>
+            val h = mutable.PriorityQueue.empty[InternalRow](rowOrd)
+            heaps.put(key.copy(), h)
+            h
+        }
         if (heap.size < kLocal) heap.enqueue(row.copy())
         else if (ord.compare(row, heap.head) < 0) {
           heap.dequeue()

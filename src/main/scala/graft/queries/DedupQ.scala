@@ -163,31 +163,15 @@ object DedupQ {
           .withColumnRenamed("id", "doc_id")
         val lab = docs.join(comp, Seq("doc_id"), "left")
           .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster_id"))
-        val stops = Seq("the", "a", "of", "to", "in")
-        val tok = docs.select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
-        val g = tok.groupBy("doc_id").agg(
-          count(lit(1)).as("n_tokens"),
-          countDistinct(col("token")).as("n_distinct"),
-          sum(when(col("token").isin(stops: _*), 1).otherwise(0)).as("n_stop"))
-        val dr = col("n_distinct").cast("double") / col("n_tokens").cast("double")
-        val sr = col("n_stop").cast("double") / col("n_tokens").cast("double")
-        val qual = g.select(col("doc_id"), (dr * (lit(1.0) - sr)).as("quality_score"))
+        val qual = Text.qualityScore(docs, "doc_id", "text")
+          .select("doc_id", "quality_score")
         val w = Window.partitionBy("cluster_id").orderBy(col("quality_score").desc, col("doc_id"))
         lab.join(qual, "doc_id")
           .withColumn("keep", (row_number().over(w) === 1).cast("long"))
           .select("doc_id", "cluster_id", "quality_score", "keep")
       },
       Some(s"""WITH RECURSIVE $shSql, $ccSql,
-               tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
-                       FROM documents),
-               qg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-                        CAST(count(DISTINCT token) AS BIGINT) AS n_distinct,
-                        CAST(sum(CASE WHEN token IN ('the','a','of','to','in') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
-                      FROM tok GROUP BY 1),
-               qual AS (SELECT doc_id,
-                        (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE))
-                        * (CAST(1.0 AS DOUBLE) - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS quality_score
-                      FROM qg)
+               ${Text.qualitySql()}
                SELECT l.doc_id, l.cluster_id, q.quality_score,
                  CAST(CASE WHEN row_number() OVER (PARTITION BY l.cluster_id
                         ORDER BY q.quality_score DESC, l.doc_id) = 1

@@ -54,34 +54,12 @@ object TextQ {
 
     QDef(
       "t2_quality_score",
-      (s, d) => {
-        val stops = Seq("the", "a", "of", "to", "in")
-        val tok = t(s, d, "documents")
-          .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
-        val g = tok.groupBy("doc_id").agg(
-          count(lit(1)).as("n_tokens"),
-          countDistinct(col("token")).as("n_distinct"),
-          sum(when(col("token").isin(stops: _*), 1).otherwise(0)).as("n_stop"))
-        val dr = col("n_distinct").cast("double") / col("n_tokens").cast("double")
-        val sr = col("n_stop").cast("double") / col("n_tokens").cast("double")
-        g.select(
-          col("doc_id"),
-          col("n_tokens"),
-          dr.as("distinct_ratio"),
-          sr.as("stop_ratio"),
-          (dr * (lit(1.0) - sr)).as("quality_score"))
-      },
-      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token FROM documents),
-              g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-                      CAST(count(DISTINCT token) AS BIGINT) AS n_distinct,
-                      CAST(sum(CASE WHEN token IN ('the','a','of','to','in') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
-                    FROM tok GROUP BY 1)
-              SELECT doc_id, n_tokens,
-                CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS distinct_ratio,
-                CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
-                (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE))
-                  * (CAST(1.0 AS DOUBLE) - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS quality_score
-              FROM g""")),
+      // the ONE quality-score definition — d8_dedup_keep and
+      // curriculum_bins consume the same operator + SQL fragment
+      (s, d) => Text.qualityScore(t(s, d, "documents"), "doc_id", "text"),
+      Some(s"""WITH ${Text.qualitySql()}
+               SELECT doc_id, n_tokens, distinct_ratio, stop_ratio, quality_score
+               FROM qual""")),
 
     QDef(
       "t3_lang_id",
@@ -135,15 +113,8 @@ object TextQ {
       // partitioned by lang, so the ordered window never globally sorts
       (s, d) => {
         val docs = t(s, d, "documents")
-        val stops = Seq("the", "a", "of", "to", "in")
-        val tok = docs.select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
-        val g = tok.groupBy("doc_id").agg(
-          count(lit(1)).as("n_tokens"),
-          countDistinct(col("token")).as("n_distinct"),
-          sum(when(col("token").isin(stops: _*), 1).otherwise(0)).as("n_stop"))
-        val dr = col("n_distinct").cast("double") / col("n_tokens").cast("double")
-        val sr = col("n_stop").cast("double") / col("n_tokens").cast("double")
-        val qual = g.select(col("doc_id"), (dr * (lit(1.0) - sr)).as("quality_score"))
+        val qual = Text.qualityScore(docs, "doc_id", "text")
+          .select("doc_id", "quality_score")
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("lang").orderBy(col("quality_score"), col("doc_id"))
         docs.select("doc_id", "lang").join(qual, "doc_id")
@@ -151,20 +122,11 @@ object TextQ {
             col("doc_id"), col("lang"), col("quality_score"),
             ntile(10).over(w).cast("long").as("decile"))
       },
-      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
-                           FROM documents),
-              qg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-                       CAST(count(DISTINCT token) AS BIGINT) AS n_distinct,
-                       CAST(sum(CASE WHEN token IN ('the','a','of','to','in') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
-                     FROM tok GROUP BY 1),
-              qual AS (SELECT doc_id,
-                       (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE))
-                       * (CAST(1.0 AS DOUBLE) - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS quality_score
-                     FROM qg)
-              SELECT d.doc_id, d.lang, q.quality_score,
-                CAST(ntile(10) OVER (PARTITION BY d.lang
-                  ORDER BY q.quality_score, d.doc_id) AS BIGINT) AS decile
-              FROM documents d JOIN qual q ON q.doc_id = d.doc_id""")),
+      Some(s"""WITH ${Text.qualitySql()}
+               SELECT d.doc_id, d.lang, q.quality_score,
+                 CAST(ntile(10) OVER (PARTITION BY d.lang
+                   ORDER BY q.quality_score, d.doc_id) AS BIGINT) AS decile
+               FROM documents d JOIN qual q ON q.doc_id = d.doc_id""")),
 
     QDef(
       "t7_pack_sequences",

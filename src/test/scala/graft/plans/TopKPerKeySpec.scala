@@ -39,6 +39,15 @@ class TopKPerKeySpec extends SparkSpec {
     assert(out.count() == 10)
   }
 
+  test("float group keys normalize: 0.0 and -0.0 are ONE group (window semantics)") {
+    val df = Seq((0.0, 1L, 5.0), (-0.0, 2L, 7.0), (-0.0, 3L, 3.0))
+      .toDF("g", "id", "v")
+    val out = graft.ops.TopK.perKey(df, Seq("g"), Seq(("v", true), ("id", false)), 2)
+      .select("id", "rnk").as[(Long, Long)].collect().toSet
+    // one group of three rows → top-2 by v desc: ids 2 (7.0), 1 (5.0)
+    assert(out == Set((2L, 1L), (1L, 2L)))
+  }
+
   test("registered via SparkSessionExtensions too (strategy idempotent)") {
     // calling perKey twice must not register the strategy twice
     val df = (0L until 10L).map(i => (0L, i, i.toDouble)).toDF("g", "id", "v")
