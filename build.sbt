@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"` as
+// JSON. Two things broke that in rounds 1-3: sbt's logger prefixes forked
+// output with [info]/[error], and sbt appends a trailing
+// "[success] Total time: ..." line. Pass forked output through raw and
+// suppress the success line so Bench's bare summary JSON is the final line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
