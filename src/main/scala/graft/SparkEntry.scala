@@ -13,7 +13,8 @@ import graft.queries._
 object SparkEntry {
   private val all: Seq[QDef] =
     Relational.defs ++ TimeSeries.defs ++ Scalers.defs ++
-      DedupQ.defs ++ TextQ.defs ++ SimilarityQ.defs ++ MlQ.defs
+      DedupQ.defs ++ TextQ.defs ++ SimilarityQ.defs ++ MlQ.defs ++
+      EventsQ.defs
 
   require(all.map(_.name).distinct.size == all.size, "duplicate query names")
 

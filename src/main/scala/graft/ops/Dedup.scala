@@ -437,4 +437,52 @@ object Dedup {
       .reduce(_ + _)
     voted.select(col(idCol), fp.as("simhash"))
   }
+
+  /** Token-block dedup profile (the fixed-width analog of CCNet's
+    * paragraph-hash dedup, for corpora without paragraph structure): chop
+    * each document into non-overlapping `blockTokens`-token blocks, find
+    * blocks whose exact text recurs anywhere in the corpus, and report per
+    * document how much of it is copied material. The canonical occurrence
+    * of a block is the smallest (doc_id, pos) — everything else counts as
+    * duplicated, so `dup_frac` is directly usable as a drop/trim signal.
+    *
+    * Scale shape: blocks explode in-stage off the scan (≤ tokens/blockTokens
+    * rows per doc, no self-join), one groupBy on the block text to elect the
+    * canonical occurrence, one co-partitioned join back, one groupBy doc.
+    * Unlike shingles the blocks are non-overlapping, so total block rows =
+    * corpus tokens / blockTokens — sub-linear in corpus bytes. Hot blocks
+    * (boilerplate) cost one wide group each, never a pairwise join.
+    */
+  def tokenBlockStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockTokens: Int = 8): DataFrame = {
+    val toks = Text.tokens(col(textCol))
+    // complete blocks only; slice() is 1-based. sequence() needs the guard:
+    // sequence(0, -1) yields [0, -1], not [] — docs shorter than one block
+    // must not reach it
+    val nb = floor(size(toks) / blockTokens).cast("int")
+    val blocks = df
+      .filter(size(toks) >= blockTokens)
+      .select(
+        col(idCol),
+        explode(transform(
+          sequence(lit(0), nb - 1),
+          i => struct(
+            i.cast("long").as("pos"),
+            concat_ws(" ", slice(toks, i * blockTokens + 1, lit(blockTokens))).as("block"))))
+          .as("bl"))
+      .select(col(idCol), col("bl.pos").as("pos"), col("bl.block").as("block"))
+      // total occurrence order without a composite struct-min: pos is
+      // bounded by tokens/blockTokens ≪ 10^6
+      .withColumn("__occ", col(idCol).cast("long") * 1000000L + col("pos"))
+    val firsts = blocks.groupBy("block").agg(min(col("__occ")).as("__first"))
+    blocks.join(firsts, "block")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum((col("__occ") =!= col("__first")).cast("long")).as("dup_blocks"))
+      .withColumn("dup_frac", col("dup_blocks").cast("double") / col("n_blocks").cast("double"))
+  }
 }

@@ -140,4 +140,35 @@ object Stats {
     */
   def argmaxArray(arr: Column): Column =
     (array_position(arr, array_max(arr)) - 1).cast("int")
+
+  /** A16: per-group z-score outlier detection — flag rows whose value sits
+    * more than `threshold` sample standard deviations from the group mean
+    * (sensor-fault / label-noise screening at ingest).
+    *
+    * Determinism: mean and stddev come from [[Exact]] decimal sums
+    * (order-independent), and the z-score itself is three single IEEE ops
+    * (subtract, divide, abs) — bit-identical cross-engine. Groups with
+    * sd = 0 or n ≤ 1 are excluded BEFORE the division so no NaN/Inf ever
+    * reaches the comparison (engines disagree on NaN ordering).
+    *
+    * Scale shape: one partial-aggregated groupBy on the keys, then one
+    * co-partitioned join back — both shuffles share the same hash
+    * partitioning, and AQE turns the join broadcast when the per-group
+    * stats frame is small.
+    */
+  def zOutliers(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      threshold: Double): DataFrame = {
+    val stats = df.groupBy(keys.map(col): _*)
+      .agg(
+        Exact.dmean(col(valueCol)).as("__mu"),
+        Exact.dstddev(col(valueCol)).as("__sd"))
+      .filter(col("__sd") > 0)
+    df.join(stats, keys)
+      .withColumn("z", (col(valueCol) - col("__mu")) / col("__sd"))
+      .filter(abs(col("z")) > threshold)
+      .drop("__mu", "__sd")
+  }
 }

@@ -190,4 +190,57 @@ object Windows {
     */
   def upsampleRepeat(df: DataFrame, factor: Int, idxCol: String = "rep_idx"): DataFrame =
     df.withColumn(idxCol, explode(sequence(lit(0), lit(factor - 1))))
+
+  /** W12: exponentially weighted moving average with α = 1/2, truncated at
+    * `lags` = 32 lookback rows — the smoothing kernel of streaming QoS /
+    * sensor pipelines, built CROSS-ENGINE-EXACT: α = 1/2 makes every weight
+    * a dyadic power 2^(lags-1-Δ), the value is pre-quantized to an integer
+    * (`⌊v·10^6⌋`), and both numerator and weight-mass are pure BIGINT sums,
+    * so the result is independent of partitioning and bit-identical in the
+    * DuckDB oracle (int64→double and the two closing divisions are single
+    * correctly-rounded IEEE ops in both engines).
+    *
+    * An α-weighted window sum is NOT a window-frame expression (the weight
+    * depends on the *distance* between frame row and current row), so it is
+    * a bounded-range self-join: each row pairs with ≤ `lags` predecessors —
+    * a fixed 32× row expansion, equi-keyed on the partition columns with a
+    * row-number band predicate, never a cross product. Overflow bound:
+    * num ≤ ⌊v·10^6⌋ · 2^lags, safe in int64 for v up to ~2·10^9.
+    */
+  def ewmaDyadic(
+      df: DataFrame,
+      parts: Seq[String],
+      order: Seq[Column],
+      valueCol: String,
+      carry: Seq[String] = Nil,
+      outCol: String = "ewma",
+      lags: Int = 32): DataFrame = {
+    require(lags >= 1 && lags <= 56, "2^lags · quantized value must fit int64")
+    val w = Window.partitionBy(parts.map(col): _*).orderBy(order: _*)
+    val q = df
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__vq", floor(col(valueCol) * lit(1e6)).cast("long"))
+    val a = q.as("__wa")
+    val b = q
+      .select(parts.map(col) ++ Seq(col("__rn"), col("__vq")): _*)
+      .as("__wb")
+    val cond = parts.map(n => col(s"__wa.$n") === col(s"__wb.$n")).reduce(_ && _) &&
+      col("__wb.__rn") <= col("__wa.__rn") &&
+      col("__wb.__rn") > col("__wa.__rn") - lags
+    val weight = expr(
+      s"shiftleft(CAST(1 AS BIGINT), CAST(${lags - 1} - (__wa.__rn - __wb.__rn) AS INT))")
+    // carry/value columns are constant within each (parts, __rn) group —
+    // min() keeps them without a nondeterministic first()
+    val keeps = (carry :+ valueCol).distinct
+      .map(n => min(col(s"__wa.$n")).as(n))
+    a.join(b, cond)
+      .groupBy(parts.map(n => col(s"__wa.$n")) :+ col("__wa.__rn"): _*)
+      .agg(
+        keeps.head,
+        keeps.tail ++ Seq(
+          sum(col("__wb.__vq") * weight).as("__num"),
+          sum(weight).as("__den")): _*)
+      .withColumn(outCol, col("__num").cast("double") / col("__den").cast("double") / lit(1e6))
+      .drop("__rn", "__num", "__den")
+  }
 }

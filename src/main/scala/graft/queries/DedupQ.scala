@@ -292,6 +292,68 @@ object DedupQ {
                   FROM tok),
             v AS (SELECT doc_id, $votes FROM h GROUP BY 1)
             SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM v"""
+      }),
+
+    QDef(
+      "d10_block_dedup",
+      // fixed-width token-block dedup profile (paragraph-hash dedup for
+      // corpora without paragraph structure): non-overlapping 8-token
+      // blocks, canonical occurrence = min (doc_id, pos), per-doc copied
+      // fraction as the drop/trim signal
+      (s, d) => Dedup.tokenBlockStats(t(s, d, "documents"), "doc_id", "text", 8),
+      Some("""WITH tk AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+                          FROM documents),
+              b AS (SELECT doc_id, i AS pos,
+                      array_to_string(toks[(i * 8 + 1):(i * 8 + 8)], ' ') AS block
+                    FROM tk, unnest(generate_series(0, len(toks) // 8 - 1)) AS u(i)
+                    WHERE len(toks) >= 8),
+              o AS (SELECT doc_id, block, doc_id * 1000000 + pos AS occ FROM b),
+              f AS (SELECT block, min(occ) AS fst FROM o GROUP BY 1)
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+                CAST(sum(CASE WHEN occ <> fst THEN 1 ELSE 0 END) AS BIGINT) AS dup_blocks,
+                CAST(sum(CASE WHEN occ <> fst THEN 1 ELSE 0 END) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS dup_frac
+              FROM o JOIN f USING (block) GROUP BY 1""")),
+
+    QDef(
+      "g1_pagerank",
+      // centrality inside the near-dup web: damped PageRank (d = 0.85,
+      // 5 fixed iterations) over d2's Jaccard >= 0.5 pair graph, in pure
+      // scaled-BIGINT arithmetic (1.0 = 10^12) — bit-exact vs the oracle's
+      // unrolled CTE chain; ranks feed keep-policy alongside d8's quality
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+          .select("a_id", "b_id")
+        Graph.pagerankScaled(pairs, docs, "a_id", "b_id", "doc_id", iters = 5)
+          .withColumnRenamed("id", "doc_id")
+      },
+      Some {
+        val rounds = (1 to 5).map { i =>
+          s"""r$i AS (SELECT n0.id,
+                CAST(150000000000 + 85 * coalesce(c.s, 0) // 100 AS BIGINT) AS r
+              FROM n0 LEFT JOIN (
+                SELECT e.dst AS id, sum(p.r // dg.d) AS s
+                FROM e JOIN r${i - 1} p ON p.id = e.src
+                     JOIN dg ON dg.src = e.src
+                GROUP BY 1) c ON c.id = n0.id)"""
+        }.mkString(",\n")
+        s"""WITH $shSql,
+            sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+            pp AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS shared
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+            jp AS (SELECT a_id, b_id FROM pp
+                   JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+                   WHERE CAST(shared AS DOUBLE) / CAST(sa.n + sb.n - shared AS DOUBLE)
+                         >= CAST(0.5 AS DOUBLE)),
+            e AS (SELECT a_id AS src, b_id AS dst FROM jp
+                  UNION SELECT b_id, a_id FROM jp),
+            dg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1),
+            n0 AS (SELECT doc_id AS id FROM documents),
+            r0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS r FROM n0),
+            $rounds
+            SELECT id AS doc_id, r AS rank_scaled FROM r5"""
       })
   )
 }

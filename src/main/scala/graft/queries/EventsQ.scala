@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Event-log pipeline queries over `events`: CDC latest-wins merge,
+  * ordered-step funnel matching, dyadic EWMA smoothing, and per-entity
+  * z-score outlier screening — the operational layer a continuously
+  * ingested 100 TB event store needs on top of the §2.4/2.5 analytics.
+  *
+  * All four shuffle only on `user_id` (the natural shard key); see each
+  * op's scaladoc for the scale shape.
+  */
+object EventsQ {
+  import Q._
+
+  /** 2024-01-16 00:00:00 UTC in epoch µs — mid-range of the 30-day event
+    * window at every sf, so both the base snapshot and the update batch
+    * are non-trivial.
+    */
+  private val cutoffUs = 1705363200000000L
+
+  val defs: Seq[QDef] = Seq(
+    QDef(
+      "merge_upsert",
+      // CDC maintenance: base = per-user snapshot as of the cutoff,
+      // updates = the raw post-cutoff event batch; latest (ts, event_id)
+      // wins. Result = the current state table.
+      (s, d) => {
+        val ev = events(s, d)
+          .select("user_id", "ts_us", "event_id", "event_type", "value")
+        val pre = ev.filter(col("ts_us") < cutoffUs)
+        val post = ev.filter(col("ts_us") >= cutoffUs)
+        val wSnap = Window.partitionBy("user_id")
+          .orderBy(col("ts_us").desc, col("event_id").desc)
+        val base = pre.withColumn("__rn", row_number().over(wSnap))
+          .filter(col("__rn") === 1).drop("__rn")
+        Cdc.upsert(base, post, Seq("user_id"), Seq(col("ts_us"), col("event_id")))
+          .select("user_id", "ts_us", "event_id", "event_type", "value")
+      },
+      Some(s"""WITH ev AS ($evSql)
+               SELECT user_id, ts_us, event_id, event_type, value FROM (
+                 SELECT *, row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts_us DESC, event_id DESC) AS rn FROM ev)
+               WHERE rn = 1""")),
+
+    QDef(
+      "funnel_steps",
+      // conversion funnel view -> click -> purchase: earliest strictly
+      // in-order match per step, NULL once the funnel stalls
+      (s, d) =>
+        Funnel.steps(events(s, d), "user_id", "event_type", "ts_us",
+          Seq("view", "click", "purchase")),
+      Some(s"""WITH ev AS ($evSql),
+               u AS (SELECT DISTINCT user_id FROM ev),
+               s1 AS (SELECT user_id, min(ts_us) AS t1_us FROM ev
+                      WHERE event_type = 'view' GROUP BY 1),
+               s2 AS (SELECT ev.user_id, min(ts_us) AS t2_us FROM ev
+                      JOIN s1 USING (user_id)
+                      WHERE event_type = 'click' AND ts_us > t1_us GROUP BY 1),
+               s3 AS (SELECT ev.user_id, min(ts_us) AS t3_us FROM ev
+                      JOIN s2 USING (user_id)
+                      WHERE event_type = 'purchase' AND ts_us > t2_us GROUP BY 1)
+               SELECT u.user_id, t1_us, t2_us, t3_us,
+                 CAST(t1_us IS NOT NULL AS BIGINT) + CAST(t2_us IS NOT NULL AS BIGINT)
+                   + CAST(t3_us IS NOT NULL AS BIGINT) AS steps_completed
+               FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+               LEFT JOIN s3 USING (user_id)""")),
+
+    QDef(
+      "w12_ewma",
+      // dyadic EWMA (alpha = 1/2, 32-lag truncation): exact integer
+      // numerator/denominator, closing division in doubles — see
+      // Windows.ewmaDyadic for the determinism argument
+      (s, d) =>
+        Windows.ewmaDyadic(
+          events(s, d).select("user_id", "ts_us", "event_id", "value"),
+          Seq("user_id"), Seq(col("ts_us"), col("event_id")), "value",
+          carry = Seq("ts_us", "event_id"))
+          .select("user_id", "ts_us", "event_id", "value", "ewma"),
+      Some(s"""WITH ev AS ($evSql),
+               q AS (SELECT user_id, ts_us, event_id, value,
+                       row_number() OVER (PARTITION BY user_id
+                         ORDER BY ts_us, event_id) AS rn,
+                       CAST(floor(value * 1e6) AS BIGINT) AS vq FROM ev),
+               j AS (SELECT a.user_id, a.ts_us, a.event_id, a.value,
+                       sum(b.vq * (CAST(1 AS BIGINT) << CAST(31 - (a.rn - b.rn) AS INT))) AS num,
+                       sum(CAST(1 AS BIGINT) << CAST(31 - (a.rn - b.rn) AS INT)) AS den
+                     FROM q a JOIN q b ON a.user_id = b.user_id
+                       AND b.rn <= a.rn AND b.rn > a.rn - 32
+                     GROUP BY 1, 2, 3, 4)
+               SELECT user_id, ts_us, event_id, value,
+                 CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 1e6 AS ewma FROM j""")),
+
+    QDef(
+      "a16_outliers",
+      // per-user z-score screening at |z| > 2.5; sd = 0 / n <= 1 groups
+      // are excluded before the division (NaN never reaches a comparison)
+      (s, d) =>
+        Stats.zOutliers(
+          events(s, d).select("user_id", "event_id", "value"),
+          Seq("user_id"), "value", 2.5)
+          .select("user_id", "event_id", "value", "z"),
+      Some(s"""WITH ev AS ($evSql),
+               st AS (SELECT user_id, ${Exact.sqlDmean("value")} AS mu,
+                        ${Exact.sqlDstddev("value")} AS sd FROM ev GROUP BY 1)
+               SELECT ev.user_id, event_id, value, (value - mu) / sd AS z
+               FROM ev JOIN st USING (user_id)
+               WHERE sd > 0 AND abs((value - mu) / sd) > CAST(2.5 AS DOUBLE)""")))
+}

@@ -1,0 +1,127 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-4 pipeline operators: CDC upsert, funnel matching, dyadic EWMA,
+  * z-score outliers, token-block dedup, scaled-integer PageRank.
+  */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Cdc.upsert: updates win, base survives unmatched keys, order breaks within-side ties") {
+    val base = Seq((1L, 10L, "b1"), (2L, 20L, "b2"), (3L, 30L, "b3"))
+      .toDF("k", "ts", "v")
+    val updates = Seq((1L, 5L, "u-old"), (2L, 25L, "u-new"), (2L, 24L, "u-mid"))
+      .toDF("k", "ts", "v")
+    val out = Cdc.upsert(base, updates, Seq("k"), Seq(col("ts")))
+      .select("k", "v").as[(Long, String)].collect().toMap
+    // k=1: base ts=10 beats update ts=5 (latest wins, not update-always-wins)
+    // k=2: update ts=25 is the max; k=3: untouched base row
+    assert(out == Map(1L -> "b1", 2L -> "u-new", 3L -> "b3"))
+  }
+
+  test("Cdc.upsert: full order tie goes to the update row") {
+    val base = Seq((1L, 10L, "base")).toDF("k", "ts", "v")
+    val updates = Seq((1L, 10L, "update")).toDF("k", "ts", "v")
+    val out = Cdc.upsert(base, updates, Seq("k"), Seq(col("ts")))
+      .select("v").as[String].head()
+    assert(out == "update")
+  }
+
+  test("Funnel.steps: strict in-order matching, stalls keep later steps NULL") {
+    // u1 completes A->B->C; u2 has B before A (stalls at A... B after? no B
+    // after its A) -> only step1; u3 never does A -> 0 steps
+    val ev = Seq(
+      (1L, "A", 10L), (1L, "B", 20L), (1L, "C", 30L),
+      (2L, "B", 5L), (2L, "A", 8L),
+      (3L, "B", 1L), (3L, "C", 2L))
+      .toDF("u", "et", "ts")
+    val out = Funnel.steps(ev, "u", "et", "ts", Seq("A", "B", "C"))
+      .select("u", "steps_completed").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 3L, 2L -> 1L, 3L -> 0L))
+  }
+
+  test("Funnel.steps: same-timestamp step is NOT a match (strictly after)") {
+    val ev = Seq((1L, "A", 10L), (1L, "B", 10L)).toDF("u", "et", "ts")
+    val out = Funnel.steps(ev, "u", "et", "ts", Seq("A", "B"))
+    assert(out.select("steps_completed").as[Long].head() == 1L)
+  }
+
+  test("ewmaDyadic matches the recursive definition once warm (row >= lags)") {
+    // alpha=1/2 truncated at 32 lags: for rows past the warm-up the
+    // truncation error vs s_i = (v_i + s_{i-1})/2 is below 2^-31 * v_max
+    val n = 64
+    val vs = (1 to n).map(i => (i % 7 + 1).toDouble * 1.5)
+    val df = vs.zipWithIndex.map { case (v, i) => ("k", i.toLong, v) }
+      .toDF("k", "ts", "v")
+    val out = Windows.ewmaDyadic(df, Seq("k"), Seq(col("ts")), "v", carry = Seq("ts"))
+      .select("ts", "ewma").as[(Long, Double)].collect().toMap
+    var s = vs.head
+    val expect = vs.zipWithIndex.map { case (v, i) =>
+      s = if (i == 0) v else (v + s) / 2.0
+      i.toLong -> s
+    }.toMap
+    (40 until n).foreach { i =>
+      assert(math.abs(out(i.toLong) - expect(i.toLong)) < 1e-5,
+        s"row $i: ${out(i.toLong)} vs ${expect(i.toLong)}")
+    }
+  }
+
+  test("ewmaDyadic first row equals its own (quantized) value") {
+    val df = Seq(("k", 1L, 3.25)).toDF("k", "ts", "v")
+    val out = Windows.ewmaDyadic(df, Seq("k"), Seq(col("ts")), "v")
+      .select("ewma").as[Double].head()
+    assert(out == 3.25) // 3.25e6 is integral: no quantization loss
+  }
+
+  test("zOutliers flags only beyond-threshold rows and skips sd=0 groups") {
+    val g1 = Seq.fill(20)(10.0) :+ 100.0 // one extreme row
+    val g2 = Seq.fill(5)(7.0) // constant: sd = 0, must not divide
+    val df = (g1.map(("a", _)) ++ g2.map(("b", _))).zipWithIndex
+      .map { case ((k, v), i) => (k, i.toLong, v) }.toDF("k", "id", "v")
+    val out = Stats.zOutliers(df, Seq("k"), "v", 2.5)
+    val rows = out.select("k", "v").as[(String, Double)].collect()
+    assert(rows.toSeq == Seq(("a", 100.0)))
+  }
+
+  test("tokenBlockStats: recurring block counts against all but the first occurrence") {
+    val block = (1 to 8).map(i => s"w$i").mkString(" ")
+    val other = (11 to 18).map(i => s"x$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$block $other"), // doc 1: both blocks first occurrences
+      (2L, s"$other $block"), // doc 2: both blocks are dups
+      (3L, "a b c")) // shorter than one block: no rows
+      .toDF("doc_id", "text")
+    val out = Dedup.tokenBlockStats(df, "doc_id", "text", 8)
+      .select("doc_id", "n_blocks", "dup_blocks").as[(Long, Long, Long)]
+      .collect().map { case (k, a, b) => k -> ((a, b)) }.toMap
+    assert(out(1L) == ((2L, 0L)))
+    assert(out(2L) == ((2L, 2L)))
+    assert(!out.contains(3L))
+  }
+
+  test("pagerankScaled: symmetric pair graph concentrates rank on the hub") {
+    // star: 1 is connected to 2, 3, 4; node 5 isolated
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("id0")
+    val out = Graph.pagerankScaled(pairs, nodes, "a", "b", "id0", iters = 5)
+      .select("id", "rank_scaled").as[(Long, Long)].collect().toMap
+    assert(out(1L) > out(2L)) // hub outranks leaves
+    assert(out(2L) == out(3L) && out(3L) == out(4L)) // symmetric leaves tie
+    assert(out(5L) == 150000000000L) // isolated: base rank only
+    Caches.releaseAll()
+  }
+
+  test("pagerankScaled is invariant to partitioning (exact integer arithmetic)") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L)).toDF("a", "b")
+    val nodes = (1L to 4L).toDF("id0")
+    val r1 = Graph.pagerankScaled(pairs.repartition(1), nodes, "a", "b", "id0")
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    Caches.releaseAll()
+    val r7 = Graph.pagerankScaled(pairs.repartition(7), nodes, "a", "b", "id0")
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    Caches.releaseAll()
+    assert(r1 == r7)
+  }
+}
