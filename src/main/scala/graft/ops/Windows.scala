@@ -204,8 +204,11 @@ object Windows {
     * depends on the *distance* between frame row and current row), so it is
     * a bounded-range self-join: each row pairs with ≤ `lags` predecessors —
     * a fixed 32× row expansion, equi-keyed on the partition columns with a
-    * row-number band predicate, never a cross product. Overflow bound:
-    * num ≤ ⌊v·10^6⌋ · 2^lags, safe in int64 for v up to ~2·10^9.
+    * row-number band predicate, never a cross product. Overflow bound: the
+    * numerator is < ⌊|v|·10^6⌋ · 2^lags, so at the default lags = 32 the
+    * quantized value must stay under 2^31 — i.e. |v| < ~2147 (ANSI mode
+    * faults loudly beyond that; lower `lags` or pre-scale wider-range
+    * inputs).
     */
   def ewmaDyadic(
       df: DataFrame,

@@ -107,5 +107,28 @@ object EventsQ {
                         ${Exact.sqlDstddev("value")} AS sd FROM ev GROUP BY 1)
                SELECT ev.user_id, event_id, value, (value - mu) / sd AS z
                FROM ev JOIN st USING (user_id)
-               WHERE sd > 0 AND abs((value - mu) / sd) > CAST(2.5 AS DOUBLE)""")))
+               WHERE sd > 0 AND abs((value - mu) / sd) > CAST(2.5 AS DOUBLE)""")),
+
+    QDef(
+      "ivm_merge_agg",
+      // incremental view maintenance: per-(user, day) partial states from
+      // the historical side and the new batch, merged and finalized —
+      // bit-identical to the oracle's from-scratch aggregation because the
+      // (count, decimal sum) state is a commutative monoid
+      (s, d) => {
+        val ev = events(s, d)
+          .withColumn("bucket_us", Windows.tumbleMs(col("ts_us"), usPerDay))
+        val keys = Seq("user_id", "bucket_us")
+        val merged = Incremental.mergePartials(
+          Incremental.partials(ev.filter(col("ts_us") < cutoffUs), keys, "value"),
+          Incremental.partials(ev.filter(col("ts_us") >= cutoffUs), keys, "value"),
+          keys)
+        Incremental.finalizeMean(merged)
+          .select("user_id", "bucket_us", "n", "mean_value")
+      },
+      Some(s"""WITH ev AS ($evSql)
+               SELECT user_id, ts_us - ts_us % $usPerDay AS bucket_us,
+                 CAST(count(*) AS BIGINT) AS n,
+                 ${Exact.sqlDmean("value")} AS mean_value
+               FROM ev GROUP BY 1, 2""")))
 }

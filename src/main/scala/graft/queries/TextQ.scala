@@ -280,6 +280,49 @@ object TextQ {
       Some("""SELECT doc_id,
               md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
               sha256(text) AS sha256, CAST(strlen(text) AS BIGINT) AS byte_len
-              FROM documents"""))
+              FROM documents""")),
+
+    QDef(
+      "t9_tfidf_topk",
+      // per-doc top-3 characteristic terms by smoothed tf-idf (sklearn's
+      // ln((1+N)/(1+df)) + 1, via the correctly-rounded MathLn). df and N
+      // are vocabulary/scalar-sized → broadcast; the corpus term frame
+      // streams. Ranking runs through the custom TopKPerKey heap operator
+      // (its second consumer) with the usual total tiebreak; the oracle is
+      // the equivalent row_number window.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val tok = docs.select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+        val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val dfq = tok.groupBy("token").agg(countDistinct(col("doc_id")).as("dfc"))
+        val nd = docs.agg(count(lit(1)).as("nd"))
+        val sc = tf.join(broadcast(dfq), "token")
+          .crossJoin(broadcast(nd))
+          .withColumn(
+            "score",
+            col("tf").cast("double") *
+              (graft.functions.MathLn(
+                (lit(1.0) + col("nd")) / (lit(1.0) + col("dfc"))) + lit(1.0)))
+        TopK.perKey(
+          sc.select("doc_id", "token", "tf", "score"),
+          Seq("doc_id"), Seq(("score", true), ("token", false)), 3, "rank")
+          .select("doc_id", "rank", "token", "tf", "score")
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+                           FROM documents),
+              tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+                     FROM tok GROUP BY 1, 2),
+              dfq AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS dfc
+                      FROM tok GROUP BY 1),
+              nn AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+              sc AS (SELECT doc_id, token, tf,
+                       CAST(tf AS DOUBLE) *
+                         (ln((CAST(1.0 AS DOUBLE) + nd) / (CAST(1.0 AS DOUBLE) + dfc))
+                          + CAST(1.0 AS DOUBLE)) AS score
+                     FROM tf JOIN dfq USING (token), nn)
+              SELECT doc_id, rank, token, tf, score FROM (
+                SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                  ORDER BY score DESC, token) AS BIGINT) AS rank FROM sc)
+              WHERE rank <= 3"""))
   )
 }

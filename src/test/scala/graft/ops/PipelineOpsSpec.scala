@@ -113,6 +113,25 @@ class PipelineOpsSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("Incremental: merged partials == from-scratch aggregation, any batch split") {
+    val rows = (1 to 100).map(i => (i % 5, i / 3.0 + 0.007))
+    val df = rows.toDF("k", "v")
+    val direct = df.groupBy("k")
+      .agg(count(lit(1)).as("n"), Exact.dmean(col("v")).as("mean_value"))
+      .orderBy("k").collect().toSeq
+    for (cut <- Seq(0, 1, 37, 99, 100)) {
+      val a = rows.take(cut).toDF("k", "v")
+      val b = rows.drop(cut).toDF("k", "v")
+      val merged = Incremental.finalizeMean(
+        Incremental.mergePartials(
+          Incremental.partials(a, Seq("k"), "v"),
+          Incremental.partials(b, Seq("k"), "v"),
+          Seq("k")))
+        .select("k", "n", "mean_value").orderBy("k").collect().toSeq
+      assert(merged == direct, s"cut=$cut")
+    }
+  }
+
   test("pagerankScaled is invariant to partitioning (exact integer arithmetic)") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L)).toDF("a", "b")
     val nodes = (1L to 4L).toDF("id0")

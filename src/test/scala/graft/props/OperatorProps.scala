@@ -137,4 +137,43 @@ object OperatorProps extends Properties("graft.ops") {
           .select("g", "id", "v", "rnk").as[(Long, Long, Double, Long)].collect().toSet
         got == expected
     }
+
+  property("upsert is idempotent and latest-wins on random batches") =
+    Prop.forAll(
+      Gen.listOfN(12, Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 20L))),
+      Gen.listOfN(6, Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 20L)))) {
+      (baseRows, updRows) =>
+        // unique (k, ts) per side (the op's total-order precondition)
+        val base = baseRows.distinct.zipWithIndex
+          .map { case ((k, ts), i) => (k, ts, s"b$i") }.toDF("k", "ts", "v")
+        val upd = updRows.distinct.zipWithIndex
+          .map { case ((k, ts), i) => (k, ts, s"u$i") }.toDF("k", "ts", "v")
+        val once = Cdc.upsert(base, upd, Seq("k"), Seq(col("ts")))
+        val twice = Cdc.upsert(once, upd, Seq("k"), Seq(col("ts")))
+        val o = once.as[(Long, Long, String)].collect().toSet
+        val t = twice.as[(Long, Long, String)].collect().toSet
+        // reference semantics: per key the max-ts row, update beats base ties
+        val expected = (baseRows.distinct.zipWithIndex.map { case ((k, ts), i) => (k, ts, s"b$i", 0) } ++
+          updRows.distinct.zipWithIndex.map { case ((k, ts), i) => (k, ts, s"u$i", 1) })
+          .groupBy(_._1).values.map(_.maxBy(r => (r._2, r._4)))
+          .map(r => (r._1, r._2, r._3)).toSet
+        o == expected && t == expected
+    }
+
+  property("ewmaDyadic: first row = own value; all rows within the value range") =
+    Prop.forAll(Gen.choose(1, 6), Gen.nonEmptyListOf(Gen.choose(0, 2000))) { (nKeys, vsRaw) =>
+      val vs = vsRaw.take(8)
+      // whole-number values below the lags=32 overflow bound (|v| < ~2147):
+      // v·10^6 is integral, so no quantization loss and row 1's EWMA is
+      // exactly v; later rows are convex combinations
+      val df = (0 until nKeys).flatMap(k =>
+        vs.zipWithIndex.map { case (v, i) => (k.toLong, i.toLong, v.toDouble) })
+        .toDF("k", "ts", "v")
+      val out = Windows.ewmaDyadic(df, Seq("k"), Seq(col("ts")), "v", carry = Seq("ts"))
+        .select("k", "ts", "ewma").as[(Long, Long, Double)].collect()
+      val firsts = out.filter(_._2 == 0L)
+      firsts.length == nKeys &&
+        firsts.forall(_._3 == vs.head.toDouble) &&
+        out.forall { case (_, _, e) => e >= vs.min - 1e-6 && e <= vs.max + 1e-6 }
+    }
 }
