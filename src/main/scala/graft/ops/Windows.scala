@@ -201,14 +201,20 @@ object Windows {
     * correctly-rounded IEEE ops in both engines).
     *
     * An α-weighted window sum is NOT a window-frame expression (the weight
-    * depends on the *distance* between frame row and current row), so it is
-    * a bounded-range self-join: each row pairs with ≤ `lags` predecessors —
-    * a fixed 32× row expansion, equi-keyed on the partition columns with a
-    * row-number band predicate, never a cross product. Overflow bound: the
-    * numerator is < ⌊|v|·10^6⌋ · 2^lags, so at the default lags = 32 the
-    * quantized value must stay under 2^31 — i.e. |v| < ~2147 (ANSI mode
-    * faults loudly beyond that; lower `lags` or pre-scale wider-range
-    * inputs).
+    * depends on the *distance* between frame row and current row), and a
+    * rank-BAND self-join is not the answer either: Spark's sort-merge join
+    * matches on the equi-keys only and applies the band residually, so it
+    * enumerates Σ n_k²/2 pairs per key — quadratic in series length. The
+    * linear shape is a SCATTER: each row explodes into its ≤ `lags`
+    * downstream row-slots (an exact `lags`× expansion, in-stage off the
+    * scan), one groupBy on (key, target row) folds the weighted sums, and
+    * one co-partitioned equi-join back to the real rows drops the phantom
+    * slots past each series' end. Two shuffles, zero pair enumeration.
+    *
+    * Overflow bound: the numerator is < ⌊|v|·10^6⌋ · 2^lags, so at the
+    * default lags = 32 the quantized value must stay under 2^31 — i.e.
+    * |v| < ~2147 (ANSI mode faults loudly beyond that; lower `lags` or
+    * pre-scale wider-range inputs).
     */
   def ewmaDyadic(
       df: DataFrame,
@@ -223,27 +229,27 @@ object Windows {
     val q = df
       .withColumn("__rn", row_number().over(w).cast("long"))
       .withColumn("__vq", floor(col(valueCol) * lit(1e6)).cast("long"))
-    val a = q.as("__wa")
-    val b = q
+    // row at rn contributes to target rows rn..rn+lags-1 with weight
+    // 2^(lags-1-δ); a shift of a negative __vq is exact ×2^k in two's
+    // complement, matching the oracle's multiply
+    val contrib = q
       .select(parts.map(col) ++ Seq(col("__rn"), col("__vq")): _*)
-      .as("__wb")
-    val cond = parts.map(n => col(s"__wa.$n") === col(s"__wb.$n")).reduce(_ && _) &&
-      col("__wb.__rn") <= col("__wa.__rn") &&
-      col("__wb.__rn") > col("__wa.__rn") - lags
-    val weight = expr(
-      s"shiftleft(CAST(1 AS BIGINT), CAST(${lags - 1} - (__wa.__rn - __wb.__rn) AS INT))")
-    // carry/value columns are constant within each (parts, __rn) group —
-    // min() keeps them without a nondeterministic first()
-    val keeps = (carry :+ valueCol).distinct
-      .map(n => min(col(s"__wa.$n")).as(n))
-    a.join(b, cond)
-      .groupBy(parts.map(n => col(s"__wa.$n")) :+ col("__wa.__rn"): _*)
-      .agg(
-        keeps.head,
-        keeps.tail ++ Seq(
-          sum(col("__wb.__vq") * weight).as("__num"),
-          sum(weight).as("__den")): _*)
-      .withColumn(outCol, col("__num").cast("double") / col("__den").cast("double") / lit(1e6))
-      .drop("__rn", "__num", "__den")
+      .withColumn("__d", explode(sequence(lit(0), lit(lags - 1))))
+      .select(
+        parts.map(col) ++ Seq(
+          (col("__rn") + col("__d")).as("__trn"),
+          expr(s"shiftleft(__vq, CAST(${lags - 1} - __d AS INT))").as("__wv"),
+          expr(s"shiftleft(CAST(1 AS BIGINT), CAST(${lags - 1} - __d AS INT))").as("__w")): _*)
+    val sums = contrib
+      .groupBy(parts.map(col) :+ col("__trn"): _*)
+      .agg(sum(col("__wv")).as("__num"), sum(col("__w")).as("__den"))
+      .as("__ws")
+    val a = q.as("__wa")
+    val joinCond = parts.map(n => col(s"__wa.$n") === col(s"__ws.$n")).reduce(_ && _) &&
+      col("__wa.__rn") === col("__ws.__trn")
+    val outCols = (parts ++ carry :+ valueCol).distinct.map(n => col(s"__wa.$n"))
+    a.join(sums, joinCond)
+      .select(outCols :+
+        (col("__num").cast("double") / col("__den").cast("double") / lit(1e6)).as(outCol): _*)
   }
 }

@@ -44,4 +44,24 @@ class PlanAuditSpec extends SparkSpec {
     val p2 = plan(Sampling.sampleDeterministic(df, "id", 1, 10))
     assert(!p1.contains("Exchange") && !p2.contains("Exchange"))
   }
+
+  test("Cdc.upsert plans a WindowGroupLimit (rn=1 pruned during the sort, no full window)") {
+    val base = (0L until 50L).map(i => (i % 10, i, s"b$i")).toDF("k", "ts", "v")
+    val upd = (0L until 20L).map(i => (i % 10, i + 100, s"u$i")).toDF("k", "ts", "v")
+    val p = plan(Cdc.upsert(base, upd, Seq("k"), Seq(col("ts"))))
+    assert(p.contains("WindowGroupLimit"), s"row_number filter not pushed into the sort:\n$p")
+  }
+
+  test("ewmaDyadic is scatter-shaped: no sort-merge pair enumeration, bounded explode") {
+    val df = (0L until 200L).map(i => (i % 4, i, (i % 90).toDouble)).toDF("k", "ts", "v")
+    val p = plan(Windows.ewmaDyadic(df, Seq("k"), Seq(col("ts")), "v"))
+    // the join back to real rows is equi-keyed on (k, rn): SMJ or
+    // broadcast is fine — what must NOT appear is a join keyed on k alone
+    // with the rank band as a post-join Filter (the quadratic shape)
+    assert(p.contains("Generate explode"), s"missing in-stage scatter explode:\n$p")
+    assert(!p.toLowerCase.contains("cartesian"), s"cartesian product:\n$p")
+    val joinLines = p.linesIterator.filter(_.contains("Join")).mkString("\n")
+    assert(joinLines.contains("__trn") || joinLines.contains("__rn"),
+      s"join not keyed on the target row number:\n$joinLines")
+  }
 }
