@@ -138,34 +138,50 @@ object IvfQuantizer {
     * `n(vec_id, n2)` with the exact squared norms in scope, and the table
     * `embeddings(vec_id, embedding)` with `dims` components.
     */
-  def lloydSql(k: Int, iters: Int, dims: Int, sampleEvery: Int = 1): String = {
+  def lloydSql(k: Int, iters: Int, dims: Int, sampleEvery: Int = 1): String =
+    lloydSqlAt(k, iters, dims, sampleEvery, "", 0)
+
+  /** [[lloydSql]] generalized to a vector SLICE (product-quantization
+    * subspaces): reads `dims` components starting at `dimOffset`, and
+    * suffixes every CTE name with `sfx` so several fits compose in one
+    * WITH chain. Expects `n$sfx(vec_id, n2)` — the slice's exact squared
+    * norms — in scope; emits `assigned$sfx` / `cellranks$sfx` /
+    * `comp$sfx`.
+    */
+  def lloydSqlAt(
+      k: Int,
+      iters: Int,
+      dims: Int,
+      sampleEvery: Int,
+      sfx: String,
+      dimOffset: Int): String = {
     val sb = new StringBuilder
-    sb.append(s"""comp AS (SELECT vec_id, i.i AS dim, CAST(embedding[i.i] AS DOUBLE) AS x
+    sb.append(s"""comp$sfx AS (SELECT vec_id, i.i AS dim, CAST(embedding[i.i + $dimOffset] AS DOUBLE) AS x
            FROM embeddings, unnest(generate_series(1, $dims)) AS i(i)),
-         fcomp AS (SELECT * FROM comp WHERE vec_id % $sampleEvery = 0),
-         cent0 AS (SELECT vec_id AS cell, dim, CAST(CAST(x AS DECIMAL(38,9)) AS DOUBLE) AS s
-                   FROM fcomp WHERE vec_id < ${k.toLong * sampleEvery})""")
+         fcomp$sfx AS (SELECT * FROM comp$sfx WHERE vec_id % $sampleEvery = 0),
+         cent${sfx}0 AS (SELECT vec_id AS cell, dim, CAST(CAST(x AS DECIMAL(38,9)) AS DOUBLE) AS s
+                   FROM fcomp$sfx WHERE vec_id < ${k.toLong * sampleEvery})""")
     for (t <- 0 to iters) {
       // Lloyd passes (t < iters) scan only the fit sample; the final pass
       // (t = iters) assigns the FULL corpus against the fitted centroids
-      val compT = if (t < iters) "fcomp" else "comp"
+      val compT = if (t < iters) s"fcomp$sfx" else s"comp$sfx"
       sb.append(s""",
-         ns$t AS (SELECT cell, CAST(sum(CAST(s * s AS DECIMAL(38,4))) AS DOUBLE) AS ns2
-                  FROM cent$t GROUP BY 1),
-         dots$t AS (SELECT c.vec_id, ct.cell, CAST(sum(CAST(c.x * ct.s AS DECIMAL(38,9))) AS DOUBLE) AS dot
-                    FROM $compT c JOIN cent$t ct ON ct.dim = c.dim GROUP BY 1, 2),
-         ranked$t AS (SELECT d.vec_id, d.cell, row_number() OVER (PARTITION BY d.vec_id ORDER BY
-                    d.dot / nullif(sqrt(n.n2) * sqrt(ns.ns2), CAST(0.0 AS DOUBLE)) DESC, d.cell) AS rn
-                  FROM dots$t d JOIN n ON n.vec_id = d.vec_id JOIN ns$t ns ON ns.cell = d.cell),
-         a$t AS (SELECT vec_id, cell FROM ranked$t WHERE rn = 1)""")
+         ns$sfx$t AS (SELECT cell, CAST(sum(CAST(s * s AS DECIMAL(38,4))) AS DOUBLE) AS ns2
+                  FROM cent$sfx$t GROUP BY 1),
+         dots$sfx$t AS (SELECT c.vec_id, ct.cell, CAST(sum(CAST(c.x * ct.s AS DECIMAL(38,9))) AS DOUBLE) AS dot
+                    FROM $compT c JOIN cent$sfx$t ct ON ct.dim = c.dim GROUP BY 1, 2),
+         ranked$sfx$t AS (SELECT d.vec_id, d.cell, row_number() OVER (PARTITION BY d.vec_id ORDER BY
+                    d.dot / nullif(sqrt(n$sfx.n2) * sqrt(ns.ns2), CAST(0.0 AS DOUBLE)) DESC, d.cell) AS rn
+                  FROM dots$sfx$t d JOIN n$sfx ON n$sfx.vec_id = d.vec_id JOIN ns$sfx$t ns ON ns.cell = d.cell),
+         a$sfx$t AS (SELECT vec_id, cell FROM ranked$sfx$t WHERE rn = 1)""")
       if (t < iters) sb.append(s""",
-         cent${t + 1} AS (SELECT a.cell, c.dim, CAST(sum(CAST(c.x AS DECIMAL(38,9))) AS DOUBLE) AS s
-                          FROM fcomp c JOIN a$t a ON a.vec_id = c.vec_id GROUP BY 1, 2)""")
+         cent$sfx${t + 1} AS (SELECT a.cell, c.dim, CAST(sum(CAST(c.x AS DECIMAL(38,9))) AS DOUBLE) AS s
+                          FROM fcomp$sfx c JOIN a$sfx$t a ON a.vec_id = c.vec_id GROUP BY 1, 2)""")
     }
     sb.append(s""",
-         assigned AS (SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM a$iters),
-         cellranks AS (SELECT vec_id, CAST(cell AS BIGINT) AS cell, CAST(rn AS BIGINT) AS rn
-                       FROM ranked$iters)""")
+         assigned$sfx AS (SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM a$sfx$iters),
+         cellranks$sfx AS (SELECT vec_id, CAST(cell AS BIGINT) AS cell, CAST(rn AS BIGINT) AS rn
+                       FROM ranked$sfx$iters)""")
     sb.toString
   }
 }

@@ -242,6 +242,116 @@ object SimilarityQ {
                       p.dot / nullif(sqrt(na.n2) * sqrt(nb.n2), CAST(0.0 AS DOUBLE)) AS cos
                FROM p JOIN n na ON na.vec_id = p.a_id JOIN n nb ON nb.vec_id = p.b_id
                WHERE p.dot / nullif(sqrt(na.n2) * sqrt(nb.n2), CAST(0.0 AS DOUBLE))
-                     >= CAST(0.0 AS DOUBLE)"""))
+                     >= CAST(0.0 AS DOUBLE)""")),
+
+    QDef(
+      "sim_pq_topk",
+      // product quantization — the memory-compression ANN path that
+      // completes IVF (routing) + int8 (4×) + LSH (candidate gen): the
+      // 64-dim vector splits into 8 8-dim subspaces, each with its own
+      // spherical k-means codebook (k=8, 1 Lloyd update, fit on the
+      // vec_id % 2 systematic sample — every fit is the oracle-replicable
+      // [[graft.ml.IvfQuantizer]] machinery on a slice), so a vector
+      // stores as 8 small codes (~3 bits each vs 256 float bytes).
+      // Retrieval is asymmetric distance computation: per query, one
+      // 8×8-entry lookup table of exact-decimal dots against the
+      // (member-sum / member-count) reconstruction centroids; a corpus
+      // vector's score is its 8 table lookups summed in FIXED left-assoc
+      // order (pivoted to explicit columns — a bare double SUM would be
+      // partition-order-dependent). Top-3 per query, total tiebreak.
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val nSub = 8; val dSub = 8; val kk = 8; val se = 2
+        val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        // per-subspace codes from the sliced spherical fit
+        val codes = (0 until nSub).map { sb =>
+          val es = emb
+            .select(col("vec_id"), slice(col("embedding"), sb * dSub + 1, dSub).as("sv"))
+            .withColumn("sn2", Vectors.norm2Exact(col("sv")))
+          graft.ml.IvfQuantizer.fitAssign(es, "vec_id", "sv", "sn2", kk, 1, se)
+            .withColumn("sub", lit(sb))
+        }.reduce(_ unionByName _)
+        val codesP = Caches.trackPersist(codes)
+        // (vec, subspace, subdim, x) component view — one explode feeds the
+        // codebook, the query tables, and nothing else twice (persisted)
+        val compo = Caches.trackPersist(
+          emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim0", "xf")))
+            .select(
+              col("vec_id"),
+              expr(s"dim0 div $dSub").cast("int").as("sub"),
+              pmod(col("dim0"), lit(dSub)).as("sdim"),
+              col("xf").cast("double").as("x")))
+        // reconstruction codebook: per (sub, cell) member-sum vector + count
+        val cb = compo.join(codesP, Seq("vec_id", "sub"))
+          .groupBy("sub", "cell", "sdim")
+          .agg(sum(col("x").cast(DecimalType(38, 9))).cast("double").as("sx"))
+        val m = codesP.groupBy("sub", "cell").agg(count(lit(1)).as("m"))
+        // ADC lookup table: 5 queries × 8 subspaces × ≤8 cells
+        val tbl = compo.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("sub"), col("sdim"), col("x").as("qx"))
+          .join(cb, Seq("sub", "sdim"))
+          .groupBy("query_id", "sub", "cell")
+          .agg(sum((col("qx") * col("sx")).cast(DecimalType(38, 9))).cast("double").as("ds"))
+          .join(m, Seq("sub", "cell"))
+          .withColumn("term", col("ds") / col("m").cast("double"))
+          .select("query_id", "sub", "cell", "term")
+        val pivots = (0 until nSub).map(sb =>
+          max(when(col("sub") === sb, col("term"))).as(s"t$sb"))
+        val wide = codesP.join(broadcast(tbl), Seq("sub", "cell"))
+          .groupBy("query_id", "vec_id")
+          .agg(pivots.head, pivots.tail: _*)
+        val score = (0 until nSub).map(sb => col(s"t$sb")).reduce(_ + _)
+        wide.filter(col("vec_id") =!= col("query_id"))
+          .withColumn("score", score)
+          .withColumn(
+            "rnk",
+            row_number().over(Window.partitionBy(col("query_id"))
+              .orderBy(col("score").desc, col("vec_id"))).cast("long"))
+          .filter(col("rnk") <= 3)
+          .select("query_id", "rnk", "vec_id", "score")
+      },
+      Some {
+        val nSub = 8; val dSub = 8; val kk = 8; val se = 2
+        val norms = (0 until nSub).map { sb =>
+          val off = sb * dSub
+          s"""ns$sb AS (SELECT vec_id,
+                CAST(sum(CAST(CAST(embedding[i.i + $off] AS DOUBLE)
+                  * CAST(embedding[i.i + $off] AS DOUBLE) AS DECIMAL(38,9))) AS DOUBLE) AS n2
+              FROM embeddings, unnest(generate_series(1, $dSub)) AS i(i) GROUP BY 1)"""
+        }.mkString(",\n")
+        val fits = (0 until nSub).map { sb =>
+          graft.ml.IvfQuantizer.lloydSqlAt(kk, 1, dSub, se, s"s$sb", sb * dSub)
+        }.mkString(",\n")
+        val perSub = (0 until nSub).map { sb =>
+          s"""cb$sb AS (SELECT a.cell, c.dim, CAST(sum(CAST(c.x AS DECIMAL(38,9))) AS DOUBLE) AS sx
+                FROM comps$sb c JOIN assigneds$sb a ON a.vec_id = c.vec_id GROUP BY 1, 2),
+              m$sb AS (SELECT cell, CAST(count(*) AS BIGINT) AS m FROM assigneds$sb GROUP BY 1),
+              tq$sb AS (SELECT q.vec_id AS query_id, cb.cell,
+                  CAST(sum(CAST(q.x * cb.sx AS DECIMAL(38,9))) AS DOUBLE) AS ds
+                FROM comps$sb q JOIN cb$sb cb ON cb.dim = q.dim
+                WHERE q.vec_id < 5 GROUP BY 1, 2),
+              tm$sb AS (SELECT t.query_id, a.vec_id, t.ds / CAST(m.m AS DOUBLE) AS term
+                FROM assigneds$sb a JOIN tq$sb t ON t.cell = a.cell
+                     JOIN m$sb m ON m.cell = a.cell)"""
+        }.mkString(",\n")
+        val allUnion = (0 until nSub)
+          .map(sb => s"SELECT query_id, vec_id, $sb AS sub, term FROM tm$sb")
+          .mkString(" UNION ALL ")
+        val pivot = (0 until nSub)
+          .map(sb => s"max(CASE WHEN sub = $sb THEN term END) AS t$sb")
+          .mkString(", ")
+        val scoreExpr = (0 until nSub).map(sb => s"t$sb").reduce((a, b) => s"($a + $b)")
+        s"""WITH $norms,
+            $fits,
+            $perSub,
+            allt AS ($allUnion),
+            wide AS (SELECT query_id, vec_id, $pivot FROM allt GROUP BY 1, 2)
+            SELECT query_id, rnk, vec_id, score FROM (
+              SELECT query_id, vec_id, $scoreExpr AS score,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY $scoreExpr DESC, vec_id) AS rnk
+              FROM wide WHERE vec_id <> query_id)
+            WHERE rnk <= 3"""
+      })
   )
 }
