@@ -45,16 +45,23 @@ object IvfQuantizer {
       n2Col: String,
       k: Int,
       iters: Int,
-      sampleEvery: Int = 1): DataFrame =
-    fitRanked(e, idCol, vecCol, n2Col, k, iters, sampleEvery)
+      sampleEvery: Int = 1,
+      grpCols: Seq[String] = Nil): DataFrame =
+    fitRanked(e, idCol, vecCol, n2Col, k, iters, sampleEvery, grpCols)
       .filter(col("cell_rank") === 1)
-      .select(col(idCol), col("cell"))
+      .select(grpCols.map(col) ++ Seq(col(idCol), col("cell")): _*)
 
   /** Like [[fitAssign]] but returns the FULL final cell ranking per vector
     * (idCol, cell, cell_rank ordered by cosine desc, cell asc) — rank 1 is
     * the assignment; ranks ≤ nprobe are a query's probe set for multi-cell
     * IVF search (the recall knob: searching nprobe cells costs nprobe× the
     * candidates and recovers neighbors that straddle a cell boundary).
+    */
+  /** `grpCols` turns this into a GROUPED fit: k cells per group, fitted in
+    * ONE job over the concatenated groups (product-quantization subspaces
+    * run as a single grouped fit, not G serialized fits — G× fewer jobs,
+    * same per-group math bit-for-bit because every centroid sum, cosine and
+    * argmax is keyed by the group).
     */
   def fitRanked(
       e: DataFrame,
@@ -63,12 +70,15 @@ object IvfQuantizer {
       n2Col: String,
       k: Int,
       iters: Int,
-      sampleEvery: Int = 1): DataFrame = {
+      sampleEvery: Int = 1,
+      grpCols: Seq[String] = Nil): DataFrame = {
     require(sampleEvery >= 1, "sampleEvery must be >= 1")
-    // corpus view: (id, vec, n2). Persisted — scanned once per assignment
-    // and once per update.
+    val g = grpCols.map(col)
+    // corpus view: (grp?, id, vec, n2). Persisted — scanned once per
+    // assignment and once per update.
     val src = graft.ops.Caches.trackPersist(
-      e.select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"), col(n2Col).as("__n2")))
+      e.select(g ++ Seq(
+        col(idCol).cast("long").as("__id"), col(vecCol).as("__v"), col(n2Col).as("__n2")): _*))
     // fit view: the systematic sample the Lloyd passes scan. id-dense
     // corpora get exactly n/sampleEvery fit rows; the FULL corpus is only
     // touched by the single final assignment below.
@@ -88,7 +98,8 @@ object IvfQuantizer {
     // seeds: the k lowest-id sample vectors — ids 0, s, …, (k−1)·s on a
     // dense corpus, so the cutoff k·s is oracle-expressible as a literal
     val cent0 = fit.filter(col("__id") < k.toLong * sampleEvery)
-      .select(col("__id").as("cell"), expr(s"transform(__v, $quantize)").as("__sv"))
+      .select(g ++ Seq(
+        col("__id").as("cell"), expr(s"transform(__v, $quantize)").as("__sv")): _*)
 
     def rankCells(base: DataFrame, cent: DataFrame): DataFrame = {
       // both exact sums run through the native ExactDot codegen expression
@@ -97,28 +108,34 @@ object IvfQuantizer {
       // were the measured fit bottleneck
       val withNs = cent.withColumn(
         "__ns2", graft.functions.ExactDot.ofScale(col("__sv"), col("__sv"), 4))
-      base.crossJoin(broadcast(withNs))
+      // ungrouped: every vector scores every cell (broadcast nested loop);
+      // grouped: vectors score only their group's cells (broadcast hash)
+      val paired =
+        if (grpCols.isEmpty) base.crossJoin(broadcast(withNs))
+        else base.join(broadcast(withNs), grpCols)
+      paired
         .withColumn(
           "__dot", graft.functions.ExactDot.ofScale(col("__v"), col("__sv"), 9))
         .withColumn("__cos", graft.ops.Vectors.cosineFrom(col("__dot"), col("__n2"), col("__ns2")))
         .withColumn(
           "__rn",
-          row_number().over(Window.partitionBy(col("__id")).orderBy(col("__cos").desc, col("cell"))))
-        .select(col("__id"), col("cell"), col("__rn"))
+          row_number().over(
+            Window.partitionBy(g :+ col("__id"): _*).orderBy(col("__cos").desc, col("cell"))))
+        .select(g ++ Seq(col("__id"), col("cell"), col("__rn")): _*)
     }
 
     def assignFrom(ranked: DataFrame): DataFrame =
-      ranked.filter(col("__rn") === 1).select(col("__id"), col("cell"))
+      ranked.filter(col("__rn") === 1).select(g ++ Seq(col("__id"), col("cell")): _*)
 
     // new centroid = per-dim exact decimal sum over members, re-assembled
     // into an ordered array (array_sort on (dim, s) structs — collect_list
     // order is nondeterministic, the sort restores it)
     def update(assigned: DataFrame): DataFrame =
-      fit.join(assigned, "__id")
-        .select(col("cell"), posexplode(col("__v")).as(Seq("__dim", "__xf")))
-        .groupBy("cell", "__dim")
+      fit.join(assigned, grpCols :+ "__id")
+        .select(g ++ Seq(col("cell"), posexplode(col("__v")).as(Seq("__dim", "__xf"))): _*)
+        .groupBy(g ++ Seq(col("cell"), col("__dim")): _*)
         .agg(sum(col("__xf").cast("double").cast(DecimalType(38, 9))).cast("double").as("__s"))
-        .groupBy("cell")
+        .groupBy(g :+ col("cell"): _*)
         .agg(expr("transform(array_sort(collect_list(struct(__dim, __s))), t -> t.__s)").as("__sv"))
 
     // no per-iteration persist: after the array-local restructure every
@@ -128,7 +145,7 @@ object IvfQuantizer {
     var cent = cent0
     for (_ <- 1 to iters) cent = update(assignFrom(rankCells(fit, cent)))
     rankCells(src, cent).select(
-      col("__id").as(idCol), col("cell"), col("__rn").cast("long").as("cell_rank"))
+      g ++ Seq(col("__id").as(idCol), col("cell"), col("__rn").cast("long").as("cell_rank")): _*)
   }
 
   /** DuckDB CTE chain mirroring [[fitRanked]] exactly: comp → cent0 →

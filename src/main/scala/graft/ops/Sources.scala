@@ -100,4 +100,27 @@ object Sources {
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(name)
   }
+
+  /** Range-partitioned sorted parquet writer — the scan-pruning layout
+    * (z-order-lite): rows are range-distributed on `sortCols` and sorted
+    * within each output file, so every file covers a NARROW, disjoint key
+    * range and its parquet column statistics (min/max per row group)
+    * actually prune — a point/range predicate on the sort key reads the
+    * few files whose range intersects, not the whole table. Where
+    * [[writeBucketed]] optimizes co-located JOINS on a key,
+    * `writeSortedRanges` optimizes selective SCANS on a key: at 100 TB a
+    * time-keyed event table written this way answers a one-day query by
+    * touching one day's files. Pay one range-exchange + local sort at
+    * ingest; every later selective read skips.
+    */
+  def writeSortedRanges(
+      df: DataFrame,
+      path: String,
+      nRanges: Int,
+      sortCols: Seq[String]): Unit = {
+    require(sortCols.nonEmpty, "need at least one range/sort column")
+    df.repartitionByRange(nRanges, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+  }
 }

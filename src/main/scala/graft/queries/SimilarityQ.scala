@@ -263,15 +263,18 @@ object SimilarityQ {
         import org.apache.spark.sql.types.DecimalType
         val nSub = 8; val dSub = 8; val kk = 8; val se = 2
         val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-        // per-subspace codes from the sliced spherical fit
-        val codes = (0 until nSub).map { sb =>
-          val es = emb
-            .select(col("vec_id"), slice(col("embedding"), sb * dSub + 1, dSub).as("sv"))
-            .withColumn("sn2", Vectors.norm2Exact(col("sv")))
-          graft.ml.IvfQuantizer.fitAssign(es, "vec_id", "sv", "sn2", kk, 1, se)
-            .withColumn("sub", lit(sb))
-        }.reduce(_ unionByName _)
-        val codesP = Caches.trackPersist(codes)
+        // all 8 subspace slices in ONE in-stage explode off the scan, fitted
+        // as ONE grouped Lloyd job (grpCols = sub): 8× fewer jobs than
+        // fitting each subspace serially, identical per-subspace math
+        val slices = (0 until nSub).map(sb =>
+          struct(lit(sb).as("sub"), slice(col("embedding"), sb * dSub + 1, dSub).as("sv")))
+        val es = emb
+          .select(col("vec_id"), explode(array(slices: _*)).as("e"))
+          .select(col("e.sub").as("sub"), col("vec_id"), col("e.sv").as("sv"))
+          .withColumn("sn2", Vectors.norm2Exact(col("sv")))
+        val codesP = Caches.trackPersist(
+          graft.ml.IvfQuantizer.fitAssign(
+            es, "vec_id", "sv", "sn2", kk, 1, se, grpCols = Seq("sub")))
         // (vec, subspace, subdim, x) component view — one explode feeds the
         // codebook, the query tables, and nothing else twice (persisted)
         val compo = Caches.trackPersist(

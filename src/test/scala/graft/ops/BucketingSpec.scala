@@ -44,4 +44,30 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("writeSortedRanges produces disjoint per-file key ranges and a pruning scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ranges").toString
+    val df = (0L until 4000L).map(i => ((i * 2654435761L) % 4000, i)).toDF("ts", "payload")
+    Sources.writeSortedRanges(df, dir, 8, Seq("ts"))
+    // per-file min/max must be disjoint: that is what makes parquet
+    // row-group stats prune selective scans
+    val spans = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet"))
+      .map { f =>
+        val one = spark.read.parquet(f.getAbsolutePath)
+          .agg(min(col("ts")), max(col("ts"))).collect()(0)
+        (one.getLong(0), one.getLong(1))
+      }
+      .sortBy(_._1)
+    assert(spans.length > 1)
+    spans.sliding(2).foreach { case Array((_, hi), (lo2, _)) =>
+      assert(hi < lo2, s"overlapping file ranges: ${spans.mkString(", ")}")
+    }
+    // a selective read touches a subset of files via pushed filters
+    val sel = spark.read.parquet(dir).filter(col("ts") < 100)
+    val plan = sel.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(ts), LessThan(ts,100)]"),
+      s"filter not pushed:\n$plan")
+    assert(sel.count() == 100)
+  }
 }
