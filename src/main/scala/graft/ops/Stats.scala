@@ -171,4 +171,52 @@ object Stats {
       .filter(abs(col("z")) > threshold)
       .drop("__mu", "__sd")
   }
+
+  /** Per-group Pearson correlation + sample covariance of two columns,
+    * from the five exact DECIMAL moment sums (never Spark's builtin
+    * `corr`/`covar_samp`, whose streaming Welford updates are
+    * partition-order-dependent AND differ from DuckDB's formulation).
+    *
+    * Determinism: Σx/Σy are [[Exact.dsum]] scale-4 decimal sums (scale 9
+    * would push the scaled sum past 2^53, where the two engines' decimal→
+    * double conversions disagree by an ulp — observed here at sf0.1); the
+    * product sums Σxy/Σx²/Σy² go through [[Exact.dsumTrunc4]] (product
+    * magnitudes put a rounding decimal cast on tie points — see its
+    * scaladoc); the final expressions are fixed dags of correctly-rounded
+    * IEEE ops
+    * (`corr = (n·Σxy − ΣxΣy) / (sqrt(n·Σx² − Σx²)·sqrt(n·Σy² − Σy²))`,
+    * `covar = (n·Σxy − ΣxΣy) / (n·(n−1))`) — the oracle mirrors the same
+    * trees token-for-token. Groups where either variance term is ≤ 0
+    * (constant column, n ≤ 1) emit NULL corr rather than a cross-engine
+    * NaN/Inf comparison.
+    *
+    * Scale shape: one partial-aggregated groupBy — the moment sums
+    * map-side-combine, so the shuffle carries one row per (group ×
+    * 6 numbers) regardless of input size.
+    */
+  def corrCovar(
+      df: DataFrame,
+      keys: Seq[String],
+      xCol: String,
+      yCol: String): DataFrame = {
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val agg = df.groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        Exact.dsum(x).as("__sx"),
+        Exact.dsum(y).as("__sy"),
+        Exact.dsumTrunc4(x * y).as("__sxy"),
+        Exact.dsumTrunc4(x * x).as("__sxx"),
+        Exact.dsumTrunc4(y * y).as("__syy"))
+    val n = col("n_rows").cast("double")
+    val cov = (n * col("__sxy") - col("__sx") * col("__sy")) / (n * (n - lit(1.0d)))
+    val vx = n * col("__sxx") - col("__sx") * col("__sx")
+    val vy = n * col("__syy") - col("__sy") * col("__sy")
+    val corr = (n * col("__sxy") - col("__sx") * col("__sy")) / (sqrt(vx) * sqrt(vy))
+    agg
+      .withColumn("covar_samp", when(col("n_rows") > 1, cov))
+      .withColumn("pearson_r", when(vx > 0 && vy > 0, corr))
+      .drop("__sx", "__sy", "__sxy", "__sxx", "__syy")
+  }
 }

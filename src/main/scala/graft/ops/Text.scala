@@ -50,6 +50,11 @@ object Text {
         explode(array_distinct(
           graft.functions.ShingleKeys(tokens(col(textCol)), k))).as("sk"))
 
+  /** (id, token) rows with multiplicity — the token bag. */
+  def tokenBag(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    spread(df, idCol)
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+
   /** (id, token) rows, one per distinct token per doc. */
   def tokenSet(df: DataFrame, idCol: String, textCol: String): DataFrame =
     spread(df, idCol)

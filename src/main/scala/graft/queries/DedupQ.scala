@@ -354,6 +354,71 @@ object DedupQ {
             r0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS r FROM n0),
             $rounds
             SELECT id AS doc_id, r AS rank_scaled FROM r5"""
-      })
+      }),
+
+    QDef(
+      "d11_bloom_decontaminate",
+      // d9's contamination scan behind a 2^20-bit bloom prefilter: the
+      // benchmark's 7-gram keys compact into ONE broadcast map of bit-or'd
+      // 64-bit words; every train shingle tests 3 bit probes in-stage off
+      // the scan and only the surviving fringe (true hits + bloom FPs)
+      // reaches the exact verify join — so the result is bit-identical to
+      // the unfiltered check and the oracle stays plain exact SQL
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.bloomContaminationCheck(
+          docs.filter(col("doc_id") % 89 =!= 0),
+          docs.filter(col("doc_id") % 89 === 0),
+          "doc_id", "text", 7)
+      },
+      Some("""WITH g7 AS (SELECT DISTINCT doc_id, shingle FROM (
+                 SELECT doc_id,
+                   toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                     || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] AS shingle
+                 FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+                      unnest(generate_series(1, len(toks) - 6)) AS u(i))),
+              tsh AS (SELECT * FROM g7 WHERE doc_id % 89 <> 0),
+              bsh AS (SELECT * FROM g7 WHERE doc_id % 89 = 0),
+              h AS (SELECT t.doc_id,
+                      CAST(count(DISTINCT t.shingle) AS BIGINT) AS n_shared_grams,
+                      CAST(count(DISTINCT b.doc_id) AS BIGINT) AS n_bench_docs
+                    FROM tsh t JOIN bsh b ON b.shingle = t.shingle GROUP BY 1)
+              SELECT d.doc_id,
+                coalesce(h.n_shared_grams, 0) AS n_shared_grams,
+                coalesce(h.n_bench_docs, 0) AS n_bench_docs,
+                CAST(CASE WHEN coalesce(h.n_shared_grams, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+              FROM (SELECT doc_id FROM documents WHERE doc_id % 89 <> 0) d
+              LEFT JOIN h ON h.doc_id = d.doc_id"""),
+    ),
+
+    QDef(
+      "d12_ingest_dedup",
+      // the continuous-ingest dedup step: a new batch (doc_id % 10 = 7
+      // stands in) is deduped WITHIN itself (keep lowest id per
+      // fingerprint), then anti-joined against the historical snapshot's
+      // fingerprints — output is exactly the batch rows safe to append.
+      // At 100 TB the snapshot side is the big one: store it BUCKETED on
+      // fp (ops/Sources.writeBucketed) and the anti-join shuffles only
+      // the new batch, never the history
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val fp = Text.fingerprint(col("text"))
+        val batch = docs.filter(col("doc_id") % 10 === 7)
+          .select(col("doc_id"), fp.as("fp"))
+        val snap = docs.filter(col("doc_id") % 10 =!= 7)
+          .select(fp.as("fp")).distinct()
+        batch.groupBy("fp")
+          .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_batch_dups"))
+          .join(snap, Seq("fp"), "left_anti")
+          .select("doc_id", "fp", "n_batch_dups")
+      },
+      Some("""WITH f AS (SELECT doc_id,
+                  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+                FROM documents),
+              b AS (SELECT fp, min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_batch_dups
+                    FROM f WHERE doc_id % 10 = 7 GROUP BY 1)
+              SELECT doc_id, fp, n_batch_dups FROM b
+              WHERE NOT EXISTS (SELECT 1 FROM f s
+                                WHERE s.doc_id % 10 <> 7 AND s.fp = b.fp)"""))
   )
 }

@@ -300,6 +300,35 @@ object Relational {
         events(s, d).select("event_type").distinct()
           .withColumn("code", (dense_rank().over(Window.orderBy(col("event_type"))) - 1).cast("long")),
       Some("""SELECT event_type, CAST(dense_rank() OVER (ORDER BY event_type) - 1 AS BIGINT) AS code
-              FROM (SELECT DISTINCT event_type FROM events)"""))
+              FROM (SELECT DISTINCT event_type FROM events)""")),
+
+    QDef(
+      "a17_corr",
+      // per-flag Pearson correlation + sample covariance of quantity vs
+      // extendedprice from exact decimal moment sums — never the builtin
+      // corr/covar_samp (streaming Welford, partition-order-dependent)
+      (s, d) =>
+        Stats.corrCovar(
+          t(s, d, "lineitem"), Seq("l_returnflag"), "l_quantity", "l_extendedprice"),
+      Some(s"""WITH s AS (SELECT l_returnflag,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                ${Exact.sqlDsum("l_quantity")} AS sx,
+                ${Exact.sqlDsum("l_extendedprice")} AS sy,
+                ${Exact.sqlDsumTrunc4("l_quantity * l_extendedprice")} AS sxy,
+                ${Exact.sqlDsumTrunc4("l_quantity * l_quantity")} AS sxx,
+                ${Exact.sqlDsumTrunc4("l_extendedprice * l_extendedprice")} AS syy
+              FROM lineitem GROUP BY 1)
+              SELECT l_returnflag, n_rows,
+                CASE WHEN n_rows > 1 THEN
+                  (CAST(n_rows AS DOUBLE) * sxy - sx * sy)
+                    / (CAST(n_rows AS DOUBLE) * (CAST(n_rows AS DOUBLE) - CAST(1 AS DOUBLE)))
+                END AS covar_samp,
+                CASE WHEN CAST(n_rows AS DOUBLE) * sxx - sx * sx > 0
+                      AND CAST(n_rows AS DOUBLE) * syy - sy * sy > 0 THEN
+                  (CAST(n_rows AS DOUBLE) * sxy - sx * sy)
+                    / (sqrt(CAST(n_rows AS DOUBLE) * sxx - sx * sx)
+                       * sqrt(CAST(n_rows AS DOUBLE) * syy - sy * sy))
+                END AS pearson_r
+              FROM s"""))
   )
 }

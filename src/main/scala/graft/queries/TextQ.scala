@@ -323,6 +323,40 @@ object TextQ {
               SELECT doc_id, rank, token, tf, score FROM (
                 SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
                   ORDER BY score DESC, token) AS BIGINT) AS rank FROM sc)
-              WHERE rank <= 3"""))
+              WHERE rank <= 3""")),
+
+    QDef(
+      "cm_heavy_tokens",
+      // heavy-hitter vocabulary terms via a 4x4096 count-min sketch: the
+      // grid aggregation map-side-combines to <= 16k cells per partition
+      // regardless of corpus size (an exact per-token count shuffles one
+      // row per DISTINCT token); estimates are min-of-cells, exact count
+      // attached so the one-sided overestimate is visible
+      (s, d) =>
+        Sketch.countMinHeavyHitters(
+          Text.tokenBag(t(s, d, "documents"), "doc_id", "text").select("token"),
+          "token", depth = 4, width = 4096, minCount = 200L),
+      Some(s"""WITH tok AS (SELECT unnest(string_split(trim(text), ' ')) AS token
+                            FROM documents),
+               h AS (SELECT token,
+                       CAST(md5_number_lower(token) AS HUGEINT) AS h1,
+                       CAST(md5_number_upper(token) AS HUGEINT) AS h2 FROM tok),
+               lv AS (SELECT unnest(generate_series(0, 3)) AS level),
+               cell AS (SELECT level,
+                          CAST(((h1 + level * h2) % CAST('18446744073709551616' AS HUGEINT))
+                               % 4096 AS BIGINT) AS bucket,
+                          CAST(count(*) AS BIGINT) AS cell_n
+                        FROM h, lv GROUP BY 1, 2),
+               probe AS (SELECT token, CAST(count(*) AS BIGINT) AS exact_n,
+                           CAST(md5_number_lower(token) AS HUGEINT) AS h1,
+                           CAST(md5_number_upper(token) AS HUGEINT) AS h2
+                         FROM tok GROUP BY 1),
+               est AS (SELECT token, exact_n, min(cell_n) AS cm_est
+                       FROM probe, lv
+                       JOIN cell ON cell.level = lv.level
+                        AND cell.bucket = CAST(((h1 + lv.level * h2)
+                              % CAST('18446744073709551616' AS HUGEINT)) % 4096 AS BIGINT)
+                       GROUP BY 1, 2)
+               SELECT token, cm_est, exact_n FROM est WHERE cm_est >= 200"""))
   )
 }

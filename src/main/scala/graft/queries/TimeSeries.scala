@@ -482,6 +482,66 @@ object TimeSeries {
                    - min(CASE WHEN rn = CAST(floor(pos) AS BIGINT) THEN value END))
                   * min(pos - floor(pos)) AS q_value
               FROM p WHERE rn = CAST(floor(pos) AS BIGINT) OR rn = CAST(ceil(pos) AS BIGINT)
-              GROUP BY 1, 2"""))
+              GROUP BY 1, 2""")),
+
+    QDef(
+      "w13_hopping_window",
+      // event-time HOPPING windows (1 h window sliding every 30 min) via
+      // Spark's native window(col, win, slide) — each event lands in
+      // exactly win/slide = 2 windows through one in-stage Expand
+      // projection (no self-join, no explode shuffle); the oracle
+      // scatters the same two window starts arithmetically. Counts are
+      // integers, the mean is an exact decimal quotient
+      (s, d) => {
+        val slideUs = 30L * 60L * 1000000L
+        val ev = events(s, d)
+          .withColumn("__tsx", timestamp_micros(col("ts_us")))
+        ev.groupBy(
+            window(col("__tsx"), "1 hour", "30 minutes").as("__w"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n_events"), Exact.dmean(col("value")).as("mean_value"))
+          .select(
+            unix_micros(col("__w.start")).as("w_start_us"),
+            unix_micros(col("__w.end")).as("w_end_us"),
+            col("event_type"), col("n_events"), col("mean_value"))
+      },
+      Some(s"""WITH ev AS ($evSql),
+               sc AS (SELECT event_type, value,
+                        (ts_us // 1800000000) * 1800000000 - i.i * 1800000000 AS w_start_us
+                      FROM ev, (SELECT unnest([0, 1]) AS i) i)
+               SELECT w_start_us, w_start_us + 3600000000 AS w_end_us, event_type,
+                 CAST(count(*) AS BIGINT) AS n_events,
+                 ${Exact.sqlDmean("value")} AS mean_value
+               FROM sc GROUP BY 1, 2, 3""")),
+
+    QDef(
+      "w14_session_window",
+      // gap sessionization via Spark's native session_window operator —
+      // dynamic merge of [ts, ts+gap] spans: an event landing EXACTLY on
+      // the previous session's end still merges (pinned by
+      // PipelineOpsSpec), so a new session opens only when the gap
+      // strictly exceeds 30 min — the same boundary as w11's lag/cumsum
+      // form. start/end are taken from the data (min/max event time) so
+      // the output stays pure integers
+      (s, d) =>
+        events(s, d)
+          .withColumn("__tsx", timestamp_micros(col("ts_us")))
+          .groupBy(col("user_id"), session_window(col("__tsx"), "30 minutes").as("__w"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            min("ts_us").as("start_us"),
+            max("ts_us").as("end_us"))
+          .select("user_id", "start_us", "end_us", "n_events"),
+      Some(s"""WITH ev AS ($evSql),
+               b AS (SELECT user_id, event_id, ts_us,
+                       CASE WHEN lag(ts_us) OVER w IS NULL
+                              OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS chg
+                     FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+               sx AS (SELECT *, sum(chg) OVER (PARTITION BY user_id
+                        ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+                      FROM b)
+               SELECT user_id, min(ts_us) AS start_us, max(ts_us) AS end_us,
+                 CAST(count(*) AS BIGINT) AS n_events
+               FROM sx GROUP BY user_id, sid"""))
   )
 }

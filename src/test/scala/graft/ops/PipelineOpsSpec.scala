@@ -143,4 +143,58 @@ class PipelineOpsSpec extends SparkSpec {
     Caches.releaseAll()
     assert(r1 == r7)
   }
+
+  test("countMin estimates never undershoot and equal exact counts absent collisions") {
+    val df = (Seq.fill(10)("hot") ++ Seq.fill(3)("warm") ++ Seq("cold"))
+      .toDF("k")
+    val out = Sketch.countMinHeavyHitters(df, "k", depth = 4, width = 1024, minCount = 1L)
+      .select("k", "cm_est", "exact_n")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out.values.forall { case (est, exact) => est >= exact })
+    // 3 keys in 1024 buckets x 4 levels: overwhelmingly collision-free
+    assert(out("hot") == ((10L, 10L)) && out("warm") == ((3L, 3L)) && out("cold") == ((1L, 1L)))
+  }
+
+  test("countMinHeavyHitters is partition-count independent") {
+    val df = (1 to 500).map(i => s"k${i % 37}").toDF("k")
+    val a = Sketch.countMinHeavyHitters(df.repartition(1), "k", 4, 64, 5L)
+      .orderBy("k").as[(String, Long, Long)].collect().toSeq
+    val b = Sketch.countMinHeavyHitters(df.repartition(6), "k", 4, 64, 5L)
+      .orderBy("k").as[(String, Long, Long)].collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("bloomContaminationCheck equals the unfiltered exact check") {
+    val mk = (id: Long, t: String) => (id, t)
+    val docs = Seq(
+      mk(1L, "the quick brown fox jumps over the lazy dog again and again"),
+      mk(2L, "completely unrelated content with no shared grams whatsoever here"),
+      mk(3L, "the quick brown fox jumps over the lazy dog again today ok"),
+      mk(4L, "another benchmark document that shares nothing with training data"),
+    ).toDF("doc_id", "text")
+    val train = docs.filter(col("doc_id") <= 2)
+    val bench = docs.filter(col("doc_id") > 2)
+    val exact = Dedup.contaminationCheck(train, bench, "doc_id", "text", 5)
+      .orderBy("doc_id").collect().toSeq
+    val bloom = Dedup.bloomContaminationCheck(train, bench, "doc_id", "text", 5,
+        mBits = 1 << 12, kHash = 3)
+      .orderBy("doc_id").collect().toSeq
+    assert(bloom == exact)
+    // doc 1 shares the 10-token prefix with doc 3; doc 2 is clean
+    assert(exact.map(r => r.getLong(0) -> r.getLong(3)).toMap == Map(1L -> 1L, 2L -> 0L))
+  }
+
+  test("session_window MERGES an event landing exactly on the previous end") {
+    // pins the oracle's `delta > gap` boundary for w14_session_window:
+    // Spark's session spans behave as [ts, ts+gap] — an event at exactly
+    // the previous end still merges; only a strictly larger gap splits
+    val gapUs = 1000000L
+    val ev = Seq((1L, 0L), (1L, gapUs), (1L, 2L * gapUs + 1L)).toDF("user_id", "ts_us")
+      .withColumn("tsx", timestamp_micros(col("ts_us")))
+    val sessions = ev
+      .groupBy(col("user_id"), session_window(col("tsx"), "1 seconds").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select("n").as[Long].collect().toSeq.sorted
+    assert(sessions == Seq(1L, 2L)) // 0 and gap merge; 2·gap+1 splits
+  }
 }

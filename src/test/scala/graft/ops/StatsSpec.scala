@@ -49,4 +49,34 @@ class StatsSpec extends SparkSpec {
     val df = Seq(Tuple1(Seq(1.0, 5.0, 5.0, 2.0))).toDF("a")
     assert(df.select(Stats.argmaxArray(col("a")).as("i")).as[Int].head() == 1)
   }
+
+  test("corrCovar matches the closed-form moments on a known set") {
+    // x = 1..4, y = 2x → r = 1 exactly; covar_samp = 2·var_samp(x) = 10/3
+    val df = (1 to 4).map(i => ("k", i.toDouble, 2.0 * i)).toDF("k", "x", "y")
+    val row = Stats.corrCovar(df, Seq("k"), "x", "y")
+      .select("n_rows", "covar_samp", "pearson_r")
+      .as[(Long, Double, Double)].head()
+    assert(row._1 == 4L)
+    assert(math.abs(row._2 - 10.0 / 3.0) < 1e-12)
+    assert(math.abs(row._3 - 1.0) < 1e-12)
+  }
+
+  test("corrCovar: constant column yields NULL corr, n=1 yields NULL covar") {
+    val df = Seq(("a", 1.0, 5.0), ("a", 2.0, 5.0), ("b", 3.0, 7.0))
+      .toDF("k", "x", "y")
+    val out = Stats.corrCovar(df, Seq("k"), "x", "y")
+      .select("k", "covar_samp", "pearson_r")
+      .collect().map(r => r.getString(0) -> (r.isNullAt(1), r.isNullAt(2))).toMap
+    assert(out("a") == ((false, true))) // y constant → corr NULL, covar fine
+    assert(out("b") == ((true, true)))  // single row → both NULL
+  }
+
+  test("corrCovar is partition-count independent (exact sums)") {
+    val df = (1 to 1000).map(i => ("k", i * 0.37, 1e5 - i * 13.1)).toDF("k", "x", "y")
+    val a = Stats.corrCovar(df.repartition(1), Seq("k"), "x", "y")
+      .select("pearson_r").as[Double].head()
+    val b = Stats.corrCovar(df.repartition(7), Seq("k"), "x", "y")
+      .select("pearson_r").as[Double].head()
+    assert(a == b) // bit-equal, not approximately
+  }
 }
