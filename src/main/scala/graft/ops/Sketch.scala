@@ -61,9 +61,16 @@ object Sketch {
     * never undershoot, so no truly-heavy key is lost (the sketch's
     * one-sided error contract).
     *
-    * At scale the probe side would be an external candidate dimension
-    * (broadcast against the sketch); here the corpus's own distinct keys
-    * stand in so the result is self-contained and oracle-checkable.
+    * Because this variant materializes the exact per-key counts anyway
+    * (for the probe side), the sketch is built FROM those counts —
+    * `cell_n = Σ exact_n` over the keys hashing into the cell, identical
+    * to counting raw rows — so each distinct key is md5'd ONCE and the
+    * raw stream is never hashed (measured 3.9 s → sub-2 s on the 5M-token
+    * sf0.1 corpus). A pure streaming build with no exact counts is
+    * [[countMin]]. At scale the probe side would be an external candidate
+    * dimension (broadcast against the sketch); here the corpus's own
+    * distinct keys stand in so the result is self-contained and
+    * oracle-checkable.
     */
   def countMinHeavyHitters(
       df: DataFrame,
@@ -71,16 +78,18 @@ object Sketch {
       depth: Int,
       width: Int,
       minCount: Long): DataFrame = {
-    val sketch = countMin(df, keyCol, depth, width)
-    val probes = df.groupBy(col(keyCol)).agg(count(lit(1)).as("exact_n"))
-      .withColumn("__md", md5(col(keyCol).cast("string")))
-      .withColumn("__h1", expr(le64hex("__md", 16)))
-      .withColumn("__h2", expr(le64hex("__md", 0)))
-      .withColumn("level", explode(sequence(lit(0), lit(depth - 1))))
-      .withColumn(
-        "bucket",
-        expr(s"CAST(((__h1 + level * __h2) % $two64) % $width AS BIGINT)"))
-    probes
+    val hashed = Caches.trackPersist(
+      df.groupBy(col(keyCol)).agg(count(lit(1)).as("exact_n"))
+        .withColumn("__md", md5(col(keyCol).cast("string")))
+        .withColumn("__h1", expr(le64hex("__md", 16)))
+        .withColumn("__h2", expr(le64hex("__md", 0)))
+        .withColumn("level", explode(sequence(lit(0), lit(depth - 1))))
+        .withColumn(
+          "bucket",
+          expr(s"CAST(((__h1 + level * __h2) % $two64) % $width AS BIGINT)"))
+        .select(col(keyCol), col("exact_n"), col("level"), col("bucket")))
+    val sketch = hashed.groupBy("level", "bucket").agg(sum(col("exact_n")).as("cell_n"))
+    hashed
       .join(broadcast(sketch), Seq("level", "bucket"))
       .groupBy(col(keyCol), col("exact_n"))
       .agg(min(col("cell_n")).as("cm_est"))

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops._
 
@@ -357,6 +358,50 @@ object TextQ {
                         AND cell.bucket = CAST(((h1 + lv.level * h2)
                               % CAST('18446744073709551616' AS HUGEINT)) % 4096 AS BIGINT)
                        GROUP BY 1, 2)
-               SELECT token, cm_est, exact_n FROM est WHERE cm_est >= 200"""))
+               SELECT token, cm_est, exact_n FROM est WHERE cm_est >= 200""")),
+
+    QDef(
+      "t10_mix_divergence",
+      // per-source language-mix drift: Shannon entropy of each source's
+      // language distribution plus its KL divergence from the corpus mix —
+      // the data-mixture monitor a multi-source ingest runs per batch.
+      // ln is the correctly-rounded MathLn (Spark's builtin is StrictMath,
+      // 1 ulp off DuckDB); the handful of per-language terms are summed
+      // through tie-free truncated fixed point (a bare double SUM over a
+      // group is partition-order-dependent)
+      (s, d) => {
+        import graft.functions.MathLn
+        val docs = t(s, d, "documents")
+        val cells = docs.groupBy("source", "lang").agg(count(lit(1)).as("nl"))
+        val bySrc = Window.partitionBy("source")
+        val total = Window.partitionBy(lit(1))
+        val terms = cells
+          .withColumn("ns", sum("nl").over(bySrc))
+          .withColumn("nlc", sum("nl").over(Window.partitionBy("lang")))
+          .withColumn("n", sum("nl").over(total))
+          .withColumn("p", col("nl").cast("double") / col("ns").cast("double"))
+          .withColumn("q", col("nlc").cast("double") / col("n").cast("double"))
+          .withColumn("h_term", col("p") * MathLn(col("p")))
+          .withColumn("kl_term", col("p") * MathLn(col("p") / col("q")))
+        terms.groupBy("source")
+          .agg(
+            (-Exact.dsumTrunc4(col("h_term"))).as("entropy"),
+            Exact.dsumTrunc4(col("kl_term")).as("kl_vs_corpus"))
+      },
+      Some(s"""WITH c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS nl
+                          FROM documents GROUP BY 1, 2),
+               t AS (SELECT source, lang, nl,
+                       sum(nl) OVER (PARTITION BY source) AS ns,
+                       sum(nl) OVER (PARTITION BY lang) AS nlc,
+                       sum(nl) OVER () AS n
+                     FROM c),
+               p AS (SELECT source,
+                       CAST(nl AS DOUBLE) / CAST(ns AS DOUBLE) AS p,
+                       CAST(nlc AS DOUBLE) / CAST(n AS DOUBLE) AS q
+                     FROM t)
+               SELECT source,
+                 -${Exact.sqlDsumTrunc4("p * ln(p)")} AS entropy,
+                 ${Exact.sqlDsumTrunc4("p * ln(p / q)")} AS kl_vs_corpus
+               FROM p GROUP BY 1"""))
   )
 }

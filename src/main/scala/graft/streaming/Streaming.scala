@@ -27,6 +27,29 @@ object Streaming {
       .groupBy(window(col(tsCol), windowLength), col(keyCol))
       .agg(count(lit(1)).as("n"), avg(col("value")).as("mean_value"))
 
+  /** w14-as-stream: native session windows with a watermark bounding
+    * state — Spark merges a key's open session intervals incrementally
+    * and emits a session once the watermark passes its end (append mode).
+    * Same merge boundary as batch [[graft.queries]] `w14_session_window`:
+    * an event exactly on the previous end still merges. Works on batch
+    * frames too (where it degrades to the plain session_window groupBy).
+    */
+  def sessionWindowAgg(
+      events: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      gap: String,
+      watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gap).as("w"), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col(keyCol),
+        col("w.start").as("session_start"),
+        col("w.end").as("session_end"),
+        col("n"))
+
   /** One observed event for stateful processing. */
   final case class Obs(user: String, tsMs: Long, label: String)
 

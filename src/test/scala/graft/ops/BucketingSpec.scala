@@ -70,4 +70,44 @@ class BucketingSpec extends SparkSpec {
       s"filter not pushed:\n$plan")
     assert(sel.count() == 100)
   }
+
+  test("zValue interleaves bits (Morton order)") {
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (255L, 255L))
+      .toDF("x", "y")
+      .select(Sources.zValue(col("x"), col("y"), 8).as("z"))
+      .as[Long].collect().toSeq
+    def morton(x: Long, y: Long): Long =
+      (0 until 8).map(i => (((x >> i) & 1) << (2 * i + 1)) | (((y >> i) & 1) << (2 * i))).sum
+    assert(rows == Seq(morton(0, 0), morton(1, 0), morton(0, 1), morton(3, 5), morton(255, 255)))
+    assert(morton(1, 0) == 2L && morton(0, 1) == 1L)
+  }
+
+  test("writeZOrdered gives every file a small bounding box in BOTH dimensions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    // 64x64 uniform grid, shuffled ingest order
+    val df = (0L until 4096L).map { i =>
+      val p = (i * 2654435761L) % 4096
+      (p % 64, p / 64, i)
+    }.toDF("x", "y", "payload")
+    Sources.writeZOrdered(df, dir, 16, "x", "y", bits = 6)
+    val boxes = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min(col("x")), max(col("x")), min(col("y")), max(col("y"))).collect()(0)
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      }
+    assert(boxes.length == 16)
+    // 16 files over a 64x64 z-curve = a 4x4 grid of 16x16 boxes: a scan
+    // filtered on EITHER dimension's first quarter overlaps only ~1/4 of
+    // the files — the property a single-key sort cannot give both keys
+    val hitX = boxes.count { case (x0, _, _, _) => x0 < 16 }
+    val hitY = boxes.count { case (_, _, y0, _) => y0 < 16 }
+    assert(hitX <= 6, s"x-filter overlaps $hitX/16 files: ${boxes.mkString(", ")}")
+    assert(hitY <= 6, s"y-filter overlaps $hitY/16 files: ${boxes.mkString(", ")}")
+    // layout change must not lose rows
+    assert(spark.read.parquet(dir).count() == 4096)
+    assert(spark.read.parquet(dir).agg(sum(col("payload"))).as[Long].head()
+      == (0L until 4096L).sum)
+  }
 }

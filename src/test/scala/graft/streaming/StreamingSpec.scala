@@ -38,6 +38,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionWindowAgg merges and emits sessions as the watermark passes them") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "user", "value")
+    val agg = Streaming.sessionWindowAgg(df, "ts", "user", "5 seconds", "10 seconds")
+    val q = agg.writeStream
+      .format("memory").queryName("session_stream").outputMode("append").start()
+    try {
+      // two bursts 20s apart: first session is (1, 4, 8), second (30)
+      input.addData((ts(1), "u1", 1.0), (ts(4), "u1", 1.0), (ts(8), "u1", 1.0))
+      q.processAllAvailable()
+      input.addData((ts(30), "u1", 1.0))
+      q.processAllAvailable()
+      input.addData((ts(60), "u1", 1.0)) // push the watermark past session 2
+      q.processAllAvailable()
+      val rows = spark.table("session_stream")
+        .select(col("session_start").cast("long"), col("session_end").cast("long"), col("n"))
+        .as[(Long, Long, Long)].collect().toSet
+      // session 1: [1, 8+5); session 2: [30, 30+5) — both closed by now
+      assert(rows.contains((1L, 13L, 3L)) && rows.contains((30L, 35L, 1L)))
+    } finally q.stop()
+  }
+
   test("sessionizeRle emits closed runs incrementally with end-exclusive bounds") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Streaming.Obs]
