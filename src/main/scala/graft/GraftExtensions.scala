@@ -16,6 +16,9 @@ import graft.functions.ExactDot
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.exactDotDescriptor)
+    ext.injectFunction(GraftFunctions.mathLnDescriptor)
+    ext.injectFunction(GraftFunctions.shingleKeysDescriptor)
+    ext.injectFunction(GraftFunctions.minHashSigDescriptor)
     // whole-operator extension: heap-based top-k per key
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
@@ -32,7 +35,9 @@ object GraftFunctions {
       throw new IllegalArgumentException(s"exact_dot expects 2 or 3 arguments, got ${other.size}")
   }
 
-  val exactDotDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+  type Descriptor = (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  val exactDotDescriptor: Descriptor = (
     FunctionIdentifier("exact_dot"),
     new ExpressionInfo(
       classOf[ExactDot].getName,
@@ -42,9 +47,65 @@ object GraftFunctions {
       ""),
     builder)
 
-  /** Register on a live session (tests, notebooks). */
-  def register(spark: SparkSession): Unit = {
-    val (ident, info, fb) = exactDotDescriptor
-    spark.sessionState.functionRegistry.registerFunction(ident, info, fb)
+  private def intArg(e: Expression, fn: String): Int = e.eval() match {
+    case n: Number => n.intValue()
+    case other => throw new IllegalArgumentException(s"$fn expects a literal int, got $other")
   }
+
+  val mathLnDescriptor: Descriptor = (
+    FunctionIdentifier("math_ln"),
+    new ExpressionInfo(
+      classOf[graft.functions.MathLn].getName,
+      null,
+      "math_ln",
+      "math_ln(x) - correctly-rounded natural log (Math.log, matches glibc/DuckDB; " +
+        "Spark's builtin ln is StrictMath, 1 ulp off)",
+      ""),
+    args => args match {
+      // SQL numeric literals arrive as DECIMAL — coerce here so pure-SQL
+      // callers can write math_ln(2.0); the expression itself stays strict
+      case Seq(x) => graft.functions.MathLn(
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          x, org.apache.spark.sql.types.DoubleType))
+      case other => throw new IllegalArgumentException(s"math_ln expects 1 argument, got ${other.size}")
+    })
+
+  val shingleKeysDescriptor: Descriptor = (
+    FunctionIdentifier("shingle_keys"),
+    new ExpressionInfo(
+      classOf[graft.functions.ShingleKeys].getName,
+      null,
+      "shingle_keys",
+      "shingle_keys(tokens, k) - all k-token shingle keys of a string array as 64-bit hashes, " +
+        "computed in place (no shingle-string allocation)",
+      ""),
+    args => args match {
+      case Seq(toks, k) => graft.functions.ShingleKeys(toks, intArg(k, "shingle_keys"))
+      case other =>
+        throw new IllegalArgumentException(s"shingle_keys expects 2 arguments, got ${other.size}")
+    })
+
+  val minHashSigDescriptor: Descriptor = (
+    FunctionIdentifier("minhash_sig"),
+    new ExpressionInfo(
+      classOf[graft.functions.MinHashSig].getName,
+      null,
+      "minhash_sig",
+      "minhash_sig(shingles, n) - n-hash MinHash signature (one md5 per shingle, " +
+        "Kirsch-Mitzenmacher double hashing) as zero-padded unsigned decimals",
+      ""),
+    args => args match {
+      case Seq(sh, n) => graft.functions.MinHashSig(sh, intArg(n, "minhash_sig"))
+      case other =>
+        throw new IllegalArgumentException(s"minhash_sig expects 2 arguments, got ${other.size}")
+    })
+
+  private val all: Seq[Descriptor] =
+    Seq(exactDotDescriptor, mathLnDescriptor, shingleKeysDescriptor, minHashSigDescriptor)
+
+  /** Register on a live session (tests, notebooks). */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (ident, info, fb) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, fb)
+    }
 }

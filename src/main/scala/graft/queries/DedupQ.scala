@@ -401,12 +401,13 @@ object DedupQ {
       // fp (ops/Sources.writeBucketed) and the anti-join shuffles only
       // the new batch, never the history
       (s, d) => {
-        val docs = t(s, d, "documents")
-        val fp = Text.fingerprint(col("text"))
-        val batch = docs.filter(col("doc_id") % 10 === 7)
-          .select(col("doc_id"), fp.as("fp"))
-        val snap = docs.filter(col("doc_id") % 10 =!= 7)
-          .select(fp.as("fp")).distinct()
+        // fingerprint the corpus ONCE (md5 over full text is the scan
+        // cost); both sides of the split then read the persisted frame
+        val fps = Caches.trackPersist(
+          t(s, d, "documents")
+            .select(col("doc_id"), Text.fingerprint(col("text")).as("fp")))
+        val batch = fps.filter(col("doc_id") % 10 === 7)
+        val snap = fps.filter(col("doc_id") % 10 =!= 7).select("fp").distinct()
         batch.groupBy("fp")
           .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_batch_dups"))
           .join(snap, Seq("fp"), "left_anti")

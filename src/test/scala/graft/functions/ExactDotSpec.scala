@@ -50,6 +50,16 @@ class ExactDotSpec extends SparkSpec {
     assert(r == ((11.0, 11.0)))
   }
 
+  test("math_ln, shingle_keys, minhash_sig are callable from SQL once registered") {
+    graft.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT math_ln(2.0) AS l, " +
+        "size(shingle_keys(array('a','b','c'), 2)) AS nsh, " +
+        "size(minhash_sig(array('a b','b c'), 4)) AS nmh")
+      .as[(Double, Int, Int)].head()
+    assert(r._1 == math.log(2.0) && r._2 == 2 && r._3 == 4)
+  }
+
   test("null element or length mismatch yields NULL (zip_with semantics)") {
     val df = Seq(
       (Array(1.0f, 2.0f), Array(1.0f)), // length mismatch
