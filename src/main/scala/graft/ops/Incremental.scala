@@ -38,4 +38,37 @@ object Incremental {
     parts
       .withColumn("mean_value", col("total").cast("double") / col("n"))
       .drop("total")
+
+  /** Incremental COUNT DISTINCT state: a DataSketches HLL sketch per group
+    * (`hll_sketch_agg`) — the mergeable analog of the (count, sum) monoid
+    * for a measure that a plain counter cannot maintain. Each ingest batch
+    * sketches only its own rows; [[hllMerge]] unions batch states without
+    * touching history; `hll_sketch_estimate` closes the state.
+    *
+    * Determinism contract — measured, WEAKER than this engine's exact
+    * ops and stated plainly: Spark aggregates `hll_sketch_agg` as
+    * per-partition partial sketches unioned at the end, and a
+    * DataSketches union is not bit-identical to a one-shot sketch
+    * (HLL mode transitions differ), so the estimate can wobble by ±ε
+    * UNDER DIFFERENT PARTITIONING, not just different batch splits
+    * (`PipelineOpsSpec` pins the wobble bound and same-plan stability).
+    * That is the 100 TB trade: re-counting distincts exactly means
+    * re-scanning every batch ever ingested; the exact path per batch
+    * stays [[partials]]/`countDistinct`.
+    */
+  def hllPartials(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol)).as("hll"))
+
+  /** Merge two HLL state tables (associative/commutative union). */
+  def hllMerge(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy(keys.map(col): _*)
+      .agg(hll_union_agg(col("hll")).as("hll"))
+
+  /** Close HLL state into a distinct-count estimate per group. */
+  def hllFinalize(parts: DataFrame): DataFrame =
+    parts
+      .withColumn("approx_distinct", hll_sketch_estimate(col("hll")))
+      .drop("hll")
 }

@@ -64,4 +64,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(joinLines.contains("__trn") || joinLines.contains("__rn"),
       s"join not keyed on the target row number:\n$joinLines")
   }
+
+  test("countMinHeavyHitters broadcasts the sketch grid, never shuffles it") {
+    val df = (0L until 500L).map(i => s"k${i % 37}").toDF("k")
+    val p = plan(Sketch.countMinHeavyHitters(df, "k", 4, 64, 5L))
+    Caches.releaseAll()
+    assert(p.contains("BroadcastHashJoin"), s"sketch not broadcast:\n$p")
+  }
+
+  test("bloomContaminationCheck probes in-stage: filter sits under the verify join") {
+    val train = (0L until 50L).map(i => (i, s"alpha beta gamma tok$i delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val bench = Seq((900L, "alpha beta gamma delta epsilon zeta eta")).toDF("doc_id", "text")
+    val p = plan(Dedup.bloomContaminationCheck(train, bench, "doc_id", "text", 5,
+      mBits = 1 << 12, kHash = 3))
+    Caches.releaseAll()
+    // the bloom row arrives via a 1-row broadcast nested loop whose JOIN
+    // CONDITION is the fused bit test (Catalyst folds the crossJoin +
+    // filter together), and the exact verify join on sk sits ABOVE it —
+    // so only bloom survivors reach the verify hash join
+    val lines = p.linesIterator.toVector
+    val idxBloom = lines.indexWhere(l =>
+      l.contains("BroadcastNestedLoopJoin") && l.contains("__bloom") && l.contains("element_at"))
+    val idxVerify = lines.indexWhere(l => l.contains("BroadcastHashJoin [sk"))
+    assert(idxBloom >= 0, s"no fused bloom bit-test nested-loop join:\n$p")
+    assert(idxVerify >= 0 && idxVerify < idxBloom,
+      s"verify join not ABOVE the bloom probe (probe must feed it):\n$p")
+  }
+
+  test("native hopping window is one Expand + hash agg — no join, no explode") {
+    val df = (0L until 1000L).map(i => (i * 60000000L, i % 3, i * 1.0))
+      .toDF("ts_us", "event_type", "value")
+      .withColumn("__tsx", timestamp_micros(col("ts_us")))
+    val agg = df.groupBy(window(col("__tsx"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val p = plan(agg)
+    assert(p.contains("Expand"), s"no Expand (window slots):\n$p")
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$p")
+  }
 }
