@@ -130,5 +130,30 @@ object EventsQ {
                SELECT user_id, ts_us - ts_us % $usPerDay AS bucket_us,
                  CAST(count(*) AS BIGINT) AS n,
                  ${Exact.sqlDmean("value")} AS mean_value
-               FROM ev GROUP BY 1, 2""")))
+               FROM ev GROUP BY 1, 2"""),
+    ),
+
+    QDef(
+      "p16_json_extract",
+      // semi-structured payloads: parse the props JSON column with an
+      // explicit schema (from_json — typed, codegen'd, PERMISSIVE nulls
+      // on malformed rows; never schema inference on a 100 TB stream)
+      // and aggregate the extracted field. Integer sums — exact
+      (s, d) =>
+        t(s, d, "events")
+          .withColumn("k", from_json(
+            col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).getField("k"))
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            count(col("k")).as("n_parsed"),
+            sum(col("k")).as("sum_k"),
+            max(col("k")).as("max_k")),
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                CAST(count(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS n_parsed,
+                CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+                max(CAST(props->>'k' AS BIGINT)) AS max_k
+              FROM events GROUP BY 1"""))
+  )
 }

@@ -542,6 +542,26 @@ object TimeSeries {
                       FROM b)
                SELECT user_id, min(ts_us) AS start_us, max(ts_us) AS end_us,
                  CAST(count(*) AS BIGINT) AS n_events
-               FROM sx GROUP BY user_id, sid"""))
+               FROM sx GROUP BY user_id, sid""")),
+
+    QDef(
+      "w15_calendar_agg",
+      // calendar-grain rollup: activity by day-of-week x event type.
+      // The day-of-week comes from pure epoch-µs integer arithmetic
+      // (1970-01-01 was a Thursday; dow 0 = Monday), NOT from engine
+      // date functions — Spark's dayofweek is 1=Sunday..7, DuckDB's is
+      // 0=Sunday..6, and time-zone rules never enter an integer DIV
+      (s, d) =>
+        events(s, d)
+          .withColumn("dow", (expr(s"ts_us DIV $usPerDay") + 3) % 7)
+          .groupBy("dow", "event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            Exact.dmean(col("value")).as("mean_value")),
+      Some(s"""WITH ev AS ($evSql)
+               SELECT (ts_us // $usPerDay + 3) % 7 AS dow, event_type,
+                 CAST(count(*) AS BIGINT) AS n,
+                 ${Exact.sqlDmean("value")} AS mean_value
+               FROM ev GROUP BY 1, 2"""))
   )
 }
