@@ -11,6 +11,35 @@ class StreamingSpec extends SparkSpec {
 
   private def ts(s: Int) = new Timestamp(s * 1000L)
 
+  test("foreachBatch + Incremental partials maintain an IVM table over a stream") {
+    // the continuous-ingest composition: each micro-batch contributes its
+    // (count, exact sum) partial state; the maintained table after N
+    // batches is BIT-identical to a from-scratch aggregation of all rows
+    // — streaming ingest and batch backfill cannot diverge
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.{Exact, Incremental}
+    val input = MemoryStream[(Int, Double)]
+    val df = input.toDF().toDF("k", "v")
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    val q = df.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val p = Incremental.partials(batch, Seq("k"), "v").localCheckpoint(true)
+        state = Some(state.fold(p)(s =>
+          Incremental.mergePartials(s, p, Seq("k")).localCheckpoint(true)))
+      }
+      .start()
+    try {
+      val rows = (1 to 90).map(i => (i % 4, i / 7.0 + 0.003))
+      rows.grouped(30).foreach { chunk => input.addData(chunk); q.processAllAvailable() }
+      val maintained = Incremental.finalizeMean(state.get)
+        .select("k", "n", "mean_value").orderBy("k").collect().toSeq
+      val direct = rows.toDF("k", "v").groupBy("k")
+        .agg(count(lit(1)).as("n"), Exact.dmean(col("v")).as("mean_value"))
+        .orderBy("k").collect().toSeq
+      assert(maintained == direct)
+    } finally q.stop()
+  }
+
   test("tumblingAgg runs the W1 semantics incrementally over a stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
