@@ -355,6 +355,141 @@ object SimilarityQ {
                   ORDER BY $scoreExpr DESC, vec_id) AS rnk
               FROM wide WHERE vec_id <> query_id)
             WHERE rnk <= 3"""
+      }),
+
+    QDef(
+      "sim_ivfpq_topk",
+      // IVF-PQ — the composed FAISS shape and the engine's full ANN
+      // story in one query: the fitted coarse quantizer (sim_ivf's
+      // machinery) routes each query to its nprobe=2 cells so only that
+      // corpus fraction is scored at all, and scoring inside the probed
+      // cells is sim_pq's asymmetric distance computation over 8-code
+      // compressed vectors (8 table lookups, fixed-order sum — never the
+      // raw floats). At 100 TB: candidates bounded by nprobe/k of the
+      // corpus, per-candidate cost 8 lookups on ~3-bit codes, and both
+      // fits scan only systematic samples. Every stage reuses the
+      // oracle-replicable components unchanged.
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val nSub = 8; val dSub = 8; val kk = 8; val se = 2
+        val e = withNorm(t(s, d, "embeddings"))
+        // coarse routing (IVF): fit on the vec_id % 4 sample, assign all
+        val rankedC = Caches.trackPersist(
+          graft.ml.IvfQuantizer.fitRanked(e, "vec_id", "embedding", "n2", 8, 2, sampleEvery = 4))
+        val cellsC = rankedC.filter(col("cell_rank") === 1)
+          .select(col("vec_id"), col("cell").as("ccell"))
+        val probesC = rankedC.filter(col("vec_id") < 5 && col("cell_rank") <= 2)
+          .select(col("vec_id").as("query_id"), col("cell").as("ccell"))
+        val cand = cellsC.join(broadcast(probesC), "ccell")
+          .filter(col("vec_id") =!= col("query_id"))
+          .select("query_id", "vec_id")
+        // PQ codes + per-query ADC tables (identical machinery to sim_pq)
+        val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val slices = (0 until nSub).map(sb =>
+          struct(lit(sb).as("sub"), slice(col("embedding"), sb * dSub + 1, dSub).as("sv")))
+        val es = emb
+          .select(col("vec_id"), explode(array(slices: _*)).as("e"))
+          .select(col("e.sub").as("sub"), col("vec_id"), col("e.sv").as("sv"))
+          .withColumn("sn2", Vectors.norm2Exact(col("sv")))
+        val codesP = Caches.trackPersist(
+          graft.ml.IvfQuantizer.fitAssign(
+            es, "vec_id", "sv", "sn2", kk, 1, se, grpCols = Seq("sub")))
+        val compo = Caches.trackPersist(
+          emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim0", "xf")))
+            .select(
+              col("vec_id"),
+              expr(s"dim0 div $dSub").cast("int").as("sub"),
+              pmod(col("dim0"), lit(dSub)).as("sdim"),
+              col("xf").cast("double").as("x")))
+        val cb = compo.join(codesP, Seq("vec_id", "sub"))
+          .groupBy("sub", "cell", "sdim")
+          .agg(sum(col("x").cast(DecimalType(38, 9))).cast("double").as("sx"))
+        val m = codesP.groupBy("sub", "cell").agg(count(lit(1)).as("m"))
+        val tbl = compo.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("sub"), col("sdim"), col("x").as("qx"))
+          .join(cb, Seq("sub", "sdim"))
+          .groupBy("query_id", "sub", "cell")
+          .agg(sum((col("qx") * col("sx")).cast(DecimalType(38, 9))).cast("double").as("ds"))
+          .join(m, Seq("sub", "cell"))
+          .withColumn("term", col("ds") / col("m").cast("double"))
+          .select("query_id", "sub", "cell", "term")
+        // ADC scoring restricted to the routed candidates
+        val pivots = (0 until nSub).map(sb =>
+          max(when(col("sub") === sb, col("term"))).as(s"t$sb"))
+        val wide = codesP.join(broadcast(tbl), Seq("sub", "cell"))
+          .join(cand, Seq("query_id", "vec_id"))
+          .groupBy("query_id", "vec_id")
+          .agg(pivots.head, pivots.tail: _*)
+        val score = (0 until nSub).map(sb => col(s"t$sb")).reduce(_ + _)
+        wide
+          .withColumn("score", score)
+          .withColumn(
+            "rnk",
+            row_number().over(
+              Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id")))
+              .cast("long"))
+          .filter(col("rnk") <= 3)
+          .select("query_id", "rnk", "vec_id", "score")
+      },
+      Some {
+        val nSub = 8; val dSub = 8; val kk = 8; val se = 2
+        // full-vector norms for the coarse fit, under a non-colliding name
+        // (lloydSqlAt(sfx) reads n{sfx}; PQ sub-fits use ns0..ns7)
+        val coarseNorm =
+          """ncq AS (SELECT vec_id,
+               CAST(sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,9))) AS DOUBLE) AS n2
+             FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY 1)"""
+        val coarseFit = graft.ml.IvfQuantizer.lloydSqlAt(8, 2, 64, 4, "cq", 0)
+        val cands =
+          """candq AS (SELECT vec_id AS query_id, cell FROM cellrankscq
+                       WHERE vec_id < 5 AND rn <= 2),
+             cp AS (SELECT c.query_id, a.vec_id FROM candq c
+                    JOIN assignedcq a ON a.cell = c.cell
+                    WHERE a.vec_id <> c.query_id)"""
+        val norms = (0 until nSub).map { sb =>
+          val off = sb * dSub
+          s"""ns$sb AS (SELECT vec_id,
+                CAST(sum(CAST(CAST(embedding[i.i + $off] AS DOUBLE)
+                  * CAST(embedding[i.i + $off] AS DOUBLE) AS DECIMAL(38,9))) AS DOUBLE) AS n2
+              FROM embeddings, unnest(generate_series(1, $dSub)) AS i(i) GROUP BY 1)"""
+        }.mkString(",\n")
+        val fits = (0 until nSub).map { sb =>
+          graft.ml.IvfQuantizer.lloydSqlAt(kk, 1, dSub, se, s"s$sb", sb * dSub)
+        }.mkString(",\n")
+        val perSub = (0 until nSub).map { sb =>
+          s"""cb$sb AS (SELECT a.cell, c.dim, CAST(sum(CAST(c.x AS DECIMAL(38,9))) AS DOUBLE) AS sx
+                FROM comps$sb c JOIN assigneds$sb a ON a.vec_id = c.vec_id GROUP BY 1, 2),
+              m$sb AS (SELECT cell, CAST(count(*) AS BIGINT) AS m FROM assigneds$sb GROUP BY 1),
+              tq$sb AS (SELECT q.vec_id AS query_id, cb.cell,
+                  CAST(sum(CAST(q.x * cb.sx AS DECIMAL(38,9))) AS DOUBLE) AS ds
+                FROM comps$sb q JOIN cb$sb cb ON cb.dim = q.dim
+                WHERE q.vec_id < 5 GROUP BY 1, 2),
+              tm$sb AS (SELECT t.query_id, a.vec_id, t.ds / CAST(m.m AS DOUBLE) AS term
+                FROM assigneds$sb a JOIN tq$sb t ON t.cell = a.cell
+                     JOIN m$sb m ON m.cell = a.cell)"""
+        }.mkString(",\n")
+        val allUnion = (0 until nSub)
+          .map(sb => s"SELECT query_id, vec_id, $sb AS sub, term FROM tm$sb")
+          .mkString(" UNION ALL ")
+        val pivot = (0 until nSub)
+          .map(sb => s"max(CASE WHEN sub = $sb THEN term END) AS t$sb")
+          .mkString(", ")
+        val scoreExpr = (0 until nSub).map(sb => s"t$sb").reduce((a, b) => s"($a + $b)")
+        s"""WITH $coarseNorm,
+            $coarseFit,
+            $cands,
+            $norms,
+            $fits,
+            $perSub,
+            allt AS ($allUnion),
+            wide AS (SELECT query_id, vec_id, $pivot FROM allt
+                     JOIN cp USING (query_id, vec_id) GROUP BY 1, 2)
+            SELECT query_id, rnk, vec_id, score FROM (
+              SELECT query_id, vec_id, $scoreExpr AS score,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY $scoreExpr DESC, vec_id) AS rnk
+              FROM wide)
+            WHERE rnk <= 3"""
       })
   )
 }
