@@ -47,9 +47,15 @@ object GraftFunctions {
       ""),
     builder)
 
-  private def intArg(e: Expression, fn: String): Int = e.eval() match {
-    case n: Number => n.intValue()
-    case other => throw new IllegalArgumentException(s"$fn expects a literal int, got $other")
+  private def intArg(e: Expression, fn: String): Int = {
+    // eval() on a non-foldable (column) arg throws an opaque Catalyst
+    // UnsupportedOperationException — keep the friendly diagnostic
+    if (!e.foldable)
+      throw new IllegalArgumentException(s"$fn expects a literal int, got non-literal $e")
+    e.eval() match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(s"$fn expects a literal int, got $other")
+    }
   }
 
   val mathLnDescriptor: Descriptor = (

@@ -39,21 +39,28 @@ object Sketch {
 
   private val two64 = "CAST('18446744073709551616' AS DECIMAL(38,0))"
 
-  /** The sketch grid: one row per (level, bucket) with its counter.
-    * `keyCol` is hashed as a string (cross-engine canonical form).
+  /** (input columns) + (level, bucket) rows, `depth` per input row —
+    * the one place the md5 double-hash bucket recipe lives.
     */
-  def countMin(df: DataFrame, keyCol: String, depth: Int, width: Int): DataFrame = {
+  private def hashedBuckets(
+      df: DataFrame, keyCol: String, depth: Int, width: Int): DataFrame = {
     require(depth >= 1 && width >= 1, s"bad sketch shape $depth x $width")
-    val hashed = df
-      .withColumn("__md", md5(col(keyCol).cast("string")))
+    df.withColumn("__md", md5(col(keyCol).cast("string")))
       .withColumn("__h1", expr(le64hex("__md", 16)))
       .withColumn("__h2", expr(le64hex("__md", 0)))
       .withColumn("level", explode(sequence(lit(0), lit(depth - 1))))
       .withColumn(
         "bucket",
         expr(s"CAST(((__h1 + level * __h2) % $two64) % $width AS BIGINT)"))
-    hashed.groupBy("level", "bucket").agg(count(lit(1)).as("cell_n"))
+      .drop("__md", "__h1", "__h2")
   }
+
+  /** The sketch grid: one row per (level, bucket) with its counter.
+    * `keyCol` is hashed as a string (cross-engine canonical form).
+    */
+  def countMin(df: DataFrame, keyCol: String, depth: Int, width: Int): DataFrame =
+    hashedBuckets(df, keyCol, depth, width)
+      .groupBy("level", "bucket").agg(count(lit(1)).as("cell_n"))
 
   /** Heavy hitters: probe every distinct key of `df` against its own
     * count-min sketch, keep keys whose estimate reaches `minCount`, and
@@ -79,15 +86,9 @@ object Sketch {
       width: Int,
       minCount: Long): DataFrame = {
     val hashed = Caches.trackPersist(
-      df.groupBy(col(keyCol)).agg(count(lit(1)).as("exact_n"))
-        .withColumn("__md", md5(col(keyCol).cast("string")))
-        .withColumn("__h1", expr(le64hex("__md", 16)))
-        .withColumn("__h2", expr(le64hex("__md", 0)))
-        .withColumn("level", explode(sequence(lit(0), lit(depth - 1))))
-        .withColumn(
-          "bucket",
-          expr(s"CAST(((__h1 + level * __h2) % $two64) % $width AS BIGINT)"))
-        .select(col(keyCol), col("exact_n"), col("level"), col("bucket")))
+      hashedBuckets(
+        df.groupBy(col(keyCol)).agg(count(lit(1)).as("exact_n")),
+        keyCol, depth, width))
     val sketch = hashed.groupBy("level", "bucket").agg(sum(col("exact_n")).as("cell_n"))
     hashed
       .join(broadcast(sketch), Seq("level", "bucket"))

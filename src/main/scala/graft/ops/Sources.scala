@@ -156,6 +156,20 @@ object Sources {
       xCol: String,
       yCol: String,
       bits: Int = 16): Unit = {
+    // keys above 2^bits would silently alias (identical z contribution →
+    // same file → no pruning) and negative keys corrupt the bit walk —
+    // fail loudly instead. One column-pruned 2-column agg before a full
+    // write is noise at ingest; the silent loss of the pruning property
+    // this op exists for is not.
+    val lim = 1L << bits
+    val r = df.agg(
+      min(col(xCol).cast("long")), max(col(xCol).cast("long")),
+      min(col(yCol).cast("long")), max(col(yCol).cast("long"))).collect()(0)
+    require(r.getLong(0) >= 0 && r.getLong(2) >= 0,
+      s"writeZOrdered keys must be non-negative: $xCol>=${r.getLong(0)}, $yCol>=${r.getLong(2)}")
+    require(r.getLong(1) < lim && r.getLong(3) < lim,
+      s"writeZOrdered keys exceed 2^$bits=$lim ($xCol<=${r.getLong(1)}, $yCol<=${r.getLong(3)}): " +
+        "raise bits or pre-bucket the keys, or files will alias and stop pruning")
     df.withColumn("__z", zValue(col(xCol).cast("long"), col(yCol).cast("long"), bits))
       .repartitionByRange(nRanges, col("__z"))
       .sortWithinPartitions(col("__z"))

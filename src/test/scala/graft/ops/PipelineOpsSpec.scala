@@ -178,6 +178,15 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.values.forall { case (est, exact) => est >= exact })
     // 3 keys in 1024 buckets x 4 levels: overwhelmingly collision-free
     assert(out("hot") == ((10L, 10L)) && out("warm") == ((3L, 3L)) && out("cold") == ((1L, 1L)))
+    // the raw streaming grid (countMin proper): every level's cells sum to
+    // the total row count, and the weighted heavy-hitter build above must
+    // be the SAME grid
+    val grid = Sketch.countMin(df, "k", depth = 4, width = 1024)
+      .as[(Int, Long, Long)].collect()
+    val perLevel = grid.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(perLevel == Map(0 -> 14L, 1 -> 14L, 2 -> 14L, 3 -> 14L))
+    val cellMax = grid.map(_._3).max
+    assert(cellMax == 10L) // "hot" alone in its cells
   }
 
   test("countMinHeavyHitters is partition-count independent") {
