@@ -176,4 +176,38 @@ object Sources {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Small-file compaction — the maintenance op every streaming/micro-batch
+    * ingest needs: each trigger writes a few small files, and a month later
+    * the table is a million 2 MB files whose per-file open/footer cost
+    * dominates every scan. Rewrites `inPath` to `outPath` sized by BYTES
+    * (`ceil(input_bytes / targetBytes)` output files — row counts are the
+    * wrong knob when row width varies), preserving an optional sort column
+    * so the rewrite also restores min/max pruning ([[writeSortedRanges]]
+    * semantics when `sortCol` is set, plain coalesce otherwise).
+    *
+    * Distinct paths required: a same-path overwrite would delete the
+    * input mid-read (Spark reads lazily). At 100 TB run per partition
+    * directory, not per table.
+    */
+  def compactParquet(
+      spark: SparkSession,
+      inPath: String,
+      outPath: String,
+      targetBytes: Long = 128L * 1024 * 1024,
+      sortCol: Option[String] = None): Int = {
+    require(inPath != outPath, "compaction must write to a new location (lazy reads)")
+    require(targetBytes > 0, s"bad targetBytes $targetBytes")
+    val inputBytes = new java.io.File(inPath).listFiles() match {
+      case null => 0L
+      case fs => fs.filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    }
+    val nOut = math.max(1, math.ceil(inputBytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(inPath)
+    sortCol match {
+      case Some(c) => writeSortedRanges(df, outPath, nOut, Seq(c))
+      case None => df.coalesce(nOut).write.mode("overwrite").parquet(outPath)
+    }
+    nOut
+  }
 }

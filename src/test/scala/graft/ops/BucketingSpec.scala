@@ -110,4 +110,36 @@ class BucketingSpec extends SparkSpec {
     assert(spark.read.parquet(dir).agg(sum(col("payload"))).as[Long].head()
       == (0L until 4096L).sum)
   }
+
+  test("compactParquet collapses a many-file table, preserves data, restores pruning") {
+    val in = java.nio.file.Files.createTempDirectory("graft_frag").toString + "/t"
+    val out = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    // simulate micro-batch fragmentation: 40 tiny files
+    (0L until 4000L).map(i => ((i * 2654435761L) % 4000, i)).toDF("ts", "payload")
+      .repartition(40)
+      .write.parquet(in)
+    val inFiles = new java.io.File(in).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(inFiles == 40)
+    val bytes = new java.io.File(in).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val nOut = Sources.compactParquet(spark, in, out,
+      targetBytes = bytes / 4, sortCol = Some("ts"))
+    val outFiles = new java.io.File(out).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nOut >= 4 && nOut <= 5 && outFiles == nOut, s"nOut=$nOut outFiles=$outFiles")
+    // content identical
+    assert(spark.read.parquet(out).agg(sum(col("payload"))).as[Long].head()
+      == (0L until 4000L).sum)
+    // sorted rewrite restores disjoint per-file ranges (pruning)
+    val spans = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min(col("ts")), max(col("ts"))).collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }.sortBy(_._1)
+    spans.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi < lo2)
+      case _ => ()
+    }
+  }
 }

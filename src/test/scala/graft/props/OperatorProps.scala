@@ -176,4 +176,26 @@ object OperatorProps extends Properties("graft.ops") {
         firsts.forall(_._3 == vs.head.toDouble) &&
         out.forall { case (_, _, e) => e >= vs.min - 1e-6 && e <= vs.max + 1e-6 }
     }
+
+  property("corrCovar: |r| <= 1, perfect linearity gives |r| ~ 1, sign tracks slope") =
+    Prop.forAll(
+      Gen.listOfN(20, Gen.choose(-50.0, 50.0)),
+      Gen.choose(-5.0, 5.0),
+      Gen.choose(-10.0, 10.0)) { (xs, slope, icept) =>
+      // degenerate draws pass trivially — shrinking does NOT re-check
+      // suchThat guards, so the guard must live inside the property
+      if (xs.distinct.size <= 2 || math.abs(slope) <= 0.01) Prop.passed
+      else {
+      val exact = xs.map(x => ("k", x, slope * x + icept))
+      val noisy = xs.zipWithIndex.map { case (x, i) => ("k", x, slope * x + (i % 7) * 3.1) }
+      val df = (exact.map { case (k, x, y) => (k + "e", x, y) } ++
+        noisy.map { case (k, x, y) => (k + "n", x, y) }).toDF("k", "x", "y")
+      val out = Stats.corrCovar(df, Seq("k"), "x", "y")
+        .select("k", "pearson_r").as[(String, Option[Double])].collect().toMap
+      val re = out("ke"); val rn = out("kn")
+      // exact linear: |r| == 1 up to the scale-4 fixed-point quantization
+      Prop(re.exists(r => math.abs(math.abs(r) - 1.0) < 1e-5 && r.sign == slope.sign) &&
+        rn.forall(r => r >= -1.0 - 1e-12 && r <= 1.0 + 1e-12))
+      }
+    }
 }
