@@ -71,4 +71,43 @@ class IvfQuantizerSpec extends SparkSpec {
     graft.ops.Caches.releaseAll()
     assert(r1 == r2)
   }
+
+  test("IVF routing recall: on clustered data every exact neighbor is in a probed cell") {
+    // 8 well-separated clusters of 25 vectors in 16 dims: exact cosine
+    // top-3 of any vector is inside its own cluster, so nprobe=2 routing
+    // must place all of them in the query's probed cells — the quality
+    // property (not just determinism) the sim_ivfpq composition rests on.
+    // Deterministic jitter → a fixed outcome, not a flaky bound.
+    val nClusters = 8; val perC = 25; val dims = 16
+    val rows = (0 until nClusters).flatMap { c =>
+      (0 until perC).map { j =>
+        val id = (c * perC + j).toLong
+        val v = Array.tabulate(dims) { d =>
+          val base = if (d == 2 * c) 10f else if (d == 2 * c + 1) 5f else 0f
+          base + (((id * 31 + d * 7) % 11).toFloat - 5f) / 10f
+        }
+        (id, v)
+      }
+    }
+    val e = rows.toDF("vec_id", "embedding")
+      .withColumn("n2", graft.ops.Vectors.norm2Exact(col("embedding")))
+    val ranked = IvfQuantizer.fitRanked(e, "vec_id", "embedding", "n2", 8, 2, sampleEvery = 2)
+      .select(col("vec_id").cast("long"), col("cell").cast("long"), col("cell_rank"))
+      .as[(Long, Long, Long)].collect()
+    graft.ops.Caches.releaseAll()
+    val cellOf = ranked.filter(_._3 == 1L).map(r => r._1 -> r._2).toMap
+    val probed = ranked.filter(r => r._3 <= 2L).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val byId = rows.toMap
+    val queries = (0 until nClusters).map(c => (c * perC).toLong)
+    val missed = queries.flatMap { q =>
+      val top3 = rows.filter(_._1 != q)
+        .sortBy { case (id, v) => (-cos(byId(q), v), id) }.take(3).map(_._1)
+      top3.filterNot(n => probed(q).contains(cellOf(n)))
+    }
+    assert(missed.isEmpty, s"neighbors outside probed cells: $missed")
+  }
 }

@@ -30,6 +30,32 @@ class ExactSpec extends SparkSpec {
     }
   }
 
+  test("dsumTrunc4 is partition-invariant and tie-free where a rounding cast splits engines") {
+    // 1/1024 = 0.0009765625 is a dyadic double that is an EXACT decimal
+    // tie at scale 4 (0.00009765625·... -> odd/2^(s+1) family): a rounding
+    // DECIMAL cast breaks it HALF_UP in Java vs half-even in DuckDB — the
+    // divergence a17_corr hit at sf0.01. Truncation has no tie: floor of
+    // the identical product double is identical everywhere.
+    val tieVals = Seq(1.0 / 1024, 3.0 / 1024, -5.0 / 1024, 0.00005, -0.00015)
+    val big = (1 to 500).map(i => 1e10 + i * 0.37 + 1.0 / 1024)
+    val df = (tieVals ++ big).map(("k", _)).toDF("k", "v")
+    val base = df.repartition(1).groupBy("k")
+      .agg(Exact.dsumTrunc4(col("v")).as("s")).as[(String, Double)].head()._2
+    for (p <- Seq(2, 7, 32)) {
+      val r = df.repartition(p).groupBy("k")
+        .agg(Exact.dsumTrunc4(col("v")).as("s")).as[(String, Double)].head()._2
+      assert(java.lang.Double.doubleToRawLongBits(r)
+        == java.lang.Double.doubleToRawLongBits(base), s"partitions=$p: $r vs $base")
+    }
+    // truncation semantics: sign·floor(|v|·10^4)/10^4 per row
+    val one = Seq(("k", 1.0 / 1024)).toDF("k", "v")
+      .groupBy("k").agg(Exact.dsumTrunc4(col("v")).as("s")).as[(String, Double)].head()._2
+    assert(one == 0.0009) // floor(9.765625)/1e4 — truncated, not rounded to 0.001
+    val neg = Seq(("k", -1.0 / 1024)).toDF("k", "v")
+      .groupBy("k").agg(Exact.dsumTrunc4(col("v")).as("s")).as[(String, Double)].head()._2
+    assert(neg == -0.0009) // truncation toward zero, symmetric
+  }
+
   test("saltedStats matches the direct aggregation bit for bit") {
     val rng = new Random(11)
     val df = Seq.fill(4000)(("hot", rng.nextDouble() * 99)).toDF("k", "v")
