@@ -36,7 +36,7 @@ object Bench {
       try {
         val out = fn(spark, sfDir)
         // double sum: a long sum of hashes overflows under ANSI mode
-        out.select(xxhash64(out.columns.map(col): _*).cast("double").as("__h"))
+        out.select(xxhash64(out.columns.toIndexedSeq.map(col): _*).cast("double").as("__h"))
           .agg(fsum("__h")).collect()
       } catch { case _: Throwable => () }
       graft.ops.Caches.releaseAll()
