@@ -40,4 +40,14 @@ object Profiling {
       col("__n").as("n_rows"))
       .select(col("column"), col("n_rows"), col("n_null"), col("n_distinct"))
   }
+
+  /** Physical-partition row counts — the first thing to look at when a
+    * stage straggles: one `spark_partition_id` groupBy (map-side combined,
+    * one row per partition) showing exactly how skewed the current
+    * distribution is. Diagnostic: the ids are plan-dependent, so this is
+    * for eyes/assertions on a KNOWN plan, never for oracle-checked output.
+    */
+  def partitionSizes(df: DataFrame): DataFrame =
+    df.groupBy(spark_partition_id().as("partition"))
+      .agg(count(lit(1)).as("n_rows"))
 }

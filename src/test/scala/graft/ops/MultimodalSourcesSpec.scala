@@ -67,6 +67,14 @@ class MultimodalSourcesSpec extends SparkSpec {
     assert(!plan.contains("Expand"), s"approx profile still plans an Expand:\n$plan")
   }
 
+  test("Profiling.partitionSizes: one row per partition, counts sum to the total") {
+    val df = spark.range(100).repartition(8)
+    val out = Profiling.partitionSizes(df.toDF())
+      .as[(Int, Long)].collect().toSeq
+    assert(out.length <= 8 && out.map(_._2).sum == 100L)
+    assert(out.map(_._1).distinct.length == out.length)
+  }
+
   test("bucketed tables equi-join on the bucket key with NO shuffle exchange") {
     val dir = Files.createTempDirectory("graft_bucket").toString
     val a = spark.range(1000).select(col("id"), (col("id") % 7).as("va"))
