@@ -55,6 +55,49 @@ object Joins {
     a.join(s, keyCond && rangeCond, "left")
   }
 
+  /** Bucketed interval-overlap join: pair each point with every interval
+    * (same `parts` key) whose half-open [start, end) span contains the
+    * point's timestamp.
+    *
+    * Scale shape — why not a plain inequality join: Spark executes
+    * equi-key + range-residual as a per-key pairing (SMJ enumerates ALL
+    * equi-key pairs before the residual filter), quadratic in the hot-key
+    * row count. Here each interval is scattered once per `bucketUs`-sized
+    * time bucket it touches and each point carries its single bucket, so
+    * the join is a pure equi-join on (parts, bucket): cost is
+    * |intervals|·(span/bucket) + |points|, never |I_k|·|P_k| per key. Every
+    * match surfaces exactly once (a point lives in one bucket; an interval
+    * carries each bucket once), so no post-dedup. Pick `bucketUs` near the
+    * typical interval span: longer buckets under-split (fatter residual
+    * filter), shorter buckets over-replicate intervals.
+    *
+    * Empty intervals (end <= start) match nothing and are dropped before
+    * the scatter — `sequence(lo, hi)` would otherwise count DOWN for
+    * hi < lo and fabricate buckets. Timestamps must be non-negative
+    * (integer DIV bucketing).
+    */
+  def intervalOverlap(
+      intervals: DataFrame,
+      points: DataFrame,
+      parts: Seq[String],
+      startCol: String,
+      endCol: String,
+      tsCol: String,
+      bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    val ib = intervals
+      .filter(col(endCol) > col(startCol))
+      .withColumn(
+        "__b",
+        explode(sequence(
+          expr(s"$startCol DIV $bucketUs"),
+          expr(s"($endCol - 1) DIV $bucketUs"))))
+    val pb = points.withColumn("__b", expr(s"$tsCol DIV $bucketUs"))
+    ib.join(pb, parts :+ "__b")
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
+      .drop("__b")
+  }
+
   /** As-of join: for each anchor row, the latest sample with
     * sample.ts <= anchor.ts within the same keys (NULL when none). The
     * reference's dict lookups "value as of window time" generalized.

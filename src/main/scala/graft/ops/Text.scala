@@ -201,6 +201,34 @@ object Text {
       .drop("__cb")
   }
 
+  /** PII-scrub-shaped redaction: apply `rules` (regex → replacement) to
+    * `textCol` IN ORDER, and count how many spans each rule matches in the
+    * ORIGINAL text (counts are pre-replacement, so a replacement string can
+    * never inflate a later rule's count; replacements still compose
+    * sequentially, the scrub-pipeline convention).
+    *
+    * Scale shape: a pure projection — regexp_replace/regexp_extract_all are
+    * codegen'd row-local work, no shuffle, which is exactly why regex
+    * scrubbing is the one pipeline stage that runs at ingest line rate on
+    * 100 TB. Patterns must be RE2-compatible (no backrefs/lookaround) so the
+    * DuckDB oracle executes them identically to the JVM.
+    */
+  def redact(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      rules: Seq[(String, String)]): DataFrame = {
+    require(rules.nonEmpty, "redact needs at least one (pattern, replacement) rule")
+    val nMasked = rules
+      .map { case (pat, _) => size(regexp_extract_all(col(textCol), lit(pat), lit(0))) }
+      .reduce(_ + _)
+      .cast("long")
+    val scrubbed = rules.foldLeft(col(textCol)) { case (c, (pat, rep)) =>
+      regexp_replace(c, pat, rep)
+    }
+    df.select(col(idCol), nMasked.as("n_masked"), scrubbed.as("text_redacted"))
+  }
+
   /** BM25 relevance of every document against a fixed query-term set —
     * corpus-level text retrieval scoring (idf from the corpus, tf and
     * length normalization per doc):

@@ -121,6 +121,38 @@ object Windows {
     } else out
   }
 
+  /** Trailing rolling median — the outlier-robust smoother (a spike that
+    * drags a moving AVERAGE for n rows leaves the median untouched).
+    *
+    * Complete windows only, and `n` must be ODD: the median of a full odd
+    * frame is a pure element selection (sorted middle), no interpolation
+    * arithmetic — which is what makes the result bit-identical across
+    * engines (an even-count median is (x+y)/2 vs x+(y−x)/2 territory).
+    * Rows whose trailing frame is incomplete are dropped, mirroring
+    * [[movingAvg]] `full = true`.
+    *
+    * Scale shape: one window (sort within partition); the frame buffer is
+    * n values per row, array-local sort of n elements — O(n log n) per row
+    * with tiny constant n, no extra shuffle beyond the window's.
+    */
+  def rollingMedian(
+      df: DataFrame,
+      parts: Seq[String],
+      order: Seq[Column],
+      valueCol: String,
+      n: Int,
+      outCol: String = "rolling_median"): DataFrame = {
+    require(n > 0 && n % 2 == 1, s"rollingMedian needs odd n, got $n")
+    val w = Window.partitionBy(parts.map(col): _*).orderBy(order: _*)
+    val frame = w.rowsBetween(-(n - 1), 0)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn(
+        outCol,
+        element_at(sort_array(collect_list(col(valueCol)).over(frame)), (n + 1) / 2))
+      .filter(col("__rn") >= n)
+      .drop("__rn")
+  }
+
   /** W4: downsample-by-window aggregation, the four kernels of
     * ref `utils.py:19-35`: mean / abs_mean / abs_max / abs_max_orig
     * (signed value with max |value|).

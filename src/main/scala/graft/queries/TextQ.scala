@@ -402,6 +402,28 @@ object TextQ {
                SELECT source,
                  -${Exact.sqlDsumTrunc4("p * ln(p)")} AS entropy,
                  ${Exact.sqlDsumTrunc4("p * ln(p / q)")} AS kl_vs_corpus
-               FROM p GROUP BY 1"""))
+               FROM p GROUP BY 1""")),
+
+    QDef(
+      "t11_redact",
+      // PII-scrub shape: sequential regex masking + pre-replacement match
+      // counts (Text.redact). Rule 1 masks entity words that DO occur in
+      // the corpus; rule 2 is a realistic email pattern (zero hits here —
+      // the point is the operator, patterns are caller-supplied). Both
+      // patterns are RE2-safe so Java regex and DuckDB RE2 agree.
+      (s, d) =>
+        Text.redact(
+          t(s, d, "documents"), "doc_id", "text",
+          Seq(
+            "\\bcustomer\\b|\\bsupplier\\b" -> "[MASKED]",
+            "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}" -> "[EMAIL]")),
+      Some("""SELECT doc_id,
+              CAST(len(regexp_extract_all(text, '\bcustomer\b|\bsupplier\b'))
+                 + len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
+                 AS BIGINT) AS n_masked,
+              regexp_replace(
+                regexp_replace(text, '\bcustomer\b|\bsupplier\b', '[MASKED]', 'g'),
+                '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g') AS text_redacted
+              FROM documents"""))
   )
 }

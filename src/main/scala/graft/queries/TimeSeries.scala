@@ -110,6 +110,24 @@ object TimeSeries {
               WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""")),
 
     QDef(
+      "w16_rolling_median",
+      // outlier-robust trailing smoother; odd n + complete windows only, so
+      // the median is the sorted frame's middle ELEMENT (no interpolation
+      // arithmetic to diverge between engines). Oracle is the structural
+      // twin: list() over the same frame, list_sort, 1-indexed middle.
+      (s, d) =>
+        Windows.rollingMedian(
+          events(s, d), Seq("user_id"), Seq(col("ts_us"), col("event_id")), "value", 5)
+          .select("user_id", "ts_us", "rolling_median"),
+      Some("""SELECT user_id, ts_us, rolling_median FROM (
+              SELECT user_id, epoch_us(ts) AS ts_us,
+                list_sort(list(value) OVER w)[3] AS rolling_median,
+                row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+              WHERE rn >= 5""")),
+
+    QDef(
       "w4_downsample",
       // centered value so the signed-abs-max kernel actually sees signs
       (s, d) => {
@@ -434,6 +452,53 @@ object TimeSeries {
                e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events)
                SELECT a.user_id, a.anchor_us, e.ts_us AS asof_ts, e.value AS asof_value
                FROM a ASOF LEFT JOIN e ON a.user_id = e.user_id AND e.ts_us <= a.anchor_us""")),
+
+    QDef(
+      "j7_interval_overlap",
+      // purchases landed inside view/click gap-sessions — a true
+      // variable-length interval-overlap join, executed as the bucketed
+      // scatter (Joins.intervalOverlap): sessions explode into 30-min time
+      // buckets, purchases equi-join on (user, bucket), residual containment
+      // filter. The oracle is the plain inequality join DuckDB runs
+      // natively. Session end is inclusive -> pass end+1 as the half-open
+      // bound. Counts integral, money sum exact-decimal.
+      (s, d) => {
+        val ev = events(s, d)
+        val sess = graft.ops.Segments.gapSessions(
+            ev.filter(col("event_type").isin("view", "click")),
+            Seq("user_id"), "ts_us", 30L * 60L * 1000000L,
+            order = Seq(col("ts_us"), col("event_id")))
+          .groupBy("user_id", "session_idx")
+          .agg(min("ts_us").as("start_us"), max("ts_us").as("end_us"))
+          .withColumn("__end_x", col("end_us") + 1)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_us"), col("value"))
+        Joins.intervalOverlap(
+            sess, purchases, Seq("user_id"), "start_us", "__end_x", "ts_us",
+            30L * 60L * 1000000L)
+          .groupBy("user_id", "session_idx", "start_us", "end_us")
+          .agg(
+            count(lit(1)).as("n_purchases"),
+            Exact.dsum(col("value")).as("sum_value"))
+      },
+      Some(s"""WITH ev AS ($evSql),
+               f AS (SELECT * FROM ev WHERE event_type IN ('view', 'click')),
+               b AS (SELECT user_id, event_id, ts_us,
+                       CASE WHEN lag(ts_us) OVER w IS NULL
+                              OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS chg
+                     FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+               sx AS (SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id
+                        ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
+                      FROM b),
+               sess AS (SELECT user_id, session_idx, min(ts_us) AS start_us, max(ts_us) AS end_us
+                        FROM sx GROUP BY 1, 2),
+               p AS (SELECT user_id, ts_us, value FROM ev WHERE event_type = 'purchase')
+               SELECT s.user_id, s.session_idx, s.start_us, s.end_us,
+                 CAST(count(*) AS BIGINT) AS n_purchases,
+                 ${Exact.sqlDsum("p.value")} AS sum_value
+               FROM sess s JOIN p ON p.user_id = s.user_id
+                 AND p.ts_us >= s.start_us AND p.ts_us <= s.end_us
+               GROUP BY 1, 2, 3, 4""")),
 
     QDef(
       "a14_align_truncate",

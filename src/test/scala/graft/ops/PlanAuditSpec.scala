@@ -65,6 +65,18 @@ class PlanAuditSpec extends SparkSpec {
       s"join not keyed on the target row number:\n$joinLines")
   }
 
+  test("intervalOverlap joins on (key, bucket) — containment is residual, not the key") {
+    val intervals = (0L until 40L).map(i => (i % 4, i, i * 10, i * 10 + 25))
+      .toDF("k", "iid", "start", "end")
+    val points = (0L until 200L).map(i => (i % 4, i * 2)).toDF("k", "ts")
+    val p = plan(Joins.intervalOverlap(intervals, points, Seq("k"), "start", "end", "ts", 16L))
+    assert(!p.toLowerCase.contains("cartesian"), s"cartesian product:\n$p")
+    // the equi-key must include the scattered bucket — a join keyed on k
+    // alone with the range as a post-condition is the per-key-quadratic SMJ
+    val joinLines = p.linesIterator.filter(_.contains("Join")).mkString("\n")
+    assert(joinLines.contains("__b"), s"join not keyed on the time bucket:\n$joinLines")
+  }
+
   test("countMinHeavyHitters broadcasts the sketch grid, never shuffles it") {
     val df = (0L until 500L).map(i => s"k${i % 37}").toDF("k")
     val p = plan(Sketch.countMinHeavyHitters(df, "k", 4, 64, 5L))

@@ -51,4 +51,30 @@ class TextBm25Spec extends SparkSpec {
       .select(graft.functions.MathLn(col("x"))).as[Double].collect()
     assert(viaExpr.toSeq == diverging.map(java.lang.Math.log))
   }
+
+  test("redact: sequential rules, pre-replacement counts, word boundaries") {
+    val pii = Seq(
+      (1L, "mail bob@corp.io and alice@x.dev about the spark job"),
+      (2L, "no addresses here just spark sparkle"),
+      (3L, "spark")
+    ).toDF("doc_id", "text")
+    val out = Text.redact(
+      pii, "doc_id", "text",
+      Seq("\\bspark\\b" -> "[TOOL]",
+          "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}" -> "[EMAIL]"))
+      .as[(Long, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // \b keeps "sparkle" intact; counts sum across rules on the ORIGINAL text
+    assert(out(1L) == ((3L, "mail [EMAIL] and [EMAIL] about the [TOOL] job")))
+    assert(out(2L) == ((1L, "no addresses here just [TOOL] sparkle")))
+    assert(out(3L) == ((1L, "[TOOL]")))
+  }
+
+  test("redact: a replacement string cannot inflate a later rule's count") {
+    val df = Seq((1L, "aa")).toDF("doc_id", "text")
+    // rule 1 rewrites to text that rule 2 WOULD match; count stays at the
+    // original text's matches (aa -> 1 for rule1, 0 for rule2)
+    val out = Text.redact(df, "doc_id", "text", Seq("aa" -> "bb", "bb" -> "cc"))
+      .as[(Long, Long, String)].collect().head
+    assert(out == ((1L, 1L, "cc")))
+  }
 }

@@ -94,4 +94,18 @@ class WindowsSpec extends SparkSpec {
       .orderBy("k", "ts").select("k", "moving_avg").as[(String, Double)].collect().toSeq
     assert(out == Seq(("k", 1.5), ("k", 4.0))) // "j" has < n rows -> gone entirely
   }
+
+  test("rollingMedian ignores a spike the moving average inherits; odd-n only") {
+    val df = Seq.tabulate(7)(i => ("k", i.toLong, if (i == 3) 1000.0 else i.toDouble))
+      .toDF("k", "ts", "value")
+    val med = Windows.rollingMedian(df, Seq("k"), Seq(col("ts")), "value", 3)
+      .orderBy("ts").select("rolling_median").as[Double].collect().toSeq
+    // frames [0,1,2] [1,2,1000] [2,1000,4] [1000,4,5] [4,5,6]: the spike is
+    // never the sorted middle, so no output ever sees it
+    assert(med == Seq(1.0, 2.0, 4.0, 5.0, 5.0))
+    assert(med.forall(_ < 1000.0))
+    intercept[IllegalArgumentException] {
+      Windows.rollingMedian(df, Seq("k"), Seq(col("ts")), "value", 4)
+    }
+  }
 }
