@@ -60,16 +60,26 @@ object Joins {
     * point's timestamp.
     *
     * Scale shape — why not a plain inequality join: Spark executes
-    * equi-key + range-residual as a per-key pairing (SMJ enumerates ALL
-    * equi-key pairs before the residual filter), quadratic in the hot-key
-    * row count. Here each interval is scattered once per `bucketUs`-sized
-    * time bucket it touches and each point carries its single bucket, so
-    * the join is a pure equi-join on (parts, bucket): cost is
-    * |intervals|·(span/bucket) + |points|, never |I_k|·|P_k| per key. Every
-    * match surfaces exactly once (a point lives in one bucket; an interval
-    * carries each bucket once), so no post-dedup. Pick `bucketUs` near the
-    * typical interval span: longer buckets under-split (fatter residual
-    * filter), shorter buckets over-replicate intervals.
+    * equi-key + range-residual by enumerating ALL equi-key pairs before the
+    * residual filter, quadratic in the hot-key row count. Here each
+    * interval is scattered once per `bucketUs`-sized time bucket it touches
+    * and each point carries its single bucket, so pairing happens per
+    * (key, bucket) instead of per key — the enumeration shrinks by the
+    * key-span/bucket locality factor. Every match surfaces exactly once (a
+    * point lives in one bucket; an interval carries each bucket once), so
+    * no post-dedup. Pick `bucketUs` near the typical interval span: longer
+    * buckets under-split (fatter residual pairing), shorter buckets
+    * over-replicate intervals.
+    *
+    * Regime guidance (measured, 10M points / 50k 1-5 min intervals,
+    * local[32]): with HIGH-cardinality uniform keys, or when the interval
+    * side fits in a broadcast, the plain residual join is already fine and
+    * the scatter's extra shuffle loses (15k keys: 2.3 s vs 5.8 s). The
+    * scatter is for the 100 TB regime — interval side too big to
+    * broadcast, keys hot: at 100 keys it wins 4.5 s vs 8.4 s; at 10 hot
+    * keys 10.7 s vs 198 s (18×), identical output both times. The
+    * asymmetry is one-sided: the scatter degrades gracefully everywhere,
+    * the per-key form falls off a quadratic cliff.
     *
     * Empty intervals (end <= start) match nothing and are dropped before
     * the scatter — `sequence(lo, hi)` would otherwise count DOWN for
