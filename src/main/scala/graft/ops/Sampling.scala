@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling and dataset splitting — the selection ops a
@@ -111,5 +112,71 @@ object Sampling {
       })
     }.get
     df.withColumn(splitCol, assigned)
+  }
+
+  /** Weighted sampling WITHOUT replacement, k per group — Efraimidis &
+    * Spirakis (IPL 2006) A-ES keys, the one-pass distributed formulation:
+    * each row draws u ∈ (0, 1] from a seeded hash of its id and ranks by
+    * key u^(1/w); the k largest keys per group are an exact weighted
+    * sample. Ranking happens in the LOG domain (ln(u)/w, descending —
+    * monotone in u^(1/w), no pow()): one division per row, and since
+    * [[graft.functions.MathLn]] is bit-identical to DuckDB's ln, the
+    * selected set is engine-exact, not just distribution-equal.
+    *
+    * Scale shape: a projection plus one per-group top-k — no rand() (hash
+    * u is partition- and retry-stable), no sort of the full group needed
+    * by the engine beyond the window machinery. Weights must be > 0.
+    */
+  def weightedSample(
+      df: DataFrame,
+      groupCols: Seq[String],
+      idCol: String,
+      weightCol: String,
+      k: Int,
+      seed: String,
+      rankCol: String = "sample_rank"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = (hashU24(concat(col(idCol).cast("string"), lit("_" + seed))) + lit(1L))
+      .cast("double") / lit(16777217.0d)
+    val key = graft.functions.MathLn(u) / col(weightCol).cast("double")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(key.desc, col(idCol))
+    df.withColumn(rankCol, row_number().over(w).cast("long"))
+      .filter(col(rankCol) <= k)
+  }
+
+  /** Oracle twin of [[weightedSample]]'s ranking key for DuckDB: renders
+    * `ln((hash + 1) / 16777217.0) / weight` over [[sqlHashU24]] of
+    * `id || '_' || seed`.
+    */
+  def sqlWeightedKey(idExpr: String, weightExpr: String, seed: String): String = {
+    val h = sqlHashU24(s"CAST($idExpr AS VARCHAR) || '_$seed'")
+    s"ln((($h) + 1) / CAST(16777217.0 AS DOUBLE)) / CAST($weightExpr AS DOUBLE)"
+  }
+
+  /** Greedy per-group budget fill — the data-mixing selection a training
+    * corpus runs per source: walk each group in the caller's priority
+    * order, keep rows while the running weight total stays within
+    * `budget` (a row is kept iff its INCLUSIVE cumulative weight fits, the
+    * greedy-prefix convention; one over-budget row is not split).
+    *
+    * One window per group — single shuffle, incremental frame sum, no
+    * join. `weightCol` must be integral (token counts): the running sum is
+    * then exact and the kept set is engine- and partition-independent.
+    * `order` must be total (append a unique id tiebreak) or the prefix is
+    * not well-defined.
+    */
+  def budgetedPrefix(
+      df: DataFrame,
+      groupCols: Seq[String],
+      order: Seq[Column],
+      weightCol: String,
+      budget: Long,
+      cumCol: String = "cum_weight"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn(cumCol, sum(col(weightCol)).over(w))
+      .filter(col(cumCol) <= budget)
   }
 }

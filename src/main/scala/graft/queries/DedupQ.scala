@@ -228,6 +228,23 @@ object DedupQ {
                                      ELSE 2500 END""")),
 
     QDef(
+      "weighted_sample",
+      // Efraimidis-Spirakis weighted sampling without replacement: 10 docs
+      // per source, probability ∝ n_chars. The A-ES key ranks in the log
+      // domain through MathLn so the SELECTED SET (not just its
+      // distribution) is engine-exact; hash-u makes it partition-stable.
+      (s, d) => Sampling.weightedSample(
+        t(s, d, "documents").select("doc_id", "source", "n_chars"),
+        Seq("source"), "doc_id", "n_chars", 10, "es1"),
+      Some(s"""SELECT doc_id, source, n_chars, sample_rank FROM (
+                 SELECT doc_id, source, n_chars,
+                   CAST(row_number() OVER (PARTITION BY source
+                     ORDER BY ${Sampling.sqlWeightedKey("doc_id", "n_chars", "es1")} DESC,
+                              doc_id) AS BIGINT) AS sample_rank
+                 FROM documents)
+               WHERE sample_rank <= 10""")),
+
+    QDef(
       "stratified_sample",
       // per-(lang, source) cap of 5 docs, chosen by hash order with a key
       // tiebreak — reproducible class balancing, no rand()

@@ -405,6 +405,35 @@ object TextQ {
                FROM p GROUP BY 1""")),
 
     QDef(
+      "t12_token_budget",
+      // per-source token-budget curation: greedily keep the best-quality
+      // docs (score DESC, doc_id tiebreak) while each source's running
+      // token total fits the budget — Sampling.budgetedPrefix over the ONE
+      // quality-score definition. Integral cumsum, float used only for
+      // ORDERING (bit-identical across engines, so the kept set is too).
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val q = Text.qualityScore(docs, "doc_id", "text")
+          .select("doc_id", "n_tokens", "quality_score")
+        Sampling.budgetedPrefix(
+            docs.select("doc_id", "source").join(q, "doc_id"),
+            Seq("source"),
+            Seq(col("quality_score").desc, col("doc_id")),
+            "n_tokens", 800L, "cum_tokens")
+          .select("source", "doc_id", "n_tokens", "cum_tokens")
+      },
+      Some(s"""WITH ${Text.qualitySql()},
+               j AS (SELECT d.source, q.doc_id, q.n_tokens, q.quality_score
+                     FROM qual q JOIN documents d ON d.doc_id = q.doc_id),
+               c AS (SELECT source, doc_id, n_tokens,
+                       sum(n_tokens) OVER (PARTITION BY source
+                         ORDER BY quality_score DESC, doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cum_tokens
+                     FROM j)
+               SELECT source, doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+               FROM c WHERE cum_tokens <= 800""")),
+
+    QDef(
       "t11_redact",
       // PII-scrub shape: sequential regex masking + pre-replacement match
       // counts (Text.redact). Rule 1 masks entity words that DO occur in

@@ -108,4 +108,39 @@ class SamplingPackingSpec extends SparkSpec {
     // shard 0: ids 0,2 → offsets 0,3; shard 1: ids 1,3 → offsets 0,3
     assert(out == Set((0L, 0L, 0L), (2L, 0L, 3L), (1L, 1L, 0L), (3L, 1L, 3L)))
   }
+
+  test("budgetedPrefix keeps the greedy prefix per group, never splits a row") {
+    val df = Seq(
+      ("s0", 1L, 3L), ("s0", 2L, 4L), ("s0", 3L, 5L), // cums 3,7,12
+      ("s1", 4L, 9L), ("s1", 5L, 1L)                  // cums 9,10
+    ).toDF("src", "id", "w")
+    val out = Sampling.budgetedPrefix(df, Seq("src"), Seq(col("id")), "w", 8L)
+      .select("src", "id", "cum_weight").as[(String, Long, Long)].collect().toSet
+    // s0: rows 1,2 fit (3,7), row 3 would hit 12 > 8 -> cut; s1: row 4 hits
+    // 9 > 8 immediately -> NOTHING kept (an over-budget row is not split,
+    // and positive weights make the cumsum monotone so nothing after it fits)
+    assert(out == Set(("s0", 1L, 3L), ("s0", 2L, 7L)))
+  }
+
+  test("weightedSample matches a local A-ES reference bit-for-bit and is repeatable") {
+    val rows = (0L until 200L).map(i => (i, "g" + (i % 2), 1L + i % 17))
+    val df = rows.toDF("id", "grp", "w")
+    def localKey(id: Long, seed: String, w: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"${id}_$seed".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(6)
+      val u = (java.lang.Long.parseLong(hex, 16) + 1L).toDouble / 16777217.0
+      math.log(u) / w.toDouble
+    }
+    val expected = rows.groupBy(_._2).toSeq.flatMap { case (g, rs) =>
+      rs.sortBy(r => (-localKey(r._1, "tst", r._3), r._1)).take(10).map(r => (g, r._1))
+    }.toSet
+    val got = Sampling.weightedSample(df, Seq("grp"), "id", "w", 10, "tst")
+      .select("grp", "id").as[(String, Long)].collect().toSet
+    assert(got == expected)
+    val again = Sampling.weightedSample(
+        df.repartition(7), Seq("grp"), "id", "w", 10, "tst")
+      .select("grp", "id").as[(String, Long)].collect().toSet
+    assert(again == got) // partition-count-invariant
+  }
 }
