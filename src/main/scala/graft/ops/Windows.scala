@@ -153,6 +153,45 @@ object Windows {
       .drop("__rn")
   }
 
+  /** Trailing rolling z-score — windowed anomaly scoring (the streaming
+    * companion of [[Stats.zOutliers]]'s whole-series z): each row scored
+    * against the mean/stddev of its own trailing n-row frame, so a level
+    * shift re-baselines after n rows instead of poisoning the global stats.
+    *
+    * Exactness: the frame sums go through the same decimal machinery as
+    * [[Exact.dstddev]] (decimal Σx, Σx² — associative, partition-count-
+    * independent), the mean/variance/sqrt combination is identical double
+    * arithmetic in both engines (sqrt is correctly rounded everywhere), so
+    * z hash-matches the oracle. Complete windows only (rows with fewer
+    * than n trailing rows are dropped, mirroring [[movingAvg]] full).
+    * `z` is NULL when the frame stddev is 0 (constant window).
+    *
+    * Scale shape: one window partition — two decimal frame sums + a
+    * row_number over the same sort, no join, no second scan.
+    */
+  def rollingZScore(
+      df: DataFrame,
+      parts: Seq[String],
+      order: Seq[Column],
+      valueCol: String,
+      n: Int): DataFrame = {
+    require(n > 1, s"rollingZScore needs n > 1, got $n")
+    val w = Window.partitionBy(parts.map(col): _*).orderBy(order: _*)
+    val frame = w.rowsBetween(-(n - 1), 0)
+    val v = col(valueCol)
+    val nD = count(v).over(frame).cast("double")
+    val s = sum(v.cast(Exact.SumType)).over(frame).cast("double")
+    val s2 = sum((v * v).cast(Exact.SqType)).over(frame).cast("double")
+    val mu = s / nD
+    val sd = when(nD > 1, sqrt(greatest((s2 - s * s / nD) / (nD - lit(1.0)), lit(0.0))))
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("rolling_mu", mu)
+      .withColumn("rolling_sd", sd)
+      .withColumn("z", when(col("rolling_sd") > 0, (v - col("rolling_mu")) / col("rolling_sd")))
+      .filter(col("__rn") >= n)
+      .drop("__rn")
+  }
+
   /** W4: downsample-by-window aggregation, the four kernels of
     * ref `utils.py:19-35`: mean / abs_mean / abs_max / abs_max_orig
     * (signed value with max |value|).

@@ -128,6 +128,35 @@ object TimeSeries {
               WHERE rn >= 5""")),
 
     QDef(
+      "w17_rolling_z",
+      // trailing-frame anomaly scoring: each event vs its own last-20-row
+      // mean/sd (decimal frame sums, identical double combination both
+      // engines, sqrt correctly rounded -> z hash-matches). Complete
+      // windows only; z NULL on constant frames.
+      (s, d) =>
+        Windows.rollingZScore(
+          events(s, d), Seq("user_id"), Seq(col("ts_us"), col("event_id")), "value", 20)
+          .select("user_id", "ts_us", "value", "rolling_mu", "rolling_sd", "z"),
+      Some("""SELECT user_id, ts_us, value, rolling_mu, rolling_sd,
+                CASE WHEN rolling_sd > 0 THEN (value - rolling_mu) / rolling_sd END AS z
+              FROM (
+                SELECT user_id, ts_us, value, rn, s / nd AS rolling_mu,
+                  CASE WHEN nd > 1 THEN
+                    sqrt(greatest((s2 - s*s/nd) / (nd - CAST(1.0 AS DOUBLE)),
+                                  CAST(0.0 AS DOUBLE))) END AS rolling_sd
+                FROM (
+                  SELECT user_id, epoch_us(ts) AS ts_us, value,
+                    row_number() OVER o AS rn,
+                    CAST(count(value) OVER w AS DOUBLE) AS nd,
+                    CAST(sum(CAST(value AS DECIMAL(30,4))) OVER w AS DOUBLE) AS s,
+                    CAST(sum(CAST(value*value AS DECIMAL(38,4))) OVER w AS DOUBLE) AS s2
+                  FROM events
+                  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+                         o AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)))
+              WHERE rn >= 20""")),
+
+    QDef(
       "w4_downsample",
       // centered value so the signed-abs-max kernel actually sees signs
       (s, d) => {

@@ -108,4 +108,18 @@ class WindowsSpec extends SparkSpec {
       Windows.rollingMedian(df, Seq("k"), Seq(col("ts")), "value", 4)
     }
   }
+
+  test("rollingZScore: spike scores high, constant frame yields NULL z") {
+    val vals = Seq(1.0, 1.0, 1.0, 1.0, 10.0, 1.0, 2.0, 2.0, 2.0)
+    val df = vals.zipWithIndex.map { case (v, i) => ("k", i.toLong, v) }
+      .toDF("k", "ts", "value")
+    val out = Windows.rollingZScore(df, Seq("k"), Seq(col("ts")), "value", 4)
+      .orderBy("ts").select("ts", "z").as[(Long, Option[Double])].collect().toSeq
+    // ts=3: frame all 1.0 -> sd 0 -> z NULL; ts=4: spike in a flat frame ->
+    // large positive z; complete windows start at ts=3 (n=4)
+    assert(out.head == ((3L, None)))
+    val spike = out.find(_._1 == 4L).get._2.get
+    assert(spike > 1.4, s"spike z=$spike")
+    assert(out.map(_._1) == (3L to 8L))
+  }
 }

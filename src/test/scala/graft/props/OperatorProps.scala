@@ -206,4 +206,25 @@ object OperatorProps extends Properties("graft.ops") {
         rn.forall(r => r >= -1.0 - 1e-12 && r <= 1.0 + 1e-12))
       }
     }
+
+  property("intervalOverlap == brute force for random intervals/points/buckets") =
+    Prop.forAll(
+      Gen.listOfN(30, for {
+        k <- Gen.choose(0L, 2L); s <- Gen.choose(0L, 200L); len <- Gen.choose(0L, 60L)
+      } yield (k, s, s + len)),
+      Gen.listOfN(60, for {
+        k <- Gen.choose(0L, 3L); ts <- Gen.choose(0L, 260L)
+      } yield (k, ts)),
+      Gen.oneOf(1L, 3L, 16L, 100L, 1000L)) { (ivs, pts, bucket) =>
+      val intervals = ivs.zipWithIndex.map { case ((k, s, e), i) => (k, i.toLong, s, e) }
+        .toDF("k", "iid", "start", "end")
+      val points = pts.toDF("k", "ts")
+      val got = Joins.intervalOverlap(intervals, points, Seq("k"), "start", "end", "ts", bucket)
+        .select("iid", "ts").as[(Long, Long)].collect().toSeq.sorted
+      val want = (for {
+        ((k, s, e), i) <- ivs.zipWithIndex
+        (pk, ts) <- pts if pk == k && ts >= s && ts < e
+      } yield (i.toLong, ts)).sorted
+      Prop(got == want)
+    }
 }
