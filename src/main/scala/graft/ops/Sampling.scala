@@ -138,7 +138,14 @@ object Sampling {
     require(k > 0, "k must be positive")
     val u = (hashU24(concat(col(idCol).cast("string"), lit("_" + seed))) + lit(1L))
       .cast("double") / lit(16777217.0d)
-    val key = graft.functions.MathLn(u) / col(weightCol).cast("double")
+    // loud guard: ln(u) < 0, so a NEGATIVE weight would flip its key
+    // positive and deterministically steal a top slot in every group —
+    // fail the job instead of silently corrupting the sample
+    val wPos = when(
+      col(weightCol) <= 0,
+      raise_error(concat(lit("weightedSample: non-positive weight for id="),
+        col(idCol).cast("string")))).otherwise(col(weightCol).cast("double"))
+    val key = graft.functions.MathLn(u) / wPos
     val w = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(key.desc, col(idCol))
     df.withColumn(rankCol, row_number().over(w).cast("long"))
@@ -176,7 +183,14 @@ object Sampling {
     require(budget > 0, "budget must be positive")
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
-    df.withColumn(cumCol, sum(col(weightCol)).over(w))
+    // loud guard: a NEGATIVE weight makes the cumsum non-monotone, so
+    // filter(cum <= budget) would re-admit rows after the cut — no longer
+    // a prefix of the priority order. Zero is harmless; fail on < 0.
+    val wChecked = when(
+      col(weightCol) < 0,
+      raise_error(lit("budgetedPrefix: negative weight breaks the prefix contract")))
+      .otherwise(col(weightCol))
+    df.withColumn(cumCol, sum(wChecked).over(w))
       .filter(col(cumCol) <= budget)
   }
 }

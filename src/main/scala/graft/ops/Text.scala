@@ -211,7 +211,11 @@ object Text {
     * codegen'd row-local work, no shuffle, which is exactly why regex
     * scrubbing is the one pipeline stage that runs at ingest line rate on
     * 100 TB. Patterns must be RE2-compatible (no backrefs/lookaround) so the
-    * DuckDB oracle executes them identically to the JVM.
+    * DuckDB oracle executes them identically to the JVM. Replacements are
+    * LITERAL text: the Spark side escapes Java's `$`/`\` group-reference
+    * metacharacters (`Matcher.quoteReplacement`), so a replacement like
+    * "costs $2" neither throws nor splices a capture group — oracle
+    * authors must equally avoid RE2 `\\1` references in replacements.
     */
   def redact(
       df: DataFrame,
@@ -224,7 +228,7 @@ object Text {
       .reduce(_ + _)
       .cast("long")
     val scrubbed = rules.foldLeft(col(textCol)) { case (c, (pat, rep)) =>
-      regexp_replace(c, pat, rep)
+      regexp_replace(c, pat, java.util.regex.Matcher.quoteReplacement(rep))
     }
     df.select(col(idCol), nMasked.as("n_masked"), scrubbed.as("text_redacted"))
   }

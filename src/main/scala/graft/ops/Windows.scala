@@ -131,6 +131,11 @@ object Windows {
     * Rows whose trailing frame is incomplete are dropped, mirroring
     * [[movingAvg]] `full = true`.
     *
+    * CONTRACT: `valueCol` must be non-null — `collect_list` drops NULLs,
+    * so a NULL-bearing frame would yield a short array (wrong element, or
+    * an ANSI element_at error), while the oracle's `list()` keeps NULLs;
+    * run [[Cleaning]] repairs first.
+    *
     * Scale shape: one window (sort within partition); the frame buffer is
     * n values per row, array-local sort of n elements — O(n log n) per row
     * with tiny constant n, no extra shuffle beyond the window's.
@@ -162,7 +167,11 @@ object Windows {
     * [[Exact.dstddev]] (decimal Σx, Σx² — associative, partition-count-
     * independent), the mean/variance/sqrt combination is identical double
     * arithmetic in both engines (sqrt is correctly rounded everywhere), so
-    * z hash-matches the oracle. Complete windows only (rows with fewer
+    * z hash-matches the oracle. The x² sum uses the [[Exact.SqType]]
+    * ROUNDING cast (not dsumTrunc4) deliberately — valid while
+    * int_digits + 4 ≤ 15 (|x| ≲ 3·10⁵), the same bound [[Exact.dstddev]]
+    * documents and holds green at sf0.1; money-magnitude products
+    * (x² ~ 1e10) must switch to the trunc4 recipe instead. Complete windows only (rows with fewer
     * than n trailing rows are dropped, mirroring [[movingAvg]] full).
     * `z` is NULL when the frame stddev is 0 (constant window).
     *

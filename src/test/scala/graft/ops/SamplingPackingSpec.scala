@@ -143,4 +143,18 @@ class SamplingPackingSpec extends SparkSpec {
       .select("grp", "id").as[(String, Long)].collect().toSet
     assert(again == got) // partition-count-invariant
   }
+
+  test("weightedSample and budgetedPrefix fail loudly on invalid weights") {
+    val bad = Seq((1L, "g", 5L), (2L, "g", -3L)).toDF("id", "grp", "w")
+    val e1 = intercept[Exception] {
+      Sampling.weightedSample(bad, Seq("grp"), "id", "w", 2, "s").collect()
+    }
+    assert(e1.getMessage.contains("non-positive weight") ||
+      Option(e1.getCause).exists(_.getMessage.contains("non-positive weight")))
+    val e2 = intercept[Exception] {
+      Sampling.budgetedPrefix(bad, Seq("grp"), Seq(col("id")), "w", 8L).collect()
+    }
+    assert(e2.getMessage.contains("negative weight") ||
+      Option(e2.getCause).exists(_.getMessage.contains("negative weight")))
+  }
 }
