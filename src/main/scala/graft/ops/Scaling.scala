@@ -80,21 +80,56 @@ object Scaling {
   /** Percent-rank (ECDF) normalization per group — the QuantileTransformer-
     * style feature map to [0, 1]: out = (rank − 1)/(n − 1), ranked by the
     * raw value only, so TIED values share a quantile (sklearn semantics)
-    * and the result is deterministic without a tiebreak — `rank()` is
-    * tie-stable in both engines and the division is one double op.
+    * and the result is deterministic without a tiebreak.
     *
-    * Scale shape: one shuffle on the group keys, one ordered window pass.
-    * Unlike the fitted scalers above there is no stats row to broadcast —
-    * the "fit" IS the ranking.
+    * NOT a `percent_rank()` window over the raw rows: that plan sorts each
+    * key's ENTIRE series inside one task, so parallelism is bounded by key
+    * cardinality — with a handful of groups, one task sorts a fifth of the
+    * corpus while the other cores idle (a straight scale-killer at 100 TB).
+    * Instead the same two-phase shape as [[Stats.exactQuantiles]]:
+    *
+    *   1. `groupBy(keys, value) → count` — fully parallel partial+final
+    *      aggregation; the output is one row per DISTINCT (key, value),
+    *      which for quantized/bounded measures plateaus far below the row
+    *      count (events at sf0.1: 18k distinct vs 100k rows, and the
+    *      distinct universe stops growing with corpus size).
+    *   2. One ordered window over that small distinct frame: cumulative
+    *      count `cum`, group total `n`; rank of a value = cum − cnt + 1
+    *      (ties share the min rank by construction — every tied row is in
+    *      the same distinct-frame row), so out = (cum − cnt)/(n − 1), the
+    *      exact integer pair `percent_rank` divides, cast and divided in
+    *      the same IEEE order both engines use. n = 1 ⇒ 0.0, as
+    *      `percent_rank` defines it.
+    *   3. Equi-join back on (keys, value) — co-partitioned with phase 1's
+    *      shuffle, null-safe on the value so a NULL group (groupBy keeps
+    *      it, matching the window's NULLS FIRST rank) maps back to its rows.
+    *
+    * Output is bit-identical to the window formulation (rank is tie-stable,
+    * the division is the same two longs); `m4_scale_rank` pins that against
+    * the oracle's literal `percent_rank()`, and `ScalingSpec` pins it
+    * in-engine.
     */
   def rankNormalize(
       df: DataFrame,
       keys: Seq[String],
       valueCol: String,
       outCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keys.map(col): _*)
-      .orderBy(col(valueCol))
-    df.withColumn(outCol, percent_rank().over(w))
+    import org.apache.spark.sql.expressions.Window
+    val gcols = (keys :+ valueCol).map(col)
+    val counts = df.groupBy(gcols: _*).agg(count(lit(1)).as("__cnt"))
+    val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col(valueCol))
+    val wAll = Window.partitionBy(keys.map(col): _*)
+    val ranked = counts
+      .withColumn("__cum", sum(col("__cnt")).over(wOrd))
+      .withColumn("__n", sum(col("__cnt")).over(wAll))
+      .withColumn(
+        outCol,
+        when(
+          col("__n") > 1,
+          (col("__cum") - col("__cnt")).cast("double") / (col("__n") - 1).cast("double"))
+          .otherwise(lit(0.0)))
+      .select((keys :+ valueCol).map(c => col(c).as(s"__r_$c")) :+ col(outCol): _*)
+    val cond = (keys :+ valueCol).map(c => df(c) <=> col(s"__r_$c")).reduce(_ && _)
+    df.join(ranked, cond).drop((keys :+ valueCol).map(c => s"__r_$c"): _*)
   }
 }

@@ -36,6 +36,26 @@ class ScalingJoinsSpec extends SparkSpec {
     assert(out == Seq(-1.0, -0.5, 0.0, 0.5, 1.0))
   }
 
+  test("rankNormalize is bit-equal to the percent_rank window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    // ties, a singleton group (n = 1 → 0.0), a NULL value (NULLS FIRST rank),
+    // and enough rows that the distinct frame is genuinely smaller
+    val rows: Seq[(String, java.lang.Double)] =
+      (0 until 400).map(i => (s"g${i % 3}", java.lang.Double.valueOf((i % 25).toDouble))) ++
+        Seq(
+          ("solo", java.lang.Double.valueOf(9.0)), // n = 1 group → 0.0
+          ("g1", null: java.lang.Double)) // NULL ranks first, like the window
+    val df = rows.toDF("k", "v")
+    val twoPhase = Scaling.rankNormalize(df, Seq("k"), "v", "q")
+      .groupBy("k", "v").agg(count(lit(1)).as("n"), min("q").as("qmin"), max("q").as("qmax"))
+    val window = df.withColumn(
+        "q", percent_rank().over(Window.partitionBy("k").orderBy("v")))
+      .groupBy("k", "v").agg(count(lit(1)).as("n"), min("q").as("qmin"), max("q").as("qmax"))
+    assert(twoPhase.exceptAll(window).isEmpty && window.exceptAll(twoPhase).isEmpty)
+    assert(twoPhase.count() == window.count() &&
+      Scaling.rankNormalize(df, Seq("k"), "v", "q").count() == df.count())
+  }
+
   test("rangeFetchPadded pads missing buckets exactly once") {
     val anchors = Seq(("k", 1000L)).toDF("k", "anchor")
     val series = Seq(("k", 1000L, 7L), ("k", 1200L, 9L)).toDF("k", "bucket", "n")
