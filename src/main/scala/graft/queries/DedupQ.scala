@@ -18,6 +18,29 @@ object DedupQ {
          FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
               unnest(generate_series(1, len(toks) - 2)) AS u(i)))"""
 
+  /** Document-frequency cap for the SHIPPED cluster-resolution pipeline
+    * (d7/d8/g1): one corpus-hot boilerplate shingle with df docs contributes
+    * ~df²/2 inverted-index join pairs (the README 100× probe measured a
+    * df=60k shingle running the uncapped join past 10 minutes), so the
+    * compositions a real dedup run ships pass `maxShingleDf` — `d2` stays
+    * the documented UNCAPPED exact baseline. Same recipe as d6's gram cap.
+    */
+  private val shCapDf = 50
+
+  /** Oracle CTEs: [[shSql]]'s relation with shingles above [[shCapDf]]
+    * dropped from every set BEFORE sizes and intersections — the exact
+    * df-filter twin of `jaccardPairs(maxShingleDf = shCapDf)`. `sh` rows
+    * are per-doc distinct, so `count(*)` per shingle IS its doc frequency.
+    */
+  private val shCappedSql =
+    s"""sh0 AS (SELECT DISTINCT doc_id, shingle FROM (
+          SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+          FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+               unnest(generate_series(1, len(toks) - 2)) AS u(i))),
+        shhot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > $shCapDf),
+        sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 WHERE NOT EXISTS
+                 (SELECT 1 FROM shhot WHERE shhot.shingle = sh0.shingle))"""
+
   /** Oracle CTEs: 8 minhashes per doc via double hashing — one md5 per
     * shingle, halves h1/h2 from md5_number_lower/upper (little-endian
     * uint64s), permutation j = (h1 + j·h2) mod 2⁶⁴ in HUGEINT, minima
@@ -131,13 +154,14 @@ object DedupQ {
 
     QDef(
       "d7_dup_clusters",
-      // cluster resolution: near-dup PAIRS (d2's Jaccard >= 0.5 relation)
-      // -> connected components (min-label + pointer jumping) -> every doc
-      // labelled with its canonical cluster id (min reachable doc_id;
-      // singletons label themselves) and the cluster size
+      // cluster resolution: near-dup PAIRS (d2's Jaccard >= 0.5 relation,
+      // df-capped — see shCapDf: the SHIPPED pipeline must survive a
+      // boilerplate shingle) -> connected components (min-label + pointer
+      // jumping) -> every doc labelled with its canonical cluster id (min
+      // reachable doc_id; singletons label themselves) and the cluster size
       (s, d) => {
         val docs = t(s, d, "documents")
-        val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+        val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5, maxShingleDf = shCapDf)
           .select("a_id", "b_id")
         val comp = Dedup.connectedComponents(pairs, "a_id", "b_id")
           .withColumnRenamed("id", "doc_id")
@@ -145,7 +169,7 @@ object DedupQ {
           .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster_id"))
           .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("cluster_id")))
       },
-      Some(s"""WITH RECURSIVE $shSql, $ccSql
+      Some(s"""WITH RECURSIVE $shCappedSql, $ccSql
                SELECT doc_id, cluster_id,
                  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
                FROM lab""")),
@@ -154,10 +178,11 @@ object DedupQ {
       "d8_dedup_keep",
       // the keep/drop decision a dedup pipeline actually ships: within each
       // duplicate cluster keep the highest-quality doc (t2's quality score,
-      // bit-identical across engines; doc_id breaks exact-tie dup copies)
+      // bit-identical across engines; doc_id breaks exact-tie dup copies).
+      // Pair relation df-capped like d7 — the shipped plan, not the baseline
       (s, d) => {
         val docs = t(s, d, "documents")
-        val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+        val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5, maxShingleDf = shCapDf)
           .select("a_id", "b_id")
         val comp = Dedup.connectedComponents(pairs, "a_id", "b_id")
           .withColumnRenamed("id", "doc_id")
@@ -170,7 +195,7 @@ object DedupQ {
           .withColumn("keep", (row_number().over(w) === 1).cast("long"))
           .select("doc_id", "cluster_id", "quality_score", "keep")
       },
-      Some(s"""WITH RECURSIVE $shSql, $ccSql,
+      Some(s"""WITH RECURSIVE $shCappedSql, $ccSql,
                ${Text.qualitySql()}
                SELECT l.doc_id, l.cluster_id, q.quality_score,
                  CAST(CASE WHEN row_number() OVER (PARTITION BY l.cluster_id
@@ -335,12 +360,13 @@ object DedupQ {
     QDef(
       "g1_pagerank",
       // centrality inside the near-dup web: damped PageRank (d = 0.85,
-      // 5 fixed iterations) over d2's Jaccard >= 0.5 pair graph, in pure
-      // scaled-BIGINT arithmetic (1.0 = 10^12) — bit-exact vs the oracle's
-      // unrolled CTE chain; ranks feed keep-policy alongside d8's quality
+      // 5 fixed iterations) over d2's Jaccard >= 0.5 pair graph (df-capped
+      // like d7/d8 — the shipped composition), in pure scaled-BIGINT
+      // arithmetic (1.0 = 10^12) — bit-exact vs the oracle's unrolled CTE
+      // chain; ranks feed keep-policy alongside d8's quality
       (s, d) => {
         val docs = t(s, d, "documents")
-        val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+        val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5, maxShingleDf = shCapDf)
           .select("a_id", "b_id")
         Graph.pagerankScaled(pairs, docs, "a_id", "b_id", "doc_id", iters = 5)
           .withColumnRenamed("id", "doc_id")
@@ -355,7 +381,7 @@ object DedupQ {
                      JOIN dg ON dg.src = e.src
                 GROUP BY 1) c ON c.id = n0.id)"""
         }.mkString(",\n")
-        s"""WITH $shSql,
+        s"""WITH $shCappedSql,
             sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
             pp AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS shared
                    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
