@@ -263,21 +263,30 @@ object Dedup {
     * join) — the decision table is the product, not just the hit list.
     *
     * Scale shape: benchmark suites are small by nature (thousands of docs
-    * vs a 100 TB corpus), so the benchmark shingle set is BROADCAST and
-    * the corpus streams through a map-side join — the corpus is never
-    * shuffled. Shingles join on xxhash64 keys (8 bytes, same contract as
-    * [[jaccardPairs]]).
+    * vs a 100 TB corpus), so by default the benchmark shingle set is
+    * BROADCAST and the corpus streams through a map-side join — the corpus
+    * is never shuffled. Shingles join on xxhash64 keys (8 bytes, same
+    * contract as [[jaccardPairs]]).
+    *
+    * `broadcastBench = false` drops the hint for the regime where the
+    * benchmark shingle set outgrows a broadcast (a forced broadcast there
+    * would OOM the executors): the planner/AQE then picks the join — a
+    * shuffle join once the bench side exceeds `autoBroadcastJoinThreshold`.
+    * In that regime prefer [[bloomContaminationCheck]], which cuts the
+    * SHUFFLED train side to the contaminated fringe first. Results are
+    * bit-identical either way (join strategy never changes semantics).
     */
   def contaminationCheck(
       train: DataFrame,
       bench: DataFrame,
       idCol: String,
       textCol: String,
-      k: Int): DataFrame = {
+      k: Int,
+      broadcastBench: Boolean = true): DataFrame = {
     val tSh = Text.shingleKeySet(train, idCol, textCol, k)
     val bSh = Text.shingleKeySet(bench, idCol, textCol, k)
       .withColumnRenamed(idCol, "__bid")
-    val hits = tSh.join(broadcast(bSh), "sk")
+    val hits = tSh.join(if (broadcastBench) broadcast(bSh) else bSh, "sk")
       .groupBy(col(idCol))
       .agg(
         countDistinct(col("sk")).as("n_shared_grams"),
@@ -504,10 +513,12 @@ object Dedup {
     * L2-resident bit tests. Measured at 300k docs / 1.6M bench 7-grams /
     * 1% contamination: 3.6 s vs 4.9 s warm for the exact broadcast join —
     * a constant-factor win while the bench set still broadcasts. The
-    * structural win is past broadcast range: when the exact path must
-    * SHUFFLE-join train against benchmark shingles, the prefilter cuts
-    * the shuffled train side to the contaminated fringe (~1%) while the
-    * bloom itself stays one broadcast row.
+    * structural win is past broadcast range: with `broadcastBench = false`
+    * the verify join drops its broadcast hint, the planner shuffle-joins
+    * fringe ⋈ bench — and the prefilter has already cut the shuffled train
+    * side to the contaminated fringe (~1%) while the bloom itself stays one
+    * broadcast row, so the shuffle is fringe-sized, not corpus-sized.
+    * (`DedupTextSpec` pins bloom ≡ exact on the forced-shuffle path.)
     *
     * Probe arithmetic is pure integer: the 64-bit shingle key splits into
     * 32-bit halves (lo, hi), probe j sets bit `(lo + j·hi) mod mBits` —
@@ -521,7 +532,8 @@ object Dedup {
       textCol: String,
       k: Int,
       mBits: Int = 1 << 20,
-      kHash: Int = 3): DataFrame = {
+      kHash: Int = 3,
+      broadcastBench: Boolean = true): DataFrame = {
     require(mBits >= 64 && (mBits & (mBits - 1)) == 0, s"mBits must be a power of two: $mBits")
     val lo = pmod(col("sk"), lit(4294967296L))
     val hi = pmod(shiftright(col("sk"), 32), lit(4294967296L))
@@ -557,7 +569,7 @@ object Dedup {
       .reduce(_ && _)
     val fringe = tSh.crossJoin(broadcast(bloom)).filter(member).drop("__bloom")
 
-    val hits = fringe.join(broadcast(bSh), "sk")
+    val hits = fringe.join(if (broadcastBench) broadcast(bSh) else bSh, "sk")
       .groupBy(col(idCol))
       .agg(
         countDistinct(col("sk")).as("n_shared_grams"),

@@ -218,6 +218,42 @@ class PipelineOpsSpec extends SparkSpec {
     assert(exact.map(r => r.getLong(0) -> r.getLong(3)).toMap == Map(1L -> 1L, 2L -> 0L))
   }
 
+  test("decontamination beyond-broadcast regime: shuffle verify join, bloom = exact") {
+    // broadcastBench = false drops the verify-join hint; with auto-broadcast
+    // disabled the planner MUST shuffle-join fringe vs bench — the 100 TB
+    // regime where the bench shingle set outgrew a broadcast. Results stay
+    // bit-identical on that path (blooms have no false negatives; FPs die
+    // in the verify join regardless of its strategy).
+    val docs = (0L until 60L).map { i =>
+      if (i % 3 == 0) (i, s"shared prefix tokens run alpha beta gamma delta id$i")
+      else (i, s"unique content body tok${i}a tok${i}b tok${i}c tok${i}d tok${i}e")
+    }.toDF("doc_id", "text")
+    val train = docs.filter(col("doc_id") % 5 =!= 0)
+    val bench = docs.filter(col("doc_id") % 5 === 0)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val exact = Dedup.contaminationCheck(train, bench, "doc_id", "text", 5,
+        broadcastBench = false)
+      val bloom = Dedup.bloomContaminationCheck(train, bench, "doc_id", "text", 5,
+        mBits = 1 << 12, kHash = 3, broadcastBench = false)
+      val pExact = exact.queryExecution.executedPlan.toString
+      val pBloom = bloom.queryExecution.executedPlan.toString
+      // no forced broadcast anywhere in the exact path; the bloom path's
+      // ONLY broadcast is the single-row filter itself
+      assert(!pExact.contains("BroadcastHashJoin"), s"verify join still broadcast:\n$pExact")
+      assert(!pBloom.contains("BroadcastHashJoin"), s"verify join still broadcast:\n$pBloom")
+      assert(pBloom.contains("BroadcastNestedLoopJoin"), s"bloom row not broadcast:\n$pBloom")
+      val e = exact.orderBy("doc_id").collect().toSeq
+      val b = bloom.orderBy("doc_id").collect().toSeq
+      assert(b == e && e.size == train.count())
+      assert(e.exists(_.getLong(3) == 1L) && e.exists(_.getLong(3) == 0L))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      Caches.releaseAll()
+    }
+  }
+
   test("session_window MERGES an event landing exactly on the previous end") {
     // pins the oracle's `delta > gap` boundary for w14_session_window:
     // Spark's session spans behave as [ts, ts+gap] — an event at exactly
