@@ -140,11 +140,15 @@ object Sampling {
       .cast("double") / lit(16777217.0d)
     // loud guard: ln(u) < 0, so a NEGATIVE weight would flip its key
     // positive and deterministically steal a top slot in every group —
-    // fail the job instead of silently corrupting the sample
-    val wPos = when(
-      col(weightCol) <= 0,
-      raise_error(concat(lit("weightedSample: non-positive weight for id="),
-        col(idCol).cast("string")))).otherwise(col(weightCol).cast("double"))
+    // fail the job instead of silently corrupting the sample. The VALID
+    // condition gates the when branch (not `w <= 0` gating the error):
+    // a NULL weight makes any comparison NULL, and a NULL when-condition
+    // falls through to otherwise — so the error must BE the otherwise,
+    // or NULL weights would slip past the guard with a NULL ranking key.
+    val wPos = when(col(weightCol) > 0, col(weightCol).cast("double"))
+      .otherwise(raise_error(concat(
+        lit("weightedSample: non-positive or NULL weight for id="),
+        col(idCol).cast("string"))))
     val key = graft.functions.MathLn(u) / wPos
     val w = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(key.desc, col(idCol))

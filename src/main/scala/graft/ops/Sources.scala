@@ -165,6 +165,12 @@ object Sources {
     val r = df.agg(
       min(col(xCol).cast("long")), max(col(xCol).cast("long")),
       min(col(yCol).cast("long")), max(col(yCol).cast("long"))).collect()(0)
+    if (r.isNullAt(0)) {
+      // empty input: the bounds agg returns NULLs — write the (empty)
+      // table with its schema instead of NPEing on getLong
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     require(r.getLong(0) >= 0 && r.getLong(2) >= 0,
       s"writeZOrdered keys must be non-negative: $xCol>=${r.getLong(0)}, $yCol>=${r.getLong(2)}")
     require(r.getLong(1) < lim && r.getLong(3) < lim,
@@ -198,9 +204,22 @@ object Sources {
       sortCol: Option[String] = None): Int = {
     require(inPath != outPath, "compaction must write to a new location (lazy reads)")
     require(targetBytes > 0, s"bad targetBytes $targetBytes")
-    val inputBytes = new java.io.File(inPath).listFiles() match {
-      case null => 0L
-      case fs => fs.filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    // Hadoop FS, not java.io.File: the input can live on HDFS/S3/a
+    // partitioned directory tree, where a local listing silently yields
+    // 0 bytes → nOut=1 → the table coalesced to ONE file (the opposite of
+    // this op's purpose). Recursive remote listing + loud empty guard.
+    val inputBytes = {
+      val p = new org.apache.hadoop.fs.Path(inPath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
+      var total = 0L
+      var found = false
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) { total += f.getLen; found = true }
+      }
+      require(found, s"compactParquet: no .parquet files under $inPath")
+      total
     }
     val nOut = math.max(1, math.ceil(inputBytes.toDouble / targetBytes).toInt)
     val df = spark.read.parquet(inPath)

@@ -150,10 +150,19 @@ object Windows {
     require(n > 0 && n % 2 == 1, s"rollingMedian needs odd n, got $n")
     val w = Window.partitionBy(parts.map(col): _*).orderBy(order: _*)
     val frame = w.rowsBetween(-(n - 1), 0)
+    // the selection is gated on the SAME row: an incomplete frame has
+    // fewer than (n+1)/2 + ... elements, and an unguarded element_at
+    // would only be safe while Catalyst pushes the __rn filter below the
+    // projection — under ANSI that optimizer dependence is an
+    // INVALID_ARRAY_INDEX waiting for a plan change. Guarded, short
+    // frames evaluate to NULL and are dropped by the filter regardless
+    // of plan shape.
     df.withColumn("__rn", row_number().over(w))
       .withColumn(
         outCol,
-        element_at(sort_array(collect_list(col(valueCol)).over(frame)), (n + 1) / 2))
+        when(
+          col("__rn") >= n,
+          element_at(sort_array(collect_list(col(valueCol)).over(frame)), (n + 1) / 2)))
       .filter(col("__rn") >= n)
       .drop("__rn")
   }

@@ -111,6 +111,38 @@ class BucketingSpec extends SparkSpec {
       == (0L until 4096L).sum)
   }
 
+  test("writeZOrdered on empty input writes an empty table (no NPE on NULL bounds)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zempty").toString + "/t"
+    val df = Seq.empty[(Long, Long, Long)].toDF("x", "y", "payload")
+    Sources.writeZOrdered(df, dir, 4, "x", "y", bits = 6)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 0 && back.columns.toSeq == Seq("x", "y", "payload"))
+  }
+
+  test("compactParquet fails loudly when the input has no parquet files") {
+    // a partitioned tree / wrong path must not silently size to 0 bytes
+    // and coalesce the table to ONE file — the opposite of the op's purpose
+    val in = java.nio.file.Files.createTempDirectory("graft_noparquet").toString
+    val out = in + "_out"
+    val e = intercept[IllegalArgumentException] {
+      Sources.compactParquet(spark, in, out)
+    }
+    assert(e.getMessage.contains("no .parquet files"))
+  }
+
+  test("compactParquet sizes a PARTITIONED tree via recursive listing") {
+    val in = java.nio.file.Files.createTempDirectory("graft_part").toString + "/t"
+    val out = java.nio.file.Files.createTempDirectory("graft_partout").toString + "/t"
+    (0L until 2000L).map(i => (i % 2, i)).toDF("p", "payload")
+      .repartition(10)
+      .write.partitionBy("p").parquet(in)
+    // files live under p=0/ and p=1/ — a flat local listing sees 0 bytes
+    val nOut = Sources.compactParquet(spark, in, out, targetBytes = 4096L)
+    assert(nOut > 1, s"partitioned input sized to <= one file: nOut=$nOut")
+    assert(spark.read.parquet(out).agg(sum(col("payload"))).as[Long].head()
+      == (0L until 2000L).sum)
+  }
+
   test("compactParquet collapses a many-file table, preserves data, restores pruning") {
     val in = java.nio.file.Files.createTempDirectory("graft_frag").toString + "/t"
     val out = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"

@@ -149,8 +149,19 @@ class SamplingPackingSpec extends SparkSpec {
     val e1 = intercept[Exception] {
       Sampling.weightedSample(bad, Seq("grp"), "id", "w", 2, "s").collect()
     }
-    assert(e1.getMessage.contains("non-positive weight") ||
-      Option(e1.getCause).exists(_.getMessage.contains("non-positive weight")))
+    assert(e1.getMessage.contains("non-positive or NULL weight") ||
+      Option(e1.getCause).exists(_.getMessage.contains("non-positive or NULL weight")))
+    // NULL weights must ALSO fail loudly: NULL <= 0 is NULL, so an
+    // error-side guard would let the row fall through with a NULL key
+    // and silently enter any under-filled group
+    val withNull: Seq[(Long, String, java.lang.Long)] =
+      Seq((1L, "g", java.lang.Long.valueOf(5L)), (2L, "g", null: java.lang.Long))
+    val e1b = intercept[Exception] {
+      Sampling.weightedSample(withNull.toDF("id", "grp", "w"), Seq("grp"), "id", "w", 2, "s")
+        .collect()
+    }
+    assert(e1b.getMessage.contains("non-positive or NULL weight") ||
+      Option(e1b.getCause).exists(_.getMessage.contains("non-positive or NULL weight")))
     val e2 = intercept[Exception] {
       Sampling.budgetedPrefix(bad, Seq("grp"), Seq(col("id")), "w", 8L).collect()
     }
