@@ -71,4 +71,79 @@ object Incremental {
     parts
       .withColumn("approx_distinct", hll_sketch_estimate(col("hll")))
       .drop("hll")
+
+  /** Incremental QUANTILE state: a fixed-bin integer histogram per group —
+    * the mergeable analog of [[Stats.exactQuantiles]] for a measure that,
+    * like distinct-count, cannot be maintained from (count, sum) alone.
+    * Exact quantiles need the batch's raw rows; at 100 TB an incremental
+    * profile cannot re-scan history, so the state is (group, bin) → count
+    * with DATA-INDEPENDENT bin config `(lo, width, nBins)` supplied by the
+    * caller — batch boundaries and merge order then provably cannot change
+    * the state (integer counts over a fixed bin universe form the same
+    * commutative monoid as [[partials]]; `OperatorProps` pins split
+    * invariance).
+    *
+    * Determinism contract (unlike [[hllPartials]], this one IS oracle-
+    * checkable): bin = clamp(⌊(x − lo)/width⌋, 0, nBins−1) in IEEE double —
+    * identical in both engines — and [[histQuantile]] interpolates within
+    * the located bin with one fixed expression tree, so `ivm_hist_quantile`
+    * hash-matches DuckDB. The SEMANTIC trade vs exact quantiles is binned
+    * resolution: the result is the exact quantile of the binned (clamped,
+    * within-bin-uniform) distribution, not of the raw values. NULL values
+    * are excluded, matching every aggregate here.
+    *
+    * Scale shape: the state is ≤ groups × nBins rows regardless of corpus
+    * size; partials map-side combine to the same bound per partition.
+    */
+  def histPartials(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      lo: Double,
+      width: Double,
+      nBins: Int): DataFrame = {
+    require(width > 0 && nBins > 0, s"bad histogram config: width=$width nBins=$nBins")
+    val bin = least(
+      greatest(floor((col(valueCol) - lit(lo)) / lit(width)), lit(0L)),
+      lit(nBins - 1L))
+    df.filter(col(valueCol).isNotNull)
+      .groupBy((keys.map(col) :+ bin.as("bin")): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge two histogram state tables (associative/commutative). */
+  def histMerge(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy((keys :+ "bin").map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Close histogram state into per-group quantiles: for each q ∈ `qs`
+    * (0 < q ≤ 1), locate the first bin whose cumulative count reaches
+    * t = q·n and interpolate linearly inside it —
+    * q_value = lo + width·(bin + (t − cum_before)/cnt). Emits one row per
+    * (group, q) with columns `q`, `q_value`. The window runs over the
+    * state (≤ nBins rows per group), not the data.
+    */
+  def histQuantile(
+      parts: DataFrame,
+      keys: Seq[String],
+      qs: Seq[Double],
+      lo: Double,
+      width: Double): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), s"qs must be in (0, 1]: $qs")
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col("bin"))
+    val wAll = Window.partitionBy(keys.map(col): _*)
+    val t = col("q") * col("n").cast("double")
+    parts
+      .withColumn("cum", sum(col("cnt")).over(wOrd))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .withColumn("q", explode(array(qs.map(lit): _*)))
+      .filter(col("cum").cast("double") >= t && (col("cum") - col("cnt")).cast("double") < t)
+      .withColumn(
+        "q_value",
+        lit(lo) + lit(width) * (col("bin").cast("double") +
+          (t - (col("cum") - col("cnt")).cast("double")) / col("cnt").cast("double")))
+      .select((keys.map(col) :+ col("q") :+ col("q_value")): _*)
+  }
 }

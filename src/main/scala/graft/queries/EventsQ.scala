@@ -134,6 +134,43 @@ object EventsQ {
     ),
 
     QDef(
+      "ivm_hist_quantile",
+      // incremental quantile maintenance: fixed-bin histogram partials per
+      // (event_type) from the historical side and the new batch, merged and
+      // closed into p50/p90/p99 — the mergeable-quantile companion of
+      // ivm_merge_agg (bin config is data-independent, so the merged state
+      // is batch-split invariant; the oracle is the same binned quantile
+      // from scratch). Bins: [0, 600) at width 1 — events.value's range
+      (s, d) => {
+        val ev = events(s, d)
+        val keys = Seq("event_type")
+        val merged = Incremental.histMerge(
+          Incremental.histPartials(ev.filter(col("ts_us") < cutoffUs), keys, "value", 0.0, 1.0, 600),
+          Incremental.histPartials(ev.filter(col("ts_us") >= cutoffUs), keys, "value", 0.0, 1.0, 600),
+          keys)
+        Incremental.histQuantile(merged, keys, Seq(0.5, 0.9, 0.99), 0.0, 1.0)
+          .select("event_type", "q", "q_value")
+      },
+      Some(s"""WITH ev AS ($evSql),
+               h AS (SELECT event_type,
+                       least(greatest(CAST(floor((value - CAST(0.0 AS DOUBLE))
+                           / CAST(1.0 AS DOUBLE)) AS BIGINT), 0), 599) AS bin,
+                       CAST(count(*) AS BIGINT) AS cnt
+                     FROM ev WHERE value IS NOT NULL GROUP BY 1, 2),
+               c AS (SELECT event_type, bin, cnt,
+                       CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT) AS cum,
+                       CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+                     FROM h),
+               qs AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES (0.5), (0.9), (0.99)) t(q))
+               SELECT event_type, q,
+                 CAST(0.0 AS DOUBLE) + CAST(1.0 AS DOUBLE) * (CAST(bin AS DOUBLE)
+                   + (q * CAST(n AS DOUBLE) - CAST(cum - cnt AS DOUBLE))
+                     / CAST(cnt AS DOUBLE)) AS q_value
+               FROM c CROSS JOIN qs
+               WHERE CAST(cum AS DOUBLE) >= q * CAST(n AS DOUBLE)
+                 AND CAST(cum - cnt AS DOUBLE) < q * CAST(n AS DOUBLE)""")),
+
+    QDef(
       "p16_json_extract",
       // semi-structured payloads: parse the props JSON column with an
       // explicit schema (from_json — typed, codegen'd, PERMISSIVE nulls

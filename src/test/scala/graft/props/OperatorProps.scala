@@ -227,4 +227,42 @@ object OperatorProps extends Properties("graft.ops") {
       } yield (i.toLong, ts)).sorted
       Prop(got == want)
     }
+
+  property("histogram partials are batch-split invariant; quantile matches local") =
+    Prop.forAll(
+      Gen.listOfN(40, for {
+        k <- Gen.oneOf("a", "b"); v <- Gen.choose(-5.0, 25.0); cut <- Gen.choose(0, 2)
+      } yield (k, v, cut)),
+      Gen.oneOf(0.25, 0.5, 0.9, 1.0)) { (rows, q) =>
+      val (lo, width, nBins) = (0.0, 2.0, 10)
+      val df = rows.toDF("k", "v", "cut")
+      val oneShot = Incremental.histPartials(df, Seq("k"), "v", lo, width, nBins)
+      // split on an arbitrary generated column, merge in a different order
+      val merged = Incremental.histMerge(
+        Incremental.histPartials(df.filter(col("cut") === 2), Seq("k"), "v", lo, width, nBins),
+        Incremental.histMerge(
+          Incremental.histPartials(df.filter(col("cut") === 0), Seq("k"), "v", lo, width, nBins),
+          Incremental.histPartials(df.filter(col("cut") === 1), Seq("k"), "v", lo, width, nBins),
+          Seq("k")),
+        Seq("k"))
+      val a = oneShot.as[(String, Long, Long)].collect().toSet
+      val b = merged.as[(String, Long, Long)].collect().toSet
+      // closed quantile == the same interpolation computed locally
+      val got = Incremental.histQuantile(merged, Seq("k"), Seq(q), lo, width)
+        .as[(String, Double, Double)].collect().map(r => (r._1, r._3)).toMap
+      val want = rows.groupBy(_._1).map { case (k, rs) =>
+        val bins = rs.map(r =>
+          math.min(math.max(math.floor((r._2 - lo) / width).toLong, 0L), nBins - 1L))
+        val counts = bins.groupBy(identity).view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+        val n = counts.map(_._2).sum
+        val t = q * n.toDouble
+        val (bin, cnt, cum) = counts
+          .scanLeft((0L, 0L, 0L)) { case ((_, _, c), (b2, c2)) => (b2, c2, c + c2) }
+          .drop(1)
+          .find { case (_, _, cum) => cum.toDouble >= t }
+          .get
+        k -> (lo + width * (bin.toDouble + (t - (cum - cnt).toDouble) / cnt.toDouble))
+      }
+      Prop(a == b && got == want)
+    }
 }
