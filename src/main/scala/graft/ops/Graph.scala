@@ -20,19 +20,51 @@ import org.apache.spark.sql.functions._
   * Scale shape: per iteration one join of the edge list against the rank
   * vector plus one groupBy on dst — both shuffles are over EDGES (dedup
   * graphs are sparse: near-dup pairs, not cliques), and the edge+degree
-  * frames are persisted once. Overflow bound: Σ contributions ≤ n·10^12,
-  * so `85·Σ` stays under 2^63 for corpora up to ~10^5 nodes per connected
-  * component's rank mass — at larger n, drop SCALE one decade per 10×.
+  * frames are persisted once.
+  *
+  * Overflow bound, ENFORCED: total rank mass is ≤ n·scale at every
+  * iteration (mass starts at n·scale and the damped update is a
+  * contraction on the total: new_total ≤ 0.15·n·scale + 0.85·old_total),
+  * so the largest Σ any node can receive is n·scale and the hottest
+  * intermediate is `85·Σ ≤ 85·n·scale`. [[derivedScale]] picks the largest
+  * power of 10 that provably fits that in int64 (capped at the canonical
+  * 10^12), and [[pagerankScaled]] validates any explicitly-passed scale
+  * against the same bound — a graph too large for its scale fails at plan
+  * time with the bound in the message, never mid-job with a raw ANSI
+  * overflow. The node count this needs is one cheap scalar off the
+  * persisted `ids` frame (same cost class as [[Dedup.connectedComponents]]'
+  * convergence probe); callers that know `n` from table metadata can pass
+  * `scale` explicitly and skip nothing — the count also guards the bound.
   */
 object Graph {
 
-  val Scale: Long = 1000000000000L // rank 1.0
+  /** Canonical rank scale (1.0 ≡ 10^12) — the value [[derivedScale]]
+    * returns for every graph up to ~10^5 nodes, and the constant the `g1`
+    * oracle mirrors.
+    */
+  val Scale: Long = 1000000000000L
+
+  /** Largest power-of-10 scale such that `85·n·scale` fits int64, capped
+    * at [[Scale]]: 10^12 through n ≈ 10^5, one decade less per 10× beyond.
+    * Fails for graphs past n ≈ 10^15 (scale would drop under 100, where
+    * the 0.15 base term stops being exact).
+    */
+  def derivedScale(n: Long): Long = {
+    require(n > 0, s"derivedScale needs a positive node count, got $n")
+    val bound = Long.MaxValue / 85L / n
+    var s = Scale
+    while (s > bound) s /= 10
+    require(s >= 100, s"graph too large for 64-bit scaled PageRank: n=$n")
+    s
+  }
 
   /** Fixed-iteration damped PageRank (d=0.85) over an UNDIRECTED pair list.
     * Every node in `nodes` gets a row; nodes with no incident edge hold the
     * base rank 0.15 (dangling mass is dropped, not redistributed — the
     * usual simplification for ranking *within* near-dup neighborhoods,
-    * stated here as the contract).
+    * stated here as the contract). `scale` defaults to [[derivedScale]] of
+    * the node count; an explicit value is validated against the same
+    * overflow bound (and must mirror into any cross-engine oracle).
     */
   def pagerankScaled(
       pairs: DataFrame,
@@ -40,7 +72,8 @@ object Graph {
       aCol: String,
       bCol: String,
       idCol: String,
-      iters: Int = 5): DataFrame = {
+      iters: Int = 5,
+      scale: Option[Long] = None): DataFrame = {
     val fwd = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
     val rev = pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst"))
     val edges = Caches.trackPersist(fwd.union(rev).distinct())
@@ -48,7 +81,14 @@ object Graph {
       edges.groupBy("src").agg(count(lit(1)).as("deg")))
     // referenced once per iteration plus the seed — persist, don't rescan
     val ids = Caches.trackPersist(nodes.select(col(idCol).cast("long").as("id")))
-    var ranks = ids.withColumn("rank_scaled", lit(Scale))
+    val n = math.max(ids.count(), 1L)
+    val sc = scale.getOrElse(derivedScale(n))
+    require(
+      sc >= 100 && sc % 100 == 0 && sc <= Long.MaxValue / 85L / n,
+      s"scale $sc overflows 85*n*scale at n=$n (max ${Long.MaxValue / 85L / n}); " +
+        "use derivedScale or pass a smaller scale")
+    val base = 15L * sc / 100 // 0.15, exact: sc is a multiple of 100
+    var ranks = ids.withColumn("rank_scaled", lit(sc))
     (1 to iters).foreach { _ =>
       val contrib = edges
         .join(deg, "src")
@@ -60,7 +100,7 @@ object Graph {
         .join(contrib, Seq("id"), "left")
         .select(
           col("id"),
-          (lit(150000000000L) + expr("85 * coalesce(s, 0L) DIV 100")).as("rank_scaled"))
+          (lit(base) + expr("85 * coalesce(s, 0L) DIV 100")).as("rank_scaled"))
     }
     ranks
   }

@@ -113,6 +113,34 @@ class PipelineOpsSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("pagerankScaled survives a 10^6-node component: scale derives from n, no overflow") {
+    // star with one hub and 10^6 leaves: after one iteration the hub
+    // receives the full leaf mass, Σ = 10^6·scale — at the canonical 10^12
+    // scale the damping's 85·Σ = 8.5e19 overflows int64 (ANSI fault);
+    // derivedScale(10^6 + 1) = 10^11 provably fits (8.5e18 < 2^63)
+    val nLeaves = 1000000L
+    assert(Graph.derivedScale(5L) == 1000000000000L) // small graphs keep 10^12
+    assert(Graph.derivedScale(100000L) == 1000000000000L)
+    assert(Graph.derivedScale(nLeaves + 1) == 100000000000L)
+    val pairs = spark.range(1L, nLeaves + 1).select(lit(0L).as("a"), col("id").as("b"))
+    val nodes = spark.range(0L, nLeaves + 1).toDF("id0")
+    val out = Graph.pagerankScaled(pairs, nodes, "a", "b", "id0", iters = 1)
+    val sc = 100000000000L // derivedScale(n), mirrored here like an oracle would
+    val hub = out.filter(col("id") === 0L).select("rank_scaled").as[Long].head()
+    val leaf = out.filter(col("id") === 1L).select("rank_scaled").as[Long].head()
+    Caches.releaseAll()
+    // hub: 0.15·sc + 0.85·(10^6 leaves × sc/deg1); leaf: 0.15·sc + 0.85·(sc DIV 10^6)
+    assert(hub == 15L * sc / 100 + 85L * (nLeaves * sc) / 100)
+    assert(leaf == 15L * sc / 100 + 85L * (sc / nLeaves) / 100)
+    // an explicit scale past the bound fails at plan time with the bound
+    val e = intercept[IllegalArgumentException] {
+      Graph.pagerankScaled(pairs, nodes, "a", "b", "id0", iters = 1,
+        scale = Some(1000000000000L))
+    }
+    Caches.releaseAll()
+    assert(e.getMessage.contains("overflows"))
+  }
+
   test("Incremental: merged partials == from-scratch aggregation, any batch split") {
     val rows = (1 to 100).map(i => (i % 5, i / 3.0 + 0.007))
     val df = rows.toDF("k", "v")
