@@ -107,6 +107,27 @@ object MlQ {
           train, e, (1 to 16).map(i => s"f_$i"), "label", nModels = 3, outCol = "pred_vote")
           .select(col("vec_id"), col("label").cast("int").as("label"), col("pred_vote"))
       },
+      None),
+
+    QDef(
+      "m6b_ensemble_boosted",
+      // the boosted flavor (OneVsRest over seeded GBTs — the closest
+      // offline rendering of the reference's LightGBM boosters), driver-
+      // exercised each round like m6. GBT in MLlib is binary-only, so
+      // multiclass costs nModels×nClasses boosted fits: the task is
+      // restricted to 4 classes / 2 members (8 fits) to exercise the path
+      // without dominating the bench. Rows-only by contract (MLlib fit).
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+          .filter(col("label") < 4)
+          .select(
+            col("vec_id") +: col("label").cast("double").as("label") +:
+              (1 to 8).map(i => element_at(col("embedding"), i).cast("double").as(s"f_$i")): _*)
+        val train = e.filter(col("vec_id") % 4 =!= 0)
+        Ensemble.fitPredictVoteBoosted(
+          train, e, (1 to 8).map(i => s"f_$i"), "label", nModels = 2, outCol = "pred_vote")
+          .select(col("vec_id"), col("label").cast("int").as("label"), col("pred_vote"))
+      },
       None)
   )
 }
