@@ -40,6 +40,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch + Incremental histPartials maintain quantile state over a stream") {
+    // the quantile leg of the same IVM composition: each micro-batch
+    // contributes its fixed-bin histogram state; after N batches the merged
+    // state — and therefore every quantile closed from it — is BIT-identical
+    // to a from-scratch histogram over all rows (integer counts over a
+    // data-independent bin universe form a commutative monoid, so batch
+    // boundaries cannot move a single count)
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Incremental
+    val (lo, width, nBins) = (0.0, 0.5, 32)
+    val input = MemoryStream[(Int, Double)]
+    val df = input.toDF().toDF("k", "v")
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    val q = df.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val p = Incremental.histPartials(batch, Seq("k"), "v", lo, width, nBins)
+          .localCheckpoint(true)
+        state = Some(state.fold(p)(s =>
+          Incremental.histMerge(s, p, Seq("k")).localCheckpoint(true)))
+      }
+      .start()
+    try {
+      val rows = (1 to 120).map(i => (i % 3, (i % 29) / 2.0))
+      rows.grouped(40).foreach { chunk => input.addData(chunk); q.processAllAvailable() }
+      val qs = Seq(0.25, 0.5, 0.9)
+      val maintained = Incremental.histQuantile(state.get, Seq("k"), qs, lo, width)
+        .orderBy("k", "q").collect().toSeq
+      val direct = Incremental.histQuantile(
+        Incremental.histPartials(rows.toDF("k", "v"), Seq("k"), "v", lo, width, nBins),
+        Seq("k"), qs, lo, width)
+        .orderBy("k", "q").collect().toSeq
+      assert(maintained == direct && maintained.size == 9)
+    } finally q.stop()
+  }
+
   test("tumblingAgg runs the W1 semantics incrementally over a stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
