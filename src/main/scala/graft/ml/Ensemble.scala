@@ -96,6 +96,11 @@ object Ensemble {
         weightCol.foreach(gbt.setWeightCol)
         val est = new OneVsRest()
           .setClassifier(gbt)
+          // fit the per-class binary GBTs concurrently — OneVsRest defaults
+          // to parallelism=1, serializing nClasses boosted fits per member;
+          // each binary fit is independently specified and seeded, so the
+          // fitted models (and the vote) are identical at any parallelism
+          .setParallelism(8)
           .setFeaturesCol("__features")
           .setLabelCol(labelCol)
           .setPredictionCol(s"__p_$i")

@@ -299,6 +299,45 @@ object Dedup {
         (coalesce(col("n_shared_grams"), lit(0L)) > 0).cast("long").as("contaminated"))
   }
 
+  /** Graded sibling of [[contaminationCheck]]: instead of a binary
+    * contaminated flag, score each train doc by the FRACTION of its
+    * distinct k-gram shingles that appear anywhere in the benchmark —
+    * the overlap-threshold decontamination recipe (a doc sharing one
+    * boilerplate gram with an eval suite is noise; a doc whose grams are
+    * 80% benchmark content is a leaked answer key). Callers threshold
+    * `overlap_frac` per policy.
+    *
+    * Universe note: docs with fewer than k tokens have no shingles and no
+    * denominator — they are absent from the output by contract (the binary
+    * [[contaminationCheck]] keeps them; a fraction cannot).
+    *
+    * Same scale shape as the binary check: benchmark side broadcast by
+    * default, corpus never shuffles; `broadcastBench = false` for the
+    * beyond-broadcast regime. The fraction is a BIGINT/BIGINT double
+    * division — correctly rounded, engine-exact.
+    */
+  def overlapFraction(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      broadcastBench: Boolean = true): DataFrame = {
+    val tSh = Text.shingleKeySet(train, idCol, textCol, k)
+    val bSh = Text.shingleKeySet(bench, idCol, textCol, k).select(col("sk")).distinct()
+    val tot = tSh.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+    val hits = tSh.join(if (broadcastBench) broadcast(bSh) else bSh, "sk")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared_grams"))
+    tot.join(hits, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("n_grams"),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"),
+        (coalesce(col("n_shared_grams"), lit(0L)).cast("double") /
+          col("n_grams").cast("double")).as("overlap_frac"))
+  }
+
   /** Connected components over a candidate-pair graph — the cluster-
     * resolution step of a dedup pipeline: pair emitters ([[jaccardPairs]],
     * [[lshCandidates]], [[embeddingNearDup]]) say "these two are dups";

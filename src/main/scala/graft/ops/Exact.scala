@@ -83,6 +83,27 @@ object Exact {
       s" / CAST(10000 AS DOUBLE))"
   }
 
+  /** Scale-9 sibling of [[dsumTrunc4]] for SMALL-magnitude per-row values
+    * (log-probabilities, normalized scores: |v| ≲ 1e3, where scale-4
+    * truncation noise would rival the quantity itself). Same tie-free
+    * contract — both engines floor the identical correctly-rounded double
+    * `|v|·10⁹`; per-row |v| must stay ≤ ~9e9 for the LONG floor. The sum
+    * accumulates in DECIMAL(38,0) (exact, order-independent) and the
+    * decimal→double cast back out is correctly rounded in both engines.
+    */
+  def dsumTrunc9(c: Column): Column = {
+    val m = floor(abs(c) * lit(1.0e9d))
+    sum(when(c < 0, -m).otherwise(m).cast(DecimalType(38, 0)))
+      .cast("double") / lit(1.0e9d)
+  }
+
+  /** DuckDB SQL fragment mirroring [[dsumTrunc9]]. */
+  def sqlDsumTrunc9(x: String): String = {
+    val m = s"floor(abs($x) * CAST(1000000000 AS DOUBLE))"
+    s"(CAST(sum(CAST(CASE WHEN ($x) < 0 THEN -$m ELSE $m END AS BIGINT)) AS DOUBLE)" +
+      s" / CAST(1000000000 AS DOUBLE))"
+  }
+
   /** DuckDB SQL fragment mirroring [[dsum]]. */
   def sqlDsum(x: String): String =
     s"CAST(sum(CAST(($x) AS DECIMAL(30,4))) AS DOUBLE)"

@@ -69,6 +69,20 @@ object Sources {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** ORC reader — the other columnar lake format Spark supports natively
+    * (Hive-lineage warehouses ship it; a 100 TB engine must read the
+    * lake it lands in, not demand a rewrite). Schema explicit for the
+    * same never-infer reasons as [[jsonl]]; ORC carries min/max stripe
+    * statistics, so pushed filters prune stripes exactly like parquet
+    * row groups.
+    */
+  def orc(spark: SparkSession, schema: StructType, path: String): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  /** ORC sink. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** Bucketed parquet table writer — the co-located-join layout: rows are
     * hash-distributed into `nBuckets` files per partition by `bucketCol`
     * (optionally sorted within buckets), and the catalog records the

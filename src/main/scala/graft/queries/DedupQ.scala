@@ -235,6 +235,37 @@ object DedupQ {
               LEFT JOIN h ON h.doc_id = d.doc_id""")),
 
     QDef(
+      "d13_overlap_frac",
+      // graded decontamination: fraction of each train doc's distinct
+      // 5-grams that appear in the benchmark (same bench split as d9);
+      // `flagged` applies a 0.2 overlap-threshold policy. Docs with < 5
+      // tokens have no shingles and are absent by operator contract.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.overlapFraction(
+            docs.filter(col("doc_id") % 97 =!= 0),
+            docs.filter(col("doc_id") % 97 === 0),
+            "doc_id", "text", 5)
+          .withColumn("flagged", (col("overlap_frac") >= 0.2).cast("long"))
+      },
+      Some("""WITH g5 AS (SELECT DISTINCT doc_id, shingle FROM (
+                 SELECT doc_id,
+                   toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4] AS shingle
+                 FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+                      unnest(generate_series(1, len(toks) - 4)) AS u(i))),
+              tsh AS (SELECT * FROM g5 WHERE doc_id % 97 <> 0),
+              bsh AS (SELECT DISTINCT shingle FROM g5 WHERE doc_id % 97 = 0),
+              tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM tsh GROUP BY 1),
+              h AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+                    FROM tsh t JOIN bsh b ON b.shingle = t.shingle GROUP BY 1)
+              SELECT tot.doc_id, tot.n_grams,
+                CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared_grams,
+                CAST(coalesce(h.n_shared, 0) AS DOUBLE) / CAST(tot.n_grams AS DOUBLE) AS overlap_frac,
+                CAST(CASE WHEN CAST(coalesce(h.n_shared, 0) AS DOUBLE) / CAST(tot.n_grams AS DOUBLE) >= 0.2
+                     THEN 1 ELSE 0 END AS BIGINT) AS flagged
+              FROM tot LEFT JOIN h ON h.doc_id = tot.doc_id""")),
+
+    QDef(
       "mixture_sample",
       // data-mixture weighting: src0 kept whole, src1 at 50%, src2 at 10%,
       // everything else at 25% — per-row fate depends only on (doc_id,

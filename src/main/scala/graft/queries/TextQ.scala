@@ -434,6 +434,23 @@ object TextQ {
                FROM c WHERE cum_tokens <= 800""")),
 
     QDef(
+      "t13_unigram_logprob",
+      // corpus-trained unigram LM quality score (CCNet shape): mean token
+      // log-probability per doc. MathLn for libm parity, dsumTrunc9 for an
+      // order-independent sum of the per-token log-probs
+      (s, d) => Text.unigramLogProb(t(s, d, "documents"), "doc_id", "text"),
+      Some(s"""WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+                            FROM documents),
+               vocab AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+               tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM vocab),
+               lp AS (SELECT tok.doc_id,
+                        ln(CAST(v.c AS DOUBLE) / CAST(tot.t AS DOUBLE)) AS lp
+                      FROM tok JOIN vocab v ON v.token = tok.token CROSS JOIN tot)
+               SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                 ${Exact.sqlDsumTrunc9("lp")} / CAST(count(*) AS DOUBLE) AS avg_logprob
+               FROM lp GROUP BY 1""")),
+
+    QDef(
       "t11_redact",
       // PII-scrub shape: sequential regex masking + pre-replacement match
       // counts (Text.redact). Rule 1 masks entity words that DO occur in

@@ -187,4 +187,39 @@ class DedupTextSpec extends SparkSpec {
     val fps = df.select(Text.fingerprint(col("t")).as("f")).as[String].collect()
     assert(fps(0) == fps(1))
   }
+
+  test("overlapFraction grades train docs by shared-shingle fraction; sub-k docs absent") {
+    // bench = doc 4 (text identical to doc 1); doc 5 is below k tokens
+    val train = docs.filter(col("doc_id") =!= 4L)
+      .union(Seq((5L, "too short")).toDF("doc_id", "text"))
+    val bench = docs.filter(col("doc_id") === 4L)
+    val out = Dedup.overlapFraction(train, bench, "doc_id", "text", 3)
+      .select("doc_id", "n_grams", "n_shared_grams", "overlap_frac")
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (id, a, b, c) => id -> ((a, b, c)) }.toMap
+    assert(out(1L) == ((7L, 7L, 1.0))) // exact text match
+    assert(out(2L) == ((7L, 6L, 6.0 / 7.0))) // near-dup: only "the lazy cat" unshared
+    assert(out(3L) == ((6L, 0L, 0.0))) // disjoint vocabulary
+    assert(!out.contains(5L)) // 2 tokens < k: no shingles, no denominator
+  }
+
+  test("unigramLogProb: corpus-LM mean log-prob, partition-invariant") {
+    val corpus = Seq((1L, "a a a"), (2L, "a b")).toDF("doc_id", "text")
+    val out = Text.unigramLogProb(corpus, "doc_id", "text")
+      .select("doc_id", "n_tokens", "avg_logprob")
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, n, s) => id -> ((n, s)) }.toMap
+    // vocab: a ×4, b ×1, total 5 — scores via the same trunc-9 fixed point
+    def t9(x: Double) = math.signum(x) * math.floor(math.abs(x) * 1e9)
+    val (lpA, lpB) = (math.log(4.0 / 5.0), math.log(1.0 / 5.0))
+    assert(out(1L) == ((3L, t9(lpA) * 3 / 1e9 / 3.0)))
+    assert(out(2L) == ((2L, (t9(lpA) + t9(lpB)) / 1e9 / 2.0)))
+    assert(out(1L)._2 > out(2L)._2) // common-token doc scores higher
+    // the trunc-9 decimal sum makes the score independent of partitioning
+    val repart = Text.unigramLogProb(corpus.repartition(7), "doc_id", "text")
+      .select("doc_id", "n_tokens", "avg_logprob")
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, n, s) => id -> ((n, s)) }.toMap
+    assert(repart == out)
+  }
 }

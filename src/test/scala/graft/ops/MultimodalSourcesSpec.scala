@@ -151,6 +151,21 @@ class MultimodalSourcesSpec extends SparkSpec {
     mixed.unpersist()
   }
 
+  test("ORC roundtrip with explicit schema; predicate pushes to the scan") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val df = Seq((1L, "the quick fox"), (2L, "lazy dog"), (3L, "third doc")).toDF("doc_id", "text")
+    Sources.writeOrc(df, s"$dir/out")
+    val back = Sources.orc(spark, schema, s"$dir/out")
+    assert(back.orderBy("doc_id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "the quick fox"), (2L, "lazy dog"), (3L, "third doc")))
+    // the filter must reach the ORC scan (stripe-statistics pruning at scale)
+    val plan = back.filter(col("doc_id") === 2L).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("doc_id"), plan)
+  }
+
   test("S3: filename-derived key columns via regex") {
     val dir = Files.createTempDirectory("graft_files").toString
     Seq((0.0, 1.0)).toDF("ts", "v").coalesce(1).write

@@ -104,6 +104,23 @@ class PlanAuditSpec extends SparkSpec {
       s"verify join not ABOVE the bloom probe (probe must feed it):\n$p")
   }
 
+  test("overlapFraction broadcasts the benchmark shingles, not the corpus") {
+    val train = (0L until 50L).map(i => (i, s"alpha beta gamma tok$i delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val bench = Seq((900L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val p = plan(Dedup.overlapFraction(train, bench, "doc_id", "text", 5))
+    Caches.releaseAll()
+    assert(p.contains("BroadcastHashJoin"), s"benchmark side not broadcast:\n$p")
+  }
+
+  test("unigramLogProb: vocab and grand-total broadcast — the token bag never shuffles for the join") {
+    val df = (0L until 50L).map(i => (i, s"alpha beta tok$i")).toDF("doc_id", "text")
+    val p = plan(Text.unigramLogProb(df, "doc_id", "text"))
+    assert(p.contains("BroadcastHashJoin"), s"vocab not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"token bag shuffled for the join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"shuffled cartesian in plan:\n$p")
+  }
+
   test("native hopping window is one Expand + hash agg — no join, no explode") {
     val df = (0L until 1000L).map(i => (i * 60000000L, i % 3, i * 1.0))
       .toDF("ts_us", "event_type", "value")
