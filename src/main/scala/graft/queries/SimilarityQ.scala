@@ -114,6 +114,32 @@ object SimilarityQ {
                   FROM s) WHERE rnk <= 3""")),
 
     QDef(
+      "sim_diverse_sample",
+      // cluster-balanced diversity sampling (the SemDeDup-class curation
+      // move): fit the coarse quantizer on the vec_id % 4 sample, assign
+      // the full corpus in ONE broadcast pass, then cap each cell at 20
+      // vectors in hash order with an id tiebreak — over-represented
+      // clusters are pruned, sparse ones kept whole, and the kept SET is
+      // reproducible under re-ingest (no rand()). The fit/assign chain is
+      // sim_ivf_topk's, the per-cell cap is stratified_sample's — both
+      // oracle-replicated components reused unchanged.
+      (s, d) => {
+        val e = withNorm(t(s, d, "embeddings"))
+        val ranked = graft.ops.Caches.trackPersist(
+          graft.ml.IvfQuantizer.fitRanked(e, "vec_id", "embedding", "n2", 8, 2, sampleEvery = 4))
+        val cells = ranked.filter(col("cell_rank") === 1).select(col("cell"), col("vec_id"))
+        Sampling.stratifiedSample(cells, "vec_id", Seq("cell"), 20)
+      },
+      Some(s"""WITH $normSql,
+               ${graft.ml.IvfQuantizer.lloydSql(8, 2, 64, sampleEvery = 4)}
+               SELECT cell, vec_id FROM (
+                 SELECT cell, vec_id,
+                   row_number() OVER (PARTITION BY cell
+                     ORDER BY ${Sampling.sqlHashU24("vec_id")}, vec_id) AS rn
+                 FROM assigned)
+               WHERE rn <= 20""")),
+
+    QDef(
       "sim_quantize_int8",
       // symmetric int8 embedding quantization (the 4×-smaller storage format
       // of large embedding stores), exploded to scalar rows: pure integer
