@@ -62,6 +62,16 @@ object Sketch {
     hashedBuckets(df, keyCol, depth, width)
       .groupBy("level", "bucket").agg(count(lit(1)).as("cell_n"))
 
+  /** Merge two count-min grids (associative/commutative — integer counters
+    * over a data-independent (level, bucket) universe form the same
+    * monoid as [[Incremental.histMerge]]'s bins, so per-batch sketches of
+    * an ingest stream sum to exactly the from-scratch sketch; absent
+    * cells are implicit zeros).
+    */
+  def countMinMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy("level", "bucket").agg(sum(col("cell_n")).as("cell_n"))
+
   /** Heavy hitters: probe every distinct key of `df` against its own
     * count-min sketch, keep keys whose estimate reaches `minCount`, and
     * attach the exact count so the overestimate is visible. Estimates

@@ -75,6 +75,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch + Sketch.countMinMerge maintain a sketch over a stream") {
+    // per-batch count-min grids summed across micro-batches equal the
+    // from-scratch sketch bit-for-bit (integer counters over a fixed
+    // (level, bucket) universe — same monoid argument as the histogram)
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Sketch
+    val input = MemoryStream[String]
+    val df = input.toDF().toDF("token")
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    val q = df.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val p = Sketch.countMin(batch, "token", 3, 64).localCheckpoint(true)
+        state = Some(state.fold(p)(s => Sketch.countMinMerge(s, p).localCheckpoint(true)))
+      }
+      .start()
+    try {
+      val rows = (1 to 90).map(i => s"tok${i % 7}")
+      rows.grouped(30).foreach { chunk => input.addData(chunk); q.processAllAvailable() }
+      val maintained = state.get.orderBy("level", "bucket")
+        .as[(Int, Long, Long)].collect().toSeq
+      val direct = Sketch.countMin(rows.toDF("token"), "token", 3, 64)
+        .orderBy("level", "bucket").as[(Int, Long, Long)].collect().toSeq
+      assert(maintained == direct && maintained.map(_._3).sum == 3L * 90)
+    } finally q.stop()
+  }
+
   test("tumblingAgg runs the W1 semantics incrementally over a stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
