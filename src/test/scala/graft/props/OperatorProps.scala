@@ -265,4 +265,34 @@ object OperatorProps extends Properties("graft.ops") {
       }
       Prop(a == b && got == want)
     }
+
+  property("count-min grids are batch-split invariant; estimates dominate exact counts") =
+    Prop.forAll(
+      Gen.listOfN(40, for {
+        t <- Gen.oneOf("x", "y", "z", "w", "v"); cut <- Gen.choose(0, 2)
+      } yield (t, cut))) { rows =>
+      val (depth, width) = (3, 16)
+      val df = rows.toDF("token", "cut")
+      val oneShot = Sketch.countMin(df, "token", depth, width)
+        .as[(Int, Long, Long)].collect().toSet
+      val merged = Sketch.countMinMerge(
+        Sketch.countMin(df.filter(col("cut") === 2), "token", depth, width),
+        Sketch.countMinMerge(
+          Sketch.countMin(df.filter(col("cut") === 0), "token", depth, width),
+          Sketch.countMin(df.filter(col("cut") === 1), "token", depth, width)))
+        .as[(Int, Long, Long)].collect().toSet
+      // one-sided error: min-over-levels estimate >= the true count
+      val buckets = rows.map(_._1).distinct.map { tok =>
+        tok -> Sketch.countMin(Seq((tok, 0)).toDF("token", "cut"), "token", depth, width)
+          .as[(Int, Long, Long)].collect().map(r => (r._1, r._2)).toMap
+      }
+      val exact = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val dominated = buckets.forall { case (tok, cellsByLevel) =>
+        val est = (0 until depth).map { lvl =>
+          oneShot.find(c => c._1 == lvl && c._2 == cellsByLevel(lvl)).map(_._3).getOrElse(0L)
+        }.min
+        est >= exact(tok)
+      }
+      Prop(oneShot == merged && dominated)
+    }
 }
