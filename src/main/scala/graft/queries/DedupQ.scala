@@ -204,6 +204,52 @@ object DedupQ {
                FROM lab l JOIN qual q ON q.doc_id = l.doc_id""")),
 
     QDef(
+      "d14_lsh_dedup",
+      // the LSH-fed cluster resolution — the linear-candidate 100 TB
+      // pipeline end to end: banded MinHash candidates (d3) filtered to
+      // signature agreement >= 6/8 (est. Jaccard >= 0.75) -> connected
+      // components -> canonical cluster labels. Where d7's exact
+      // inverted-index pair relation is the audit-grade baseline, THIS
+      // composition's candidate work is linear in corpus size by
+      // construction (banding), the shape a web-scale dedup run ships
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val sig = Dedup.minhashSignaturesLocal(docs, "doc_id", "text", 3, 8)
+        val pairs = Dedup.lshCandidates(sig, "doc_id", 8, 4)
+          .filter(col("n_equal") >= 6).select("a_id", "b_id")
+        val comp = Dedup.connectedComponents(pairs, "a_id", "b_id")
+          .withColumnRenamed("id", "doc_id")
+        docs.join(comp, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+          .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("cluster_id")))
+      },
+      Some {
+        val bands = (0 until 4).map(b =>
+          s"SELECT doc_id, $b AS band_idx, md5(mh_${2 * b} || mh_${2 * b + 1}) AS band_hash FROM sig")
+          .mkString(" UNION ALL ")
+        val agree = (0 until 8).map(j => s"(CASE WHEN sa.mh_$j = sb.mh_$j THEN 1 ELSE 0 END)").mkString(" + ")
+        s"""WITH RECURSIVE $shSql, $sigSql,
+            bands AS ($bands),
+            cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                     FROM bands a JOIN bands b ON a.band_idx = b.band_idx
+                       AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+            jp AS (SELECT a_id, b_id FROM cand
+                   JOIN sig sa ON sa.doc_id = a_id JOIN sig sb ON sb.doc_id = b_id
+                   WHERE ($agree) >= 6),
+            e AS (SELECT a_id AS src, b_id AS dst FROM jp
+                  UNION SELECT b_id, a_id FROM jp),
+            reach AS (SELECT src AS id, dst AS r FROM e
+                      UNION
+                      SELECT reach.id, e.dst FROM reach JOIN e ON e.src = reach.r),
+            comp AS (SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id),
+            lab AS (SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS cluster_id
+                    FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+            SELECT doc_id, cluster_id,
+              CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+            FROM lab"""
+      }),
+
+    QDef(
       "d9_decontaminate",
       // benchmark decontamination: docs with doc_id % 97 == 0 stand in for
       // the eval suite; every remaining (train) doc is scanned for shared
