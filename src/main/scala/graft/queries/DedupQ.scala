@@ -58,6 +58,47 @@ object DedupQ {
         sig AS (SELECT doc_id, $mins FROM shh GROUP BY 1)"""
   }
 
+  /** Oracle CTEs (on top of [[shSql]] + [[sigSql]]): d3's banded LSH
+    * candidates filtered to ≥ 6/8 signature agreement, their recursive
+    * transitive closure, and every doc labelled with the minimum reachable
+    * doc_id — the oracle twin of the d14 LSH-fed cluster resolution.
+    */
+  private val lshCcSql = {
+    val bands = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band_idx, md5(mh_${2 * b} || mh_${2 * b + 1}) AS band_hash FROM sig")
+      .mkString(" UNION ALL ")
+    val agree = (0 until 8).map(j => s"(CASE WHEN sa.mh_$j = sb.mh_$j THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""bands AS ($bands),
+        cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                 FROM bands a JOIN bands b ON a.band_idx = b.band_idx
+                   AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+        jp AS (SELECT a_id, b_id FROM cand
+               JOIN sig sa ON sa.doc_id = a_id JOIN sig sb ON sb.doc_id = b_id
+               WHERE ($agree) >= 6),
+        e AS (SELECT a_id AS src, b_id AS dst FROM jp
+              UNION SELECT b_id, a_id FROM jp),
+        reach AS (SELECT src AS id, dst AS r FROM e
+                  UNION
+                  SELECT reach.id, e.dst FROM reach JOIN e ON e.src = reach.r),
+        comp AS (SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id),
+        lab AS (SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS cluster_id
+                FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)"""
+  }
+
+  /** The d14 Spark-side composition, shared with the leakage-free split:
+    * banded LSH candidates at ≥ 6/8 agreement → connected components →
+    * (doc_id, cluster_id) labels with singleton self-labels.
+    */
+  private def lshClusters(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sig = Dedup.minhashSignaturesLocal(docs, "doc_id", "text", 3, 8)
+    val pairs = Dedup.lshCandidates(sig, "doc_id", 8, 4)
+      .filter(col("n_equal") >= 6).select("a_id", "b_id")
+    val comp = Dedup.connectedComponents(pairs, "a_id", "b_id")
+      .withColumnRenamed("id", "doc_id")
+    docs.join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+  }
+
   /** Oracle CTEs (on top of [[shSql]]): Jaccard ≥ 0.5 pairs (d2's
     * relation, ids only), their symmetric edge list, the RECURSIVE
     * transitive closure, and every document labelled with the minimum
@@ -212,42 +253,31 @@ object DedupQ {
       // inverted-index pair relation is the audit-grade baseline, THIS
       // composition's candidate work is linear in corpus size by
       // construction (banding), the shape a web-scale dedup run ships
-      (s, d) => {
-        val docs = t(s, d, "documents")
-        val sig = Dedup.minhashSignaturesLocal(docs, "doc_id", "text", 3, 8)
-        val pairs = Dedup.lshCandidates(sig, "doc_id", 8, 4)
-          .filter(col("n_equal") >= 6).select("a_id", "b_id")
-        val comp = Dedup.connectedComponents(pairs, "a_id", "b_id")
-          .withColumnRenamed("id", "doc_id")
-        docs.join(comp, Seq("doc_id"), "left")
-          .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster_id"))
-          .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("cluster_id")))
-      },
-      Some {
-        val bands = (0 until 4).map(b =>
-          s"SELECT doc_id, $b AS band_idx, md5(mh_${2 * b} || mh_${2 * b + 1}) AS band_hash FROM sig")
-          .mkString(" UNION ALL ")
-        val agree = (0 until 8).map(j => s"(CASE WHEN sa.mh_$j = sb.mh_$j THEN 1 ELSE 0 END)").mkString(" + ")
-        s"""WITH RECURSIVE $shSql, $sigSql,
-            bands AS ($bands),
-            cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-                     FROM bands a JOIN bands b ON a.band_idx = b.band_idx
-                       AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
-            jp AS (SELECT a_id, b_id FROM cand
-                   JOIN sig sa ON sa.doc_id = a_id JOIN sig sb ON sb.doc_id = b_id
-                   WHERE ($agree) >= 6),
-            e AS (SELECT a_id AS src, b_id AS dst FROM jp
-                  UNION SELECT b_id, a_id FROM jp),
-            reach AS (SELECT src AS id, dst AS r FROM e
-                      UNION
-                      SELECT reach.id, e.dst FROM reach JOIN e ON e.src = reach.r),
-            comp AS (SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id),
-            lab AS (SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS cluster_id
-                    FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
-            SELECT doc_id, cluster_id,
-              CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
-            FROM lab"""
-      }),
+      (s, d) => lshClusters(t(s, d, "documents"))
+        .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("cluster_id"))),
+      Some(s"""WITH RECURSIVE $shSql, $sigSql, $lshCcSql
+               SELECT doc_id, cluster_id,
+                 CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+               FROM lab""")),
+
+    QDef(
+      "split_leakage_free",
+      // leakage-free train/val/test assignment: the split hash is taken on
+      // the duplicate CLUSTER id, not the doc id, so near-duplicate copies
+      // can never straddle train and eval — the contamination mode a plain
+      // per-doc split invites (a test doc's near-dup twin in train is a
+      // leaked answer). Same 80/10/10 hash recipe as split_assign,
+      // cluster-stable under corpus growth for the same reason
+      (s, d) => Sampling.assignSplit(
+        lshClusters(t(s, d, "documents")), "cluster_id", 10,
+        Seq(("train", 8), ("val", 9), ("test", 10))),
+      Some(s"""WITH RECURSIVE $shSql, $sigSql, $lshCcSql
+               SELECT doc_id, cluster_id,
+                 CASE WHEN u % 10 < 8 THEN 'train'
+                      WHEN u % 10 < 9 THEN 'val'
+                      ELSE 'test' END AS split
+               FROM (SELECT doc_id, cluster_id, ${Sampling.sqlHashU24("cluster_id")} AS u
+                     FROM lab)""")),
 
     QDef(
       "d9_decontaminate",
