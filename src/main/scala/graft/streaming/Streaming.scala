@@ -208,4 +208,81 @@ object Streaming {
         col(rightTsCol) <= col(leftTsCol) + expr(s"INTERVAL $after"))
       .drop("__rkey")
   }
+
+  /** Union row for [[asofEnrich]]: reference updates (`isRef = true`,
+    * `value` meaningful) and event probes (`isRef = false`) on one keyed
+    * timeline. Top-level case class — Spark's state encoder cannot reflect
+    * on a method-local class.
+    */
+  final case class AsofIn(user: String, tsMs: Long, isRef: Boolean, value: Double)
+
+  /** Per-key state: the pruned reference timeline + unresolved events. */
+  final case class AsofState(refs: List[(Long, Double)], pending: List[Long])
+
+  /** One enriched event: the latest reference at-or-before its time. */
+  final case class AsofOut(
+      user: String, tsMs: Long, refTsMs: Option[Long], refValue: Option[Double])
+
+  /** Stream-stream AS-OF enrich — the streaming analog of
+    * [[graft.ops.Joins.asOf]]: each event is joined to the LATEST reference
+    * update at-or-before its event time, per key. Spark has no native
+    * stream-stream as-of join (the inequality is one-sided and unbounded,
+    * so the built-in interval join cannot express "latest before"), hence
+    * custom state via flatMapGroupsWithState.
+    *
+    * Event-time correctness: an event resolves only once the WATERMARK
+    * passes its timestamp — before that, a reference older than the event
+    * could still arrive and change "latest before". So events buffer in
+    * state until `tsMs < watermark`, then emit exactly once, in (ts, key)
+    * order within the flush. Replayable: the output is a function of the
+    * data and the watermark delay, never of wall clock or batch slicing.
+    *
+    * State bound (the 100 TB/day contract): per key, the reference
+    * timeline keeps only entries NEWER than the watermark plus the single
+    * latest entry at-or-below it (any future event has ts ≥ watermark, so
+    * older references can never be "latest before" again) — plus the
+    * unresolved events, bounded by the watermark delay. A key with no
+    * pending events keeps just its pruned reference cache; an event-time
+    * timer re-fires the flush when the watermark passes a pending event
+    * even if the key sees no new data.
+    */
+  def asofEnrich(
+      rows: Dataset[AsofIn],
+      watermarkDelay: String): Dataset[AsofOut] = {
+    import rows.sparkSession.implicits._
+    rows
+      .withColumn("__et", timestamp_millis(col("tsMs")))
+      .withWatermark("__et", watermarkDelay)
+      .as[AsofIn]
+      .groupByKey(_.user)
+      .flatMapGroupsWithState[AsofState, AsofOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, rows, state: GroupState[AsofState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val prev = state.getOption.getOrElse(AsofState(Nil, Nil))
+          val (newRefs, newEvents) =
+            rows.toSeq.partition(_.isRef) match {
+              case (r, e) => (r.map(x => (x.tsMs, x.value)), e.map(_.tsMs))
+            }
+          // merged ref timeline ascending; an exact timestamp tie keeps the
+          // max value (arrival order is batch-slicing-dependent — the
+          // tiebreak must be a function of the data to stay replayable)
+          val refs = (prev.refs ++ newRefs).sorted
+          val pend = (prev.pending ++ newEvents).sorted
+          val (ready, stillPending) = pend.partition(_ < wm)
+          val out = ready.map { ts =>
+            refs.takeWhile(_._1 <= ts).lastOption match {
+              case Some((rts, v)) => AsofOut(user, ts, Some(rts), Some(v))
+              case None           => AsofOut(user, ts, None, None)
+            }
+          }
+          // prune: everything above the watermark + the latest at-or-below
+          val (below, above) = refs.partition(_._1 <= wm)
+          val kept = below.lastOption.toList ++ above
+          state.update(AsofState(kept, stillPending))
+          if (stillPending.nonEmpty)
+            state.setTimeoutTimestamp(math.max(stillPending.min + 1, wm + 1))
+          out.iterator
+      }
+  }
 }

@@ -75,6 +75,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("asofEnrich: events resolve to the latest at-or-before ref once the watermark passes") {
+    import Streaming.{AsofIn, AsofOut}
+    implicit val sqlCtx = spark.sqlContext
+
+    def run(batches: Seq[Seq[AsofIn]]): Seq[AsofOut] = {
+      val input = MemoryStream[AsofIn]
+      // the delay must cover the test's cross-batch lateness: a ref older
+      // than the watermark is dropped BEFORE the operator (that filtering
+      // is the contract that makes the buffered resolution safe)
+      val q = Streaming.asofEnrich(input.toDS(), "1 minute")
+        .writeStream.format("memory").queryName("asof_out").outputMode("append").start()
+      try {
+        batches.foreach { b => input.addData(b); q.processAllAvailable() }
+        // a far-future ref pushes the watermark past every buffered event
+        input.addData(Seq(AsofIn("u1", 1000000L, isRef = true, 0.0),
+          AsofIn("u2", 1000000L, isRef = true, 0.0)))
+        q.processAllAvailable()
+        q.processAllAvailable() // one extra cycle for the event-time timers
+        spark.table("asof_out").as[AsofOut].collect().toSeq
+          .sortBy(o => (o.user, o.tsMs))
+      } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS asof_out") }
+    }
+
+    val refs = Seq( // u1 timeline: 10->1.0, 30->3.0; u2: 20->2.0
+      AsofIn("u1", 10000L, isRef = true, 1.0),
+      AsofIn("u1", 30000L, isRef = true, 3.0),
+      AsofIn("u2", 20000L, isRef = true, 2.0))
+    val events = Seq( // u1 probes before/between/after; u2 before its ref
+      AsofIn("u1", 5000L, isRef = false, 0.0),
+      AsofIn("u1", 15000L, isRef = false, 0.0),
+      AsofIn("u1", 30000L, isRef = false, 0.0),
+      AsofIn("u1", 45000L, isRef = false, 0.0),
+      AsofIn("u2", 19000L, isRef = false, 0.0),
+      AsofIn("u2", 25000L, isRef = false, 0.0))
+    val expected = Seq(
+      AsofOut("u1", 5000L, None, None),
+      AsofOut("u1", 15000L, Some(10000L), Some(1.0)),
+      AsofOut("u1", 30000L, Some(30000L), Some(3.0)), // at-or-before includes ==
+      AsofOut("u1", 45000L, Some(30000L), Some(3.0)),
+      AsofOut("u2", 19000L, None, None),
+      AsofOut("u2", 25000L, Some(20000L), Some(2.0)))
+
+    // refs and events interleaved across batches, events FIRST (the ref an
+    // event needs arrives a batch later — the buffering case)
+    assert(run(Seq(events, refs)) == expected)
+    // different batch slicing, same output (replayability contract)
+    assert(run(Seq(refs.take(1) ++ events.take(2), events.drop(2) ++ refs.drop(1))) == expected)
+    assert(run(Seq(refs ++ events)) == expected)
+  }
+
   test("foreachBatch + Sketch.countMinMerge maintain a sketch over a stream") {
     // per-batch count-min grids summed across micro-batches equal the
     // from-scratch sketch bit-for-bit (integer counters over a fixed
