@@ -106,8 +106,25 @@ object GraftFunctions {
         throw new IllegalArgumentException(s"minhash_sig expects 2 arguments, got ${other.size}")
     })
 
+  val normalizeNfcDescriptor: Descriptor = (
+    FunctionIdentifier("normalize_nfc"),
+    new ExpressionInfo(
+      classOf[graft.functions.NormalizeNFC].getName,
+      null,
+      "normalize_nfc",
+      "normalize_nfc(str) - Unicode NFC canonicalization (DuckDB twin: nfc_normalize); " +
+        "run it before byte-level dedup/fingerprinting so decomposed and composed " +
+        "representations of the same text compare equal",
+      ""),
+    args => args match {
+      case Seq(s) => graft.functions.NormalizeNFC(s)
+      case other =>
+        throw new IllegalArgumentException(s"normalize_nfc expects 1 argument, got ${other.size}")
+    })
+
   private val all: Seq[Descriptor] =
-    Seq(exactDotDescriptor, mathLnDescriptor, shingleKeysDescriptor, minHashSigDescriptor)
+    Seq(exactDotDescriptor, mathLnDescriptor, shingleKeysDescriptor, minHashSigDescriptor,
+      normalizeNfcDescriptor)
 
   /** Register on a live session (tests, notebooks). */
   def register(spark: SparkSession): Unit =

@@ -451,6 +451,21 @@ object TextQ {
                FROM lp GROUP BY 1""")),
 
     QDef(
+      "t14_normalize",
+      // Unicode NFC canonicalization ahead of byte-level ops (fingerprints,
+      // shingle hashes, equality joins) — native codegen expression, DuckDB
+      // twin nfc_normalize. The synthetic corpus is ASCII (NFC = identity);
+      // the unicode behavior is pinned in ExactDotSpec on composed vs
+      // decomposed forms
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id"),
+        graft.functions.NormalizeNFC(col("text")).as("text_nfc"),
+        length(graft.functions.NormalizeNFC(col("text"))).cast("long").as("n_chars_nfc")),
+      Some("""SELECT doc_id, nfc_normalize(text) AS text_nfc,
+              CAST(length(nfc_normalize(text)) AS BIGINT) AS n_chars_nfc
+              FROM documents""")),
+
+    QDef(
       "t11_redact",
       // PII-scrub shape: sequential regex masking + pre-replacement match
       // counts (Text.redact). Rule 1 masks entity words that DO occur in

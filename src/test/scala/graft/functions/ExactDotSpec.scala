@@ -60,6 +60,24 @@ class ExactDotSpec extends SparkSpec {
     assert(r._1 == math.log(2.0) && r._2 == 2 && r._3 == 4)
   }
 
+  test("normalize_nfc: decomposed and composed forms canonicalize equal; ASCII is identity") {
+    graft.GraftFunctions.register(spark)
+    val composed = "caf\u00e9"           // \u00e9 as one code point
+    val decomposed = "cafe\u0301"       // e + combining acute
+    val df = Seq((1L, composed), (2L, decomposed), (3L, "plain ascii"), (4L, null))
+      .toDF("id", "s")
+    val out = df.select(col("id"), NormalizeNFC(col("s")).as("n"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(out(1L) == out(2L))            // both collapse to the composed form
+    assert(out(1L).contains(composed))
+    assert(out(3L).contains("plain ascii")) // NFC is the identity on ASCII
+    assert(out(4L).isEmpty)               // null passthrough
+    // idempotence + SQL path
+    val r = spark.sql(s"SELECT normalize_nfc(normalize_nfc('café')) AS n")
+      .as[String].head()
+    assert(r == composed)
+  }
+
   test("null element or length mismatch yields NULL (zip_with semantics)") {
     val df = Seq(
       (Array(1.0f, 2.0f), Array(1.0f)), // length mismatch
