@@ -172,6 +172,47 @@ object Stats {
       .drop("__mu", "__sd")
   }
 
+  /** Robust sibling of [[zOutliers]]: median/MAD screening — flag rows
+    * whose absolute deviation from the group MEDIAN exceeds `threshold`
+    * times the median absolute deviation. Use when the contamination
+    * itself would poison mean/sd (a16's moments chase the outliers; the
+    * median ignores them up to 50% contamination).
+    *
+    * Score is the raw `dev/MAD` ratio (callers wanting the
+    * normal-consistent scale multiply by 1/1.4826 themselves — keeping
+    * the constant out keeps the oracle expression tree minimal). Groups
+    * with MAD = 0 (a majority-constant column) are excluded before the
+    * division, like a16's sd = 0 guard.
+    *
+    * Determinism: both medians come from [[exactQuantiles]] (rank
+    * arithmetic + one interpolation — identical IEEE dags both engines);
+    * `dev`, the ratio and the comparison are single correctly-rounded ops.
+    *
+    * Scale shape: two two-phase quantile passes (each a full-parallelism
+    * distinct-value pre-agg + a distinct-frame window) and two
+    * co-partitioned joins back; the per-group (median, MAD) frames are
+    * group-cardinality-sized and AQE broadcasts them.
+    */
+  def madOutliers(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      threshold: Double): DataFrame = {
+    val med = exactQuantiles(df, keys, valueCol, Seq(0.5))
+      .select((keys.map(col) :+ col("q_value").as("__med")): _*)
+    val withDev = df.join(med, keys)
+      .withColumn("__dev", abs(col(valueCol) - col("__med")))
+    val mad = exactQuantiles(withDev, keys, "__dev", Seq(0.5))
+      .select((keys.map(col) :+ col("q_value").as("__mad")): _*)
+    withDev.join(mad, keys)
+      .filter(col("__mad") > 0)
+      .withColumn("rz", col("__dev") / col("__mad"))
+      .filter(col("rz") > threshold)
+      .drop("__dev")
+      .withColumnRenamed("__med", "med")
+      .withColumnRenamed("__mad", "mad")
+  }
+
   /** Per-group Pearson correlation + sample covariance of two columns,
     * from the five exact DECIMAL moment sums (never Spark's builtin
     * `corr`/`covar_samp`, whose streaming Welford updates are

@@ -110,6 +110,45 @@ object EventsQ {
                WHERE sd > 0 AND abs((value - mu) / sd) > CAST(2.5 AS DOUBLE)""")),
 
     QDef(
+      "a18_mad_outliers",
+      // robust (median/MAD) screening at dev/MAD > 3.5 — the flavor that
+      // survives contaminated columns where a16's mean/sd chase the
+      // outliers. Both medians via the two-phase exactQuantiles; MAD = 0
+      // groups excluded before the division (a16's sd = 0 guard)
+      (s, d) =>
+        Stats.madOutliers(
+          events(s, d).select("user_id", "event_id", "value"),
+          Seq("user_id"), "value", 3.5)
+          .select("user_id", "event_id", "value", "med", "mad", "rz"),
+      Some {
+        def medianSql(src: String, v: String, out: String) =
+          s"""r_$out AS (SELECT user_id, $v,
+                row_number() OVER (PARTITION BY user_id ORDER BY $v) AS rn,
+                count(*) OVER (PARTITION BY user_id) AS n
+                FROM $src WHERE $v IS NOT NULL),
+              p_$out AS (SELECT user_id, $v, rn,
+                CAST(1.0 AS DOUBLE) + CAST(n - 1 AS DOUBLE) * CAST(0.5 AS DOUBLE) AS pos
+                FROM r_$out),
+              $out AS (SELECT user_id,
+                min(CASE WHEN rn = CAST(floor(pos) AS BIGINT) THEN $v END)
+                + (min(CASE WHEN rn = CAST(ceil(pos) AS BIGINT) THEN $v END)
+                   - min(CASE WHEN rn = CAST(floor(pos) AS BIGINT) THEN $v END))
+                  * min(pos - floor(pos)) AS $out
+                FROM p_$out
+                WHERE rn = CAST(floor(pos) AS BIGINT) OR rn = CAST(ceil(pos) AS BIGINT)
+                GROUP BY 1)"""
+        s"""WITH ev AS ($evSql),
+            ${medianSql("ev", "value", "med")},
+            d AS (SELECT ev.user_id, event_id, value, med.med,
+                    abs(value - med.med) AS dev
+                  FROM ev JOIN med USING (user_id) WHERE value IS NOT NULL),
+            ${medianSql("d", "dev", "mad")}
+            SELECT d.user_id, event_id, value, d.med, mad.mad, dev / mad.mad AS rz
+            FROM d JOIN mad USING (user_id)
+            WHERE mad.mad > 0 AND dev / mad.mad > CAST(3.5 AS DOUBLE)"""
+      }),
+
+    QDef(
       "ivm_merge_agg",
       // incremental view maintenance: per-(user, day) partial states from
       // the historical side and the new batch, merged and finalized —

@@ -79,4 +79,19 @@ class StatsSpec extends SparkSpec {
       .select("pearson_r").as[Double].head()
     assert(a == b) // bit-equal, not approximately
   }
+
+  test("madOutliers flags by median/MAD; MAD=0 groups are excluded before dividing") {
+    val df = (Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 100.0)) ++
+      Seq.fill(5)(("b", 7.0))) // constant group: MAD = 0
+      .toDF("k", "v")
+    val out = Stats.madOutliers(df, Seq("k"), "v", 3.5)
+      .select("k", "v", "med", "mad", "rz")
+      .as[(String, Double, Double, Double, Double)].collect().toSeq
+    // group a: med 3, devs (2,1,0,1,97), MAD 1 — only the 100 crosses 3.5
+    assert(out == Seq(("a", 100.0, 3.0, 1.0, 97.0)))
+    // the contaminated mean/sd screen (a16's) would NOT flag cleanly here:
+    // the outlier drags mu to 22 and sd to ~43.6, z(100) ≈ 1.8 < 2.5
+    val z = Stats.zOutliers(df.filter(col("k") === "a"), Seq("k"), "v", 2.5)
+    assert(z.isEmpty)
+  }
 }
