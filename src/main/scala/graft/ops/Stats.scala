@@ -172,6 +172,39 @@ object Stats {
       .drop("__mu", "__sd")
   }
 
+  /** Regression evaluation — MAE / RMSE / R² per group (or one global row
+    * for empty `keys`), the model-quality readout an imputation or
+    * forecasting pipeline closes with.
+    *
+    * Determinism contract: every sum is [[Exact.dsumTrunc9]] (raw-float
+    * magnitudes and their squares both sit where rounding decimal casts
+    * hit dyadic tie points — the trunc cast has no tie), and the closing
+    * expressions are fixed IEEE dags mirrored token-for-token by the
+    * oracle. The metric DEFINITION is therefore over the scale-9-quantized
+    * error terms — at 1e-9 per row this is far below any decision
+    * threshold, and it buys engine-exact, partition-count-independent
+    * results. R² uses `1 − SSE/SST` with `SST = Σy² − (Σy)²/n`.
+    */
+  def regressionMetrics(
+      df: DataFrame,
+      keys: Seq[String],
+      actualCol: String,
+      predCol: String): DataFrame = {
+    val err = col(predCol) - col(actualCol)
+    val g = if (keys.isEmpty) df.groupBy() else df.groupBy(keys.map(col): _*)
+    val n = col("n").cast("double")
+    g.agg(
+        count(lit(1)).as("n"),
+        Exact.dsumTrunc9(abs(err)).as("__sae"),
+        Exact.dsumTrunc9(err * err).as("__sse"),
+        Exact.dsumTrunc9(col(actualCol)).as("__sy"),
+        Exact.dsumTrunc9(col(actualCol) * col(actualCol)).as("__syy"))
+      .select((keys.map(col) :+ col("n") :+
+        (col("__sae") / n).as("mae") :+
+        sqrt(col("__sse") / n).as("rmse") :+
+        (lit(1.0) - col("__sse") / (col("__syy") - col("__sy") * col("__sy") / n)).as("r2")): _*)
+  }
+
   /** Robust sibling of [[zOutliers]]: median/MAD screening — flag rows
     * whose absolute deviation from the group MEDIAN exceeds `threshold`
     * times the median absolute deviation. Use when the contamination

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.ml.{Encoders, Ensemble, Impute}
+import graft.ops.{Exact, Stats}
 
 /** ML operator queries (SURVEY §2.7). Encode/decode/one-hot are pure SQL
   * and oracle-checked; the MLlib fits (M5 imputation, M6-M9 ensemble+vote)
@@ -92,6 +93,52 @@ object MlQ {
                      THEN p2.slope * CAST(embedding[2] AS DOUBLE) + p2.icept
                      ELSE CAST(embedding[1] AS DOUBLE) END AS e_1
               FROM embeddings, p2"""),
+    ),
+
+    QDef(
+      "m10_regression_metrics",
+      // close the imputation loop with its quality readout: MAE/RMSE/R² of
+      // the OLS repair on the masked holdout (the synthetic task masks a
+      // KNOWN channel, so ground truth exists). All sums scale-9 truncated
+      // fixed point — engine-exact where rounding casts would tie-break
+      // differently (see Stats.regressionMetrics scaladoc)
+      (s, d) => {
+        val e = t(s, d, "embeddings").select(
+          col("vec_id"),
+          element_at(col("embedding"), 1).cast("double").as("e_1"),
+          element_at(col("embedding"), 2).cast("double").as("e_2"))
+        val repaired = graft.ml.Impute.ols1Repair(
+          e.withColumn("e_1_orig", col("e_1")),
+          "e_1", "e_2",
+          trainFilter = col("vec_id") % 5 =!= 0,
+          fixPredicate = col("vec_id") % 5 === 0)
+          .filter(col("vec_id") % 5 === 0)
+        Stats.regressionMetrics(repaired, Nil, "e_1_orig", "e_1")
+      },
+      Some(s"""WITH tr AS (SELECT CAST(embedding[2] AS DOUBLE) AS x,
+                      CAST(embedding[1] AS DOUBLE) AS y
+                    FROM embeddings WHERE vec_id % 5 <> 0),
+               s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                      CAST(sum(CAST(x AS DECIMAL(38,9))) AS DOUBLE) AS sx,
+                      CAST(sum(CAST(y AS DECIMAL(38,9))) AS DOUBLE) AS sy,
+                      CAST(sum(CAST(x * y AS DECIMAL(38,9))) AS DOUBLE) AS sxy,
+                      CAST(sum(CAST(x * x AS DECIMAL(38,9))) AS DOUBLE) AS sxx
+                     FROM tr),
+               p AS (SELECT n, sx, sy,
+                      (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope FROM s),
+               p2 AS (SELECT slope, (sy - slope * sx) / n AS icept FROM p),
+               rep AS (SELECT CAST(embedding[1] AS DOUBLE) AS y,
+                        p2.slope * CAST(embedding[2] AS DOUBLE) + p2.icept AS yp
+                       FROM embeddings, p2 WHERE vec_id % 5 = 0),
+               m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      ${Exact.sqlDsumTrunc9("abs(yp - y)")} AS sae,
+                      ${Exact.sqlDsumTrunc9("(yp - y) * (yp - y)")} AS sse,
+                      ${Exact.sqlDsumTrunc9("y")} AS sy,
+                      ${Exact.sqlDsumTrunc9("y * y")} AS syy FROM rep)
+               SELECT n, sae / CAST(n AS DOUBLE) AS mae,
+                 sqrt(sse / CAST(n AS DOUBLE)) AS rmse,
+                 CAST(1.0 AS DOUBLE) - sse / (syy - sy * sy / CAST(n AS DOUBLE)) AS r2
+               FROM m"""),
     ),
 
     QDef(
