@@ -205,6 +205,49 @@ object Stats {
         (lit(1.0) - col("__sse") / (col("__syy") - col("__sy") * col("__sy") / n)).as("r2")): _*)
   }
 
+  /** Classification evaluation — per-class (n_true, n_pred, tp, precision,
+    * recall, f1) over an (actual, predicted) column pair. NULL predictions
+    * (an abstaining classifier) count toward n_true only — a false
+    * negative for their class, never a false positive elsewhere. Classes
+    * are the union of observed actual and predicted labels.
+    *
+    * Determinism: the counts are integers and every ratio is one
+    * BIGINT→double division; zero denominators resolve to 0.0 (sklearn's
+    * zero_division=0 convention) BEFORE any NaN can form, and f1 is one
+    * fixed dag over the precision/recall columns — all mirrored
+    * token-for-token by the oracle.
+    *
+    * Scale shape: three partial-aggregated groupBys over the scored frame
+    * (each shuffles one row per class) and two class-cardinality joins.
+    */
+  def classificationMetrics(
+      df: DataFrame,
+      actualCol: String,
+      predCol: String): DataFrame = {
+    val nt = df.groupBy(col(actualCol).as("class")).agg(count(lit(1)).as("n_true"))
+    val np = df.filter(col(predCol).isNotNull)
+      .groupBy(col(predCol).as("class")).agg(count(lit(1)).as("n_pred"))
+    val tp = df.filter(col(predCol) === col(actualCol))
+      .groupBy(col(actualCol).as("class")).agg(count(lit(1)).as("tp"))
+    val p = when(coalesce(col("n_pred"), lit(0L)) > 0,
+      col("tp").cast("double") / col("n_pred").cast("double")).otherwise(lit(0.0))
+    val r = when(coalesce(col("n_true"), lit(0L)) > 0,
+      col("tp").cast("double") / col("n_true").cast("double")).otherwise(lit(0.0))
+    nt.join(np, Seq("class"), "full").join(tp, Seq("class"), "left")
+      .select(
+        col("class"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("precision", p)
+      .withColumn("recall", r)
+      .withColumn(
+        "f1",
+        when(col("precision") + col("recall") > 0,
+          lit(2.0) * col("precision") * col("recall") / (col("precision") + col("recall")))
+          .otherwise(lit(0.0)))
+  }
+
   /** Robust sibling of [[zOutliers]]: median/MAD screening — flag rows
     * whose absolute deviation from the group MEDIAN exceeds `threshold`
     * times the median absolute deviation. Use when the contamination

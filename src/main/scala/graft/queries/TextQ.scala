@@ -78,6 +78,56 @@ object TextQ {
                  FROM sc) WHERE rn = 1""")),
 
     QDef(
+      "m11_classification_metrics",
+      // close the langid loop with its quality readout: per-class
+      // precision/recall/F1 of t3's predictions against the corpus's true
+      // lang labels. Docs the profile matcher abstains on (no profile-token
+      // hits) count as false negatives only. Integer counts, BIGINT→double
+      // ratios, sklearn zero_division=0 guards — engine-exact
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pred = Text.languageId(docs, "doc_id", "text", "lang", 20)
+          .select(col("doc_id"), col("pred_lang"))
+        val scored = docs.select(col("doc_id"), col("lang").as("actual"))
+          .join(pred, Seq("doc_id"), "left")
+        Stats.classificationMetrics(scored, "actual", "pred_lang")
+      },
+      Some("""WITH tok AS (SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS token FROM documents),
+              cnts AS (SELECT lang, token, count(*) AS cnt FROM tok GROUP BY 1, 2),
+              prof AS (SELECT lang AS profile_lang, token FROM
+                        (SELECT lang, token,
+                           row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rnk
+                         FROM cnts) WHERE rnk <= 20),
+              sc AS (SELECT t.doc_id, p.profile_lang, CAST(count(*) AS BIGINT) AS score
+                     FROM tok t JOIN prof p ON t.token = p.token GROUP BY 1, 2),
+              pr AS (SELECT doc_id, profile_lang AS pred_lang FROM
+                      (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, profile_lang) AS rn
+                       FROM sc) WHERE rn = 1),
+              j AS (SELECT d.lang AS actual, pr.pred_lang
+                    FROM documents d LEFT JOIN pr ON pr.doc_id = d.doc_id),
+              nt AS (SELECT actual AS class, CAST(count(*) AS BIGINT) AS n_true FROM j GROUP BY 1),
+              np AS (SELECT pred_lang AS class, CAST(count(*) AS BIGINT) AS n_pred
+                     FROM j WHERE pred_lang IS NOT NULL GROUP BY 1),
+              tp AS (SELECT actual AS class, CAST(count(*) AS BIGINT) AS tp
+                     FROM j WHERE pred_lang = actual GROUP BY 1),
+              b AS (SELECT coalesce(nt.class, np.class) AS class,
+                      coalesce(nt.n_true, CAST(0 AS BIGINT)) AS n_true,
+                      coalesce(np.n_pred, CAST(0 AS BIGINT)) AS n_pred,
+                      coalesce(tp.tp, CAST(0 AS BIGINT)) AS tp
+                    FROM nt FULL JOIN np ON np.class = nt.class
+                    LEFT JOIN tp ON tp.class = coalesce(nt.class, np.class)),
+              c AS (SELECT *,
+                      CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE)
+                           ELSE CAST(0.0 AS DOUBLE) END AS "precision",
+                      CASE WHEN n_true > 0 THEN CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE)
+                           ELSE CAST(0.0 AS DOUBLE) END AS recall FROM b)
+              SELECT class, n_true, n_pred, tp, "precision", recall,
+                CASE WHEN "precision" + recall > 0
+                     THEN CAST(2.0 AS DOUBLE) * "precision" * recall / ("precision" + recall)
+                     ELSE CAST(0.0 AS DOUBLE) END AS f1
+              FROM c""")),
+
+    QDef(
       "t8_quality_gate",
       // the document filter a pipeline actually ships: keep docs that are
       // long enough AND not self-repetitive (Gopher-style gate) — signals

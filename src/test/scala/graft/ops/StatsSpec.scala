@@ -80,6 +80,22 @@ class StatsSpec extends SparkSpec {
     assert(a == b) // bit-equal, not approximately
   }
 
+  test("classificationMetrics: abstentions are FNs only; zero denominators give 0, not NaN") {
+    val df = Seq(
+      ("aa", Some("aa")), ("aa", Some("aa")), ("aa", Some("bb")), // 2 tp, 1 miscast to bb
+      ("bb", Some("bb")),                                         // 1 tp
+      ("cc", None)                                                // abstention: FN for cc
+    ).toDF("actual", "pred")
+    val out = Stats.classificationMetrics(df, "actual", "pred")
+      .select("class", "n_true", "n_pred", "tp", "precision", "recall", "f1")
+      .as[(String, Long, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("aa") == (("aa", 3L, 2L, 2L, 1.0, 2.0 / 3.0, 2.0 * 1.0 * (2.0 / 3.0) / (1.0 + 2.0 / 3.0))))
+    assert(out("bb") == (("bb", 1L, 2L, 1L, 0.5, 1.0, 2.0 * 0.5 * 1.0 / 1.5)))
+    assert(out("cc") == (("cc", 1L, 0L, 0L, 0.0, 0.0, 0.0))) // no NaN from 0/0
+    assert(out.size == 3)
+  }
+
   test("madOutliers flags by median/MAD; MAD=0 groups are excluded before dividing") {
     val df = (Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 100.0)) ++
       Seq.fill(5)(("b", 7.0))) // constant group: MAD = 0
