@@ -68,6 +68,41 @@ object Cleaning {
   /** The reference's exact chain: interpolate, then fill remaining (leading)
     * NULLs with 0 (ref `load_data.py:95`).
     */
+  /** Winsorization — clamp values into their group's [qLo, qHi] quantile
+    * band, the robust-preprocessing transform that tames heavy tails
+    * without dropping rows (outlier screens like [[Stats.zOutliers]] /
+    * [[Stats.madOutliers]] FLAG; this REPAIRS). Quantiles come from the
+    * two-phase [[Stats.exactQuantiles]], pivoted to (lo, hi) in one pass;
+    * the clamp is `least(greatest(x, lo), hi)` — two correctly-rounded
+    * comparisons, engine-exact. NULL values stay NULL.
+    *
+    * Scale shape: one two-phase quantile pass + one co-partitioned join
+    * back (the per-group band frame is group-cardinality-sized — AQE
+    * broadcasts it).
+    */
+  def winsorize(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      qLo: Double,
+      qHi: Double,
+      outCol: String = "winsorized"): DataFrame = {
+    require(0 < qLo && qLo < qHi && qHi <= 1, s"need 0 < qLo < qHi <= 1, got ($qLo, $qHi)")
+    val band = Stats.exactQuantiles(df, keys, valueCol, Seq(qLo, qHi))
+      .groupBy(keys.map(col): _*)
+      .agg(
+        min(when(col("q") === qLo, col("q_value"))).as("__wlo"),
+        min(when(col("q") === qHi, col("q_value"))).as("__whi"))
+    df.join(band, keys)
+      // explicit NULL guard: Spark's (and DuckDB's) least/greatest SKIP
+      // null arguments, so a bare clamp would resurrect NULL values as lo
+      .withColumn(
+        outCol,
+        when(col(valueCol).isNull, lit(null).cast("double"))
+          .otherwise(least(greatest(col(valueCol), col("__wlo")), col("__whi"))))
+      .drop("__wlo", "__whi")
+  }
+
   def interpolateThenZero(
       df: DataFrame,
       parts: Seq[String],

@@ -579,6 +579,39 @@ object TimeSeries {
               GROUP BY 1, 2""")),
 
     QDef(
+      "p17_winsorize",
+      // robust-preprocessing REPAIR: clamp each event's value into its
+      // type's [p05, p95] band (the screens flag, this fixes). Band via
+      // the two-phase exact quantiles, clamp = two comparisons
+      (s, d) =>
+        Cleaning.winsorize(
+          events(s, d).select("event_type", "event_id", "value"),
+          Seq("event_type"), "value", 0.05, 0.95, "winsorized"),
+      Some("""WITH r AS (SELECT event_type, value,
+                row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+                count(*) OVER (PARTITION BY event_type) AS n
+                FROM events WHERE value IS NOT NULL),
+              qs AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES (0.05), (0.95)) t(q)),
+              p AS (SELECT r.event_type, qs.q, r.value, r.rn,
+                      CAST(1.0 AS DOUBLE) + CAST(n - 1 AS DOUBLE) * qs.q AS pos
+                    FROM r CROSS JOIN qs),
+              qv AS (SELECT event_type, q,
+                      min(CASE WHEN rn = CAST(floor(pos) AS BIGINT) THEN value END)
+                      + (min(CASE WHEN rn = CAST(ceil(pos) AS BIGINT) THEN value END)
+                         - min(CASE WHEN rn = CAST(floor(pos) AS BIGINT) THEN value END))
+                        * min(pos - floor(pos)) AS q_value
+                    FROM p WHERE rn = CAST(floor(pos) AS BIGINT) OR rn = CAST(ceil(pos) AS BIGINT)
+                    GROUP BY 1, 2),
+              b AS (SELECT event_type,
+                     min(CASE WHEN q = CAST(0.05 AS DOUBLE) THEN q_value END) AS lo,
+                     min(CASE WHEN q = CAST(0.95 AS DOUBLE) THEN q_value END) AS hi
+                    FROM qv GROUP BY 1)
+              SELECT e.event_type, e.event_id, e.value,
+                CASE WHEN e.value IS NULL THEN NULL
+                     ELSE least(greatest(e.value, b.lo), b.hi) END AS winsorized
+              FROM events e JOIN b USING (event_type)""")),
+
+    QDef(
       "w13_hopping_window",
       // event-time HOPPING windows (1 h window sliding every 30 min) via
       // Spark's native window(col, win, slide) — each event lands in

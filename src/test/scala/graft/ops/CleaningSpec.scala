@@ -50,4 +50,16 @@ class CleaningSpec extends SparkSpec {
     // a's trailing NULL forward-fills 1.0 (never sees b's 9.0)
     assert(out.toSeq == Seq(1.0, 1.0, 9.0))
   }
+
+  test("winsorize clamps into the per-group quantile band; interior and NULL untouched") {
+    // group g: 1..10 → p25 = 3.25, p75 = 7.75 (linear interpolation)
+    val df = ((1 to 10).map(i => ("g", Some(i.toDouble))) :+ (("g", None)))
+      .toDF("k", "v")
+    val out = Cleaning.winsorize(df, Seq("k"), "v", 0.25, 0.75, "w")
+      .select("v", "w").as[(Option[Double], Option[Double])].collect().toMap
+    assert(out(Some(1.0)).contains(3.25))   // clamped up
+    assert(out(Some(10.0)).contains(7.75))  // clamped down
+    assert(out(Some(5.0)).contains(5.0))    // interior untouched
+    assert(out(None).isEmpty)               // NULL stays NULL
+  }
 }
