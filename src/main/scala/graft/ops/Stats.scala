@@ -205,6 +205,42 @@ object Stats {
         (lit(1.0) - col("__sse") / (col("__syy") - col("__sy") * col("__sy") / n)).as("r2")): _*)
   }
 
+  /** Exact-integer ROC AUC — the Mann-Whitney formulation with
+    * average-rank tie handling: over distinct score values,
+    * `2·Σ_pos avgRank = Σ pos_s · (2·below_s + cnt_s + 1)` keeps every
+    * intermediate an integer, so
+    * `AUC = (2ΣR − n₊(n₊+1)) / (2·n₊·n₋)` is one integer-ratio division —
+    * engine-exact with no floating rank sums. Labels are 0/1 in
+    * `labelCol`; any totally ordered score column works. Degenerate
+    * inputs (no positives or no negatives) emit NULL auc.
+    *
+    * The rank cumulation runs over the DISTINCT-score frame (the
+    * `exactQuantiles` trick — the global window sees one row per distinct
+    * score, not one per input row); sums accumulate in DECIMAL(38,0), so
+    * the n² rank-sum magnitude cannot overflow int64 at any corpus size
+    * (DuckDB mirrors in HUGEINT).
+    */
+  def binaryAuc(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val c = df.groupBy(col(scoreCol).as("__s"))
+      .agg(count(lit(1)).as("__cnt"), sum(col(labelCol).cast("long")).as("__pos"))
+    val w = Window.orderBy(col("__s")).rowsBetween(Window.unboundedPreceding, -1)
+    val r = c.withColumn("__below", coalesce(sum(col("__cnt")).over(w), lit(0L)))
+    r.agg(
+        sum((col("__pos") * (lit(2L) * col("__below") + col("__cnt") + lit(1L))).cast(dec))
+          .as("__r2"),
+        sum(col("__pos")).as("n_pos"),
+        sum(col("__cnt") - col("__pos")).as("n_neg"))
+      .select(
+        col("n_pos"),
+        col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          (col("__r2") - col("n_pos").cast(dec) * (col("n_pos") + lit(1L)).cast(dec))
+            .cast("double") /
+            (col("n_pos").cast(dec) * col("n_neg").cast(dec) * lit(2L)).cast("double"))
+          .as("auc"))
+  }
+
   /** Classification evaluation — per-class (n_true, n_pred, tp, precision,
     * recall, f1) over an (actual, predicted) column pair. NULL predictions
     * (an abstaining classifier) count toward n_true only — a false

@@ -77,6 +77,25 @@ object Text {
       idCol: String,
       textCol: String,
       langCol: String,
+      topK: Int): DataFrame =
+    languageScores(docs, idCol, textCol, langCol, topK)
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("profile_lang"))))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("profile_lang").as("pred_lang"), col("score"))
+
+  /** The raw (id, profile_lang, score) frame behind [[languageId]] —
+    * exposed for consumers that need the full score matrix (per-language
+    * ranking metrics, calibration) rather than only the argmax. Docs with
+    * zero profile-token hits for a language have no row for it.
+    */
+  def languageScores(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
       topK: Int): DataFrame = {
     val tok = spread(docs, idCol)
       .select(col(idCol), col(langCol), explode(tokens(col(textCol))).as("token"))
@@ -89,17 +108,10 @@ object Text {
           Window.partitionBy(col("profile_lang")).orderBy(col("cnt").desc, col("token"))))
       .filter(col("rnk") <= topK)
       .select("profile_lang", "token")
-    val scores = tok
+    tok
       .join(broadcast(profile), Seq("token"))
       .groupBy(col(idCol), col("profile_lang"))
       .agg(count(lit(1)).as("score"))
-    scores
-      .withColumn(
-        "rn",
-        row_number().over(
-          Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("profile_lang"))))
-      .filter(col("rn") === 1)
-      .select(col(idCol), col("profile_lang").as("pred_lang"), col("score"))
   }
 
   /** Stopword list shared by the quality score (both engines). */

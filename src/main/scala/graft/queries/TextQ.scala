@@ -128,6 +128,52 @@ object TextQ {
               FROM c""")),
 
     QDef(
+      "m12_auc",
+      // ranking-metric readout: ROC AUC of "is this doc English?" scored
+      // by the corpus-trained en-profile hit count (docs with no en-profile
+      // hits score 0). Integer Mann-Whitney with average-rank ties — every
+      // intermediate an integer, one closing division
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val sc = Text.languageScores(docs, "doc_id", "text", "lang", 20)
+          .filter(col("profile_lang") === "en")
+          .select(col("doc_id"), col("score"))
+        val scored = docs
+          .select(col("doc_id"), (col("lang") === "en").cast("long").as("y"))
+          .join(sc, Seq("doc_id"), "left")
+          .select(col("y"), coalesce(col("score"), lit(0L)).as("s"))
+        Stats.binaryAuc(scored, "y", "s")
+      },
+      Some("""WITH tok AS (SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS token FROM documents),
+              cnts AS (SELECT lang, token, count(*) AS cnt FROM tok GROUP BY 1, 2),
+              prof AS (SELECT lang AS profile_lang, token FROM
+                        (SELECT lang, token,
+                           row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rnk
+                         FROM cnts) WHERE rnk <= 20),
+              sc AS (SELECT t.doc_id, p.profile_lang, CAST(count(*) AS BIGINT) AS score
+                     FROM tok t JOIN prof p ON t.token = p.token GROUP BY 1, 2),
+              scored AS (SELECT CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
+                           coalesce(s.score, CAST(0 AS BIGINT)) AS s
+                         FROM documents d
+                         LEFT JOIN (SELECT doc_id, score FROM sc WHERE profile_lang = 'en') s
+                           ON s.doc_id = d.doc_id),
+              c AS (SELECT s, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(y) AS BIGINT) AS pos
+                    FROM scored GROUP BY 1),
+              r AS (SELECT *, coalesce(sum(cnt) OVER (ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), CAST(0 AS BIGINT)) AS below
+                    FROM c),
+              a AS (SELECT sum(CAST(pos AS HUGEINT) * (2 * CAST(below AS HUGEINT) + cnt + 1)) AS r2,
+                      CAST(sum(pos) AS BIGINT) AS n_pos,
+                      CAST(sum(cnt - pos) AS BIGINT) AS n_neg
+                    FROM r)
+              SELECT n_pos, n_neg,
+                CASE WHEN n_pos > 0 AND n_neg > 0
+                     THEN CAST(r2 - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS DOUBLE)
+                          / CAST(CAST(n_pos AS HUGEINT) * n_neg * 2 AS DOUBLE)
+                     END AS auc
+              FROM a""")),
+
+    QDef(
       "t8_quality_gate",
       // the document filter a pipeline actually ships: keep docs that are
       // long enough AND not self-repetitive (Gopher-style gate) — signals

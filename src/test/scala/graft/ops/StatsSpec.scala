@@ -96,6 +96,23 @@ class StatsSpec extends SparkSpec {
     assert(out.size == 3)
   }
 
+  test("binaryAuc: closed-form cases incl. ties; degenerate inputs give NULL") {
+    // perfect separation → 1.0; perfect inversion → 0.0
+    val sep = Seq((1L, 10L), (1L, 9L), (0L, 2L), (0L, 1L)).toDF("y", "s")
+    assert(Stats.binaryAuc(sep, "y", "s").select("auc").as[Double].head() == 1.0)
+    val inv = Seq((0L, 10L), (0L, 9L), (1L, 2L), (1L, 1L)).toDF("y", "s")
+    assert(Stats.binaryAuc(inv, "y", "s").select("auc").as[Double].head() == 0.0)
+    // all scores tied → 0.5 exactly (average ranks)
+    val tied = Seq((1L, 5L), (1L, 5L), (0L, 5L), (0L, 5L)).toDF("y", "s")
+    assert(Stats.binaryAuc(tied, "y", "s").select("auc").as[Double].head() == 0.5)
+    // hand case: pos scores (3, 1), neg (2, 1) → pairs: (3>2)+(3>1)+(1>2=0)+(1=1→½) = 2.5/4
+    val hand = Seq((1L, 3L), (1L, 1L), (0L, 2L), (0L, 1L)).toDF("y", "s")
+    assert(Stats.binaryAuc(hand, "y", "s").select("auc").as[Double].head() == 2.5 / 4.0)
+    // single-class input → NULL, not a division blow-up
+    val one = Seq((1L, 3L), (1L, 1L)).toDF("y", "s")
+    assert(Stats.binaryAuc(one, "y", "s").select("auc").as[Option[Double]].head().isEmpty)
+  }
+
   test("madOutliers flags by median/MAD; MAD=0 groups are excluded before dividing") {
     val df = (Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 100.0)) ++
       Seq.fill(5)(("b", 7.0))) // constant group: MAD = 0
