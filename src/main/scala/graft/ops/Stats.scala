@@ -259,30 +259,55 @@ object Stats {
   def classificationMetrics(
       df: DataFrame,
       actualCol: String,
+      predCol: String): DataFrame =
+    classificationFinalize(classificationCounts(df, actualCol, predCol))
+
+  /** The mergeable half of [[classificationMetrics]]: per-class
+    * (n_true, n_pred, tp) integer counts — a commutative monoid under
+    * [[classificationCountsMerge]], so per-batch counts of an ingest
+    * stream sum to exactly the from-scratch table (the same IVM contract
+    * as `Incremental.partials` / `histPartials` / count-min grids).
+    */
+  def classificationCounts(
+      df: DataFrame,
+      actualCol: String,
       predCol: String): DataFrame = {
     val nt = df.groupBy(col(actualCol).as("class")).agg(count(lit(1)).as("n_true"))
     val np = df.filter(col(predCol).isNotNull)
       .groupBy(col(predCol).as("class")).agg(count(lit(1)).as("n_pred"))
     val tp = df.filter(col(predCol) === col(actualCol))
       .groupBy(col(actualCol).as("class")).agg(count(lit(1)).as("tp"))
-    val p = when(coalesce(col("n_pred"), lit(0L)) > 0,
-      col("tp").cast("double") / col("n_pred").cast("double")).otherwise(lit(0.0))
-    val r = when(coalesce(col("n_true"), lit(0L)) > 0,
-      col("tp").cast("double") / col("n_true").cast("double")).otherwise(lit(0.0))
     nt.join(np, Seq("class"), "full").join(tp, Seq("class"), "left")
       .select(
         col("class"),
         coalesce(col("n_true"), lit(0L)).as("n_true"),
         coalesce(col("n_pred"), lit(0L)).as("n_pred"),
         coalesce(col("tp"), lit(0L)).as("tp"))
-      .withColumn("precision", p)
-      .withColumn("recall", r)
+  }
+
+  /** Merge two classification count tables (associative/commutative). */
+  def classificationCountsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy("class")
+      .agg(
+        sum(col("n_true")).as("n_true"),
+        sum(col("n_pred")).as("n_pred"),
+        sum(col("tp")).as("tp"))
+
+  /** Close a counts table into precision/recall/F1 (zero_division=0). */
+  def classificationFinalize(counts: DataFrame): DataFrame =
+    counts
+      .withColumn("precision",
+        when(col("n_pred") > 0, col("tp").cast("double") / col("n_pred").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("recall",
+        when(col("n_true") > 0, col("tp").cast("double") / col("n_true").cast("double"))
+          .otherwise(lit(0.0)))
       .withColumn(
         "f1",
         when(col("precision") + col("recall") > 0,
           lit(2.0) * col("precision") * col("recall") / (col("precision") + col("recall")))
           .otherwise(lit(0.0)))
-  }
 
   /** Robust sibling of [[zOutliers]]: median/MAD screening — flag rows
     * whose absolute deviation from the group MEDIAN exceeds `threshold`

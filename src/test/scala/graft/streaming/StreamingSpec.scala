@@ -151,6 +151,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch + classificationCountsMerge maintain eval metrics over a stream") {
+    // continuously-evaluated model quality: per-batch (n_true, n_pred, tp)
+    // counts merged across micro-batches finalize to metrics bit-equal to
+    // the from-scratch evaluation — the counts are the mergeable monoid,
+    // the ratios close over them
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Stats
+    val input = MemoryStream[(String, String)]
+    val df = input.toDF().toDF("actual", "pred")
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    val q = df.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val p = Stats.classificationCounts(batch, "actual", "pred").localCheckpoint(true)
+        state = Some(state.fold(p)(s =>
+          Stats.classificationCountsMerge(s, p).localCheckpoint(true)))
+      }
+      .start()
+    try {
+      val rows = (1 to 90).map { i =>
+        val actual = s"c${i % 3}"
+        (actual, if (i % 7 == 0) s"c${(i + 1) % 3}" else actual) // ~1/7 misclassified
+      }
+      rows.grouped(30).foreach { chunk => input.addData(chunk); q.processAllAvailable() }
+      val maintained = Stats.classificationFinalize(state.get)
+        .orderBy("class").collect().toSeq
+      val direct = Stats.classificationMetrics(rows.toDF("actual", "pred"), "actual", "pred")
+        .orderBy("class").collect().toSeq
+      assert(maintained == direct && maintained.size == 3)
+    } finally q.stop()
+  }
+
   test("tumblingAgg runs the W1 semantics incrementally over a stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
