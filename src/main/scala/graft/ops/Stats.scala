@@ -183,7 +183,10 @@ object Stats {
     * oracle. The metric DEFINITION is therefore over the scale-9-quantized
     * error terms — at 1e-9 per row this is far below any decision
     * threshold, and it buys engine-exact, partition-count-independent
-    * results. R² uses `1 − SSE/SST` with `SST = Σy² − (Σy)²/n`.
+    * results. R² uses `1 − SSE/SST` with `SST = Σy² − (Σy)²/n`; a
+    * degenerate group (constant actual column, or n = 1) has SST = 0 and
+    * emits NULL r2 — never a 0/0 NaN or ±Infinity, whose cross-engine
+    * rendering is a hash hazard (any oracle must mirror the same CASE).
     */
   def regressionMetrics(
       df: DataFrame,
@@ -202,7 +205,8 @@ object Stats {
       .select((keys.map(col) :+ col("n") :+
         (col("__sae") / n).as("mae") :+
         sqrt(col("__sse") / n).as("rmse") :+
-        (lit(1.0) - col("__sse") / (col("__syy") - col("__sy") * col("__sy") / n)).as("r2")): _*)
+        when(col("__syy") - col("__sy") * col("__sy") / n > 0.0,
+          lit(1.0) - col("__sse") / (col("__syy") - col("__sy") * col("__sy") / n)).as("r2")): _*)
   }
 
   /** Exact-integer ROC AUC — the Mann-Whitney formulation with
@@ -214,31 +218,85 @@ object Stats {
     * `labelCol`; any totally ordered score column works. Degenerate
     * inputs (no positives or no negatives) emit NULL auc.
     *
+    * Scale contract: the rank cumulation's unpartitioned window runs over
+    * ONE ROW PER DISTINCT SCORE (the same argument as `exactQuantiles`),
+    * so the single-task stage is bounded by score cardinality, not corpus
+    * size. That makes the operator safe for integer / quantized scores
+    * (hit counts, calibrated score bins) and WRONG for a continuous
+    * double score, where distinct cardinality ≈ row count and the whole
+    * corpus collapses into one task — quantize continuous scores first
+    * (e.g. `floor(score · 10^d)`; AUC over the binned scores is the
+    * standard binned-ROC approximation).
+    *
     * The rank cumulation runs over the DISTINCT-score frame (the
     * `exactQuantiles` trick — the global window sees one row per distinct
     * score, not one per input row); sums accumulate in DECIMAL(38,0), so
     * the n² rank-sum magnitude cannot overflow int64 at any corpus size
     * (DuckDB mirrors in HUGEINT).
     */
-  def binaryAuc(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
+  def binaryAuc(df: DataFrame, labelCol: String, scoreCol: String): DataFrame =
+    binaryAucBy(df, Nil, labelCol, scoreCol)
+
+  /** Keyed [[binaryAuc]]: one (keys…, n_pos, n_neg, auc) row per key group
+    * — the one-vs-rest building block for macro-averaged AUC, where the
+    * key is the class. Identical integer Mann-Whitney arithmetic; the rank
+    * window partitions by the keys, so the per-task frame is one group's
+    * distinct scores (the same cardinality contract as the global form).
+    */
+  def binaryAucBy(
+      df: DataFrame,
+      keys: Seq[String],
+      labelCol: String,
+      scoreCol: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val c = df.groupBy(col(scoreCol).as("__s"))
+    val c = df.groupBy(keys.map(col) :+ col(scoreCol).as("__s"): _*)
       .agg(count(lit(1)).as("__cnt"), sum(col(labelCol).cast("long")).as("__pos"))
-    val w = Window.orderBy(col("__s")).rowsBetween(Window.unboundedPreceding, -1)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
     val r = c.withColumn("__below", coalesce(sum(col("__cnt")).over(w), lit(0L)))
-    r.agg(
+    val g = if (keys.isEmpty) r.groupBy() else r.groupBy(keys.map(col): _*)
+    g.agg(
         sum((col("__pos") * (lit(2L) * col("__below") + col("__cnt") + lit(1L))).cast(dec))
           .as("__r2"),
         sum(col("__pos")).as("n_pos"),
         sum(col("__cnt") - col("__pos")).as("n_neg"))
-      .select(
-        col("n_pos"),
-        col("n_neg"),
+      .select(keys.map(col) :+
+        col("n_pos") :+
+        col("n_neg") :+
         when(col("n_pos") > 0 && col("n_neg") > 0,
           (col("__r2") - col("n_pos").cast(dec) * (col("n_pos") + lit(1L)).cast(dec))
             .cast("double") /
             (col("n_pos").cast(dec) * col("n_neg").cast(dec) * lit(2L)).cast("double"))
+          .as("auc"): _*)
+  }
+
+  /** Macro-averaged one-vs-rest AUC: [[binaryAucBy]] per class plus one
+    * `class = '*'` row whose auc is the mean over the classes where AUC is
+    * defined (n₊ > 0 and n₋ > 0 — degenerate classes are skipped, the
+    * standard macro-over-defined-classes convention; all-degenerate input
+    * leaves the macro auc NULL). The mean is taken over the per-class AUCs
+    * quantized to truncated scale-9 fixed point (`⌊auc·10⁹⌋`, exact in
+    * both engines on identical doubles — the `Vectors.randomProject`
+    * rule): an integer sum and ONE closing division, never a
+    * partition-order-dependent double sum. The macro row's n_pos/n_neg
+    * carry the class totals.
+    */
+  def macroAuc(df: DataFrame, classCol: String, labelCol: String, scoreCol: String): DataFrame = {
+    val per = binaryAucBy(df, Seq(classCol), labelCol, scoreCol)
+    val mac = per.groupBy()
+      .agg(
+        sum(col("n_pos")).as("n_pos"),
+        sum(col("n_neg")).as("n_neg"),
+        sum(floor(col("auc") * lit(1000000000.0)).cast("long")).as("__sq"),
+        count(col("auc")).as("__k"))
+      .select(
+        lit("*").as(classCol),
+        col("n_pos"),
+        col("n_neg"),
+        when(col("__k") > 0,
+          col("__sq").cast("double") / (col("__k").cast("double") * lit(1000000000.0)))
           .as("auc"))
+    per.unionByName(mac)
   }
 
   /** Classification evaluation — per-class (n_true, n_pred, tp, precision,

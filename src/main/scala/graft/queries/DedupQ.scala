@@ -475,7 +475,12 @@ object DedupQ {
         val docs = t(s, d, "documents")
         val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5, maxShingleDf = shCapDf)
           .select("a_id", "b_id")
-        Graph.pagerankScaled(pairs, docs, "a_id", "b_id", "doc_id", iters = 5)
+        // scale pinned to the canonical 10^12 the oracle hard-codes: past
+        // ~108k docs derivedScale would silently drop a decade and hash-
+        // diverge from the oracle — pinning turns that into the plan-time
+        // overflow require instead (the Graph scaladoc's mirror contract)
+        Graph.pagerankScaled(pairs, docs, "a_id", "b_id", "doc_id", iters = 5,
+          scale = Some(Graph.Scale))
           .withColumnRenamed("id", "doc_id")
       },
       Some {

@@ -137,7 +137,9 @@ object MlQ {
                       ${Exact.sqlDsumTrunc9("y * y")} AS syy FROM rep)
                SELECT n, sae / CAST(n AS DOUBLE) AS mae,
                  sqrt(sse / CAST(n AS DOUBLE)) AS rmse,
-                 CAST(1.0 AS DOUBLE) - sse / (syy - sy * sy / CAST(n AS DOUBLE)) AS r2
+                 CASE WHEN syy - sy * sy / CAST(n AS DOUBLE) > CAST(0.0 AS DOUBLE)
+                      THEN CAST(1.0 AS DOUBLE) - sse / (syy - sy * sy / CAST(n AS DOUBLE))
+                      END AS r2
                FROM m"""),
     ),
 

@@ -174,6 +174,71 @@ object TextQ {
               FROM a""")),
 
     QDef(
+      "m13_macro_auc",
+      // m12 generalized to the full langid score MATRIX: one-vs-rest AUC
+      // per language (label = "is this doc lang c", score = c-profile hit
+      // count, 0 where the matcher found no profile token) plus the
+      // macro-mean row (class='*'). The doc×class grid is a bounded
+      // broadcast expansion (K = |langs|, a handful); the macro mean sums
+      // scale-9-truncated per-class AUCs as integers — one closing
+      // division, never a partition-order-dependent double sum
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val sc = Text.languageScores(docs, "doc_id", "text", "lang", 20)
+          .withColumnRenamed("profile_lang", "class")
+        val classes = docs.select(col("lang").as("class")).distinct()
+        val scored = docs.select(col("doc_id"), col("lang"))
+          .crossJoin(broadcast(classes))
+          .join(sc, Seq("doc_id", "class"), "left")
+          .select(
+            col("class"),
+            (col("lang") === col("class")).cast("long").as("y"),
+            coalesce(col("score"), lit(0L)).as("s"))
+        Stats.macroAuc(scored, "class", "y", "s")
+      },
+      Some("""WITH tok AS (SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS token FROM documents),
+              cnts AS (SELECT lang, token, count(*) AS cnt FROM tok GROUP BY 1, 2),
+              prof AS (SELECT lang AS profile_lang, token FROM
+                        (SELECT lang, token,
+                           row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rnk
+                         FROM cnts) WHERE rnk <= 20),
+              sc AS (SELECT t.doc_id, p.profile_lang, CAST(count(*) AS BIGINT) AS score
+                     FROM tok t JOIN prof p ON t.token = p.token GROUP BY 1, 2),
+              cls AS (SELECT DISTINCT lang AS class FROM documents),
+              grid AS (SELECT c.class,
+                         CASE WHEN d.lang = c.class THEN 1 ELSE 0 END AS y,
+                         coalesce(s.score, CAST(0 AS BIGINT)) AS s
+                       FROM documents d CROSS JOIN cls c
+                       LEFT JOIN sc s ON s.doc_id = d.doc_id AND s.profile_lang = c.class),
+              c2 AS (SELECT class, s, CAST(count(*) AS BIGINT) AS cnt,
+                       CAST(sum(y) AS BIGINT) AS pos
+                     FROM grid GROUP BY 1, 2),
+              r AS (SELECT *, coalesce(sum(cnt) OVER (PARTITION BY class ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), CAST(0 AS BIGINT)) AS below
+                    FROM c2),
+              a AS (SELECT class,
+                      sum(CAST(pos AS HUGEINT) * (2 * CAST(below AS HUGEINT) + cnt + 1)) AS r2,
+                      CAST(sum(pos) AS BIGINT) AS n_pos,
+                      CAST(sum(cnt - pos) AS BIGINT) AS n_neg
+                    FROM r GROUP BY 1),
+              per AS (SELECT class, n_pos, n_neg,
+                        CASE WHEN n_pos > 0 AND n_neg > 0
+                             THEN CAST(r2 - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS DOUBLE)
+                                  / CAST(CAST(n_pos AS HUGEINT) * n_neg * 2 AS DOUBLE)
+                             END AS auc
+                      FROM a),
+              mac AS (SELECT '*' AS class,
+                        CAST(sum(n_pos) AS BIGINT) AS n_pos,
+                        CAST(sum(n_neg) AS BIGINT) AS n_neg,
+                        CASE WHEN count(auc) > 0
+                             THEN CAST(sum(CAST(floor(auc * CAST(1000000000 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+                                  / (CAST(count(auc) AS DOUBLE) * CAST(1000000000 AS DOUBLE))
+                             END AS auc
+                      FROM per)
+              SELECT class, n_pos, n_neg, auc FROM per
+              UNION ALL SELECT class, n_pos, n_neg, auc FROM mac""")),
+
+    QDef(
       "t8_quality_gate",
       // the document filter a pipeline actually ships: keep docs that are
       // long enough AND not self-repetitive (Gopher-style gate) — signals

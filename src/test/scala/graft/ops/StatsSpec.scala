@@ -113,6 +113,41 @@ class StatsSpec extends SparkSpec {
     assert(Stats.binaryAuc(one, "y", "s").select("auc").as[Option[Double]].head().isEmpty)
   }
 
+  test("macroAuc: per-class AUCs + '*' mean over defined classes only") {
+    val df = Seq(
+      // class a: pos scores (3, 1), neg (2, 1) → 2.5/4 = 0.625
+      ("a", 1L, 3L), ("a", 1L, 1L), ("a", 0L, 2L), ("a", 0L, 1L),
+      // class b: perfect separation → 1.0
+      ("b", 1L, 9L), ("b", 1L, 8L), ("b", 0L, 2L),
+      // class c: all positive → degenerate, NULL auc, skipped by the macro
+      ("c", 1L, 5L), ("c", 1L, 4L)
+    ).toDF("class", "y", "s")
+    val out = Stats.macroAuc(df, "class", "y", "s")
+      .select("class", "n_pos", "n_neg", "auc")
+      .as[(String, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("a") == (("a", 2L, 2L, Some(0.625))))
+    assert(out("b") == (("b", 2L, 1L, Some(1.0))))
+    assert(out("c") == (("c", 2L, 0L, None)))
+    // macro: (⌊0.625e9⌋ + ⌊1.0e9⌋) / 2e9 = 0.8125; totals carry through
+    assert(out("*") == (("*", 6L, 3L, Some(0.8125))))
+    assert(out.size == 4)
+  }
+
+  test("regressionMetrics: constant actual (SST=0) gives NULL r2, not NaN/Inf") {
+    val const = Seq(("g", 5.0, 5.5), ("g", 5.0, 4.5), ("g", 5.0, 5.0)).toDF("k", "y", "yp")
+    val row = Stats.regressionMetrics(const, Seq("k"), "y", "yp")
+      .select("n", "mae", "rmse", "r2")
+      .as[(Long, Double, Double, Option[Double])].head()
+    assert(row._1 == 3L && row._4.isEmpty)
+    assert(!row._2.isNaN && !row._3.isNaN)
+    // non-degenerate group still closes the usual 1 - SSE/SST
+    val ok = Seq(("g", 1.0, 1.0), ("g", 2.0, 2.0), ("g", 3.0, 3.0)).toDF("k", "y", "yp")
+    val r2 = Stats.regressionMetrics(ok, Seq("k"), "y", "yp")
+      .select("r2").as[Option[Double]].head()
+    assert(r2.contains(1.0))
+  }
+
   test("madOutliers flags by median/MAD; MAD=0 groups are excluded before dividing") {
     val df = (Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 100.0)) ++
       Seq.fill(5)(("b", 7.0))) // constant group: MAD = 0
