@@ -25,39 +25,133 @@ object SimilarityQ {
          CAST(sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,9))) AS DOUBLE) AS n2
        FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY 1)"""
 
+  /** Exact brute-force cosine top-3 (the recall-audit ground truth) —
+    * the `sim_cosine_topk` builder, factored so `sim_ivf_recall` /
+    * `sim_ivfpq_recall` consume the identical pipeline.
+    */
+  private def exactTopk(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val e = withNorm(t(s, d, "embeddings"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("n2").as("qn2"))
+    val c = e.select(col("vec_id"), col("embedding").as("ce"), col("n2").as("cn2"))
+    // Broadcast the tiny query side and STREAM the corpus: at 100 TB the
+    // corpus never fits in a broadcast, but the handful of query vectors
+    // always does — every corpus partition scans locally against the
+    // broadcast queries (BroadcastNestedLoopJoin, build side = q).
+    c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", Vectors.cosineFrom(Vectors.dotExact(col("qe"), col("ce")), col("qn2"), col("cn2")))
+      .withColumn(
+        "rnk",
+        row_number().over(Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id")))
+          .cast("long"))
+      .filter(col("rnk") <= 3)
+      .select("query_id", "rnk", "vec_id", "cos")
+  }
+
+  private val exactSql =
+    s"""WITH $normSql,
+        q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        d AS (SELECT q.query_id, c.vec_id,
+                ${Vectors.sqlDotExact("q.qe", "c.embedding", "i.i")} AS dot
+              FROM q CROSS JOIN embeddings c, unnest(generate_series(1, 64)) AS i(i)
+              WHERE c.vec_id <> q.query_id GROUP BY 1, 2),
+        s AS (SELECT d.query_id, d.vec_id,
+                d.dot / nullif(sqrt(nq.n2) * sqrt(nc.n2), CAST(0.0 AS DOUBLE)) AS cos
+              FROM d JOIN n nq ON nq.vec_id = d.query_id JOIN n nc ON nc.vec_id = d.vec_id)
+        SELECT query_id, rnk, vec_id, cos FROM
+          (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+           FROM s) WHERE rnk <= 3"""
+
+  /** The `sim_ivf_topk` builder (see its QDef comment), factored for the
+    * recall audit.
+    */
+  private def ivfTopk(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val e = withNorm(t(s, d, "embeddings"))
+    val ranked = graft.ops.Caches.trackPersist(
+      graft.ml.IvfQuantizer.fitRanked(e, "vec_id", "embedding", "n2", 8, 2, sampleEvery = 4))
+    val cells = ranked.filter(col("cell_rank") === 1).select(col("vec_id"), col("cell"))
+    val probes = ranked.filter(col("vec_id") < 5 && col("cell_rank") <= 2)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("n2").as("qn2"))
+      .join(probes, "query_id")
+    val c = e.join(cells, "vec_id")
+      .select(col("vec_id"), col("embedding").as("ce2"), col("n2").as("cn22"), col("cell"))
+    c.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", Vectors.cosineFrom(Vectors.dotExact(col("qe"), col("ce2")), col("qn2"), col("cn22")))
+      .withColumn(
+        "rnk",
+        row_number().over(Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id")))
+          .cast("long"))
+      .filter(col("rnk") <= 3)
+      .select("query_id", "cell", "rnk", "vec_id", "cos")
+  }
+
+  private val ivfSql =
+    s"""WITH $normSql,
+        ${graft.ml.IvfQuantizer.lloydSql(8, 2, 64, sampleEvery = 4)},
+        q AS (SELECT cr.vec_id AS query_id, cr.cell, e.embedding AS qe
+              FROM cellranks cr JOIN embeddings e ON e.vec_id = cr.vec_id
+              WHERE cr.vec_id < 5 AND cr.rn <= 2),
+        c AS (SELECT a.vec_id, a.cell, e.embedding AS ce2
+              FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id),
+        d AS (SELECT q.query_id, q.cell, c.vec_id,
+                ${Vectors.sqlDotExact("q.qe", "c.ce2", "i.i")} AS dot
+              FROM q JOIN c ON c.cell = q.cell AND c.vec_id <> q.query_id,
+                   unnest(generate_series(1, 64)) AS i(i)
+              GROUP BY 1, 2, 3),
+        s AS (SELECT d.query_id, d.cell, d.vec_id,
+                d.dot / nullif(sqrt(nq.n2) * sqrt(nc.n2), CAST(0.0 AS DOUBLE)) AS cos
+              FROM d JOIN n nq ON nq.vec_id = d.query_id JOIN n nc ON nc.vec_id = d.vec_id)
+        SELECT query_id, cell, rnk, vec_id, cos FROM
+          (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+           FROM s) WHERE rnk <= 3"""
+
+  /** Recall@3 audit: join an approximate top-3 result against the exact
+    * [[exactTopk]] top-3, one hit-count + ratio row per query vector and a
+    * `query_id = -1` corpus row whose recall is `Σhits / (3·K)` — integer
+    * counts and ONE closing IEEE division each, so the pinned recall
+    * numbers hash cross-engine. The oracle twin ([[recallSql]]) wraps the
+    * two component oracles as nested CTEs unchanged.
+    */
+  private def recallOf(
+      exact: org.apache.spark.sql.DataFrame,
+      approx: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val hits = exact.select("query_id", "vec_id")
+      .join(approx.select("query_id", "vec_id"), Seq("query_id", "vec_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    val per = exact.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("hits"), lit(0L)).as("hits"))
+      .withColumn("recall", col("hits").cast("double") / lit(3.0))
+    val corpus = per.groupBy()
+      .agg(sum(col("hits")).as("hits"),
+        (sum(col("hits")).cast("double") / (lit(3.0) * count(lit(1)).cast("double")))
+          .as("recall"))
+      .select(lit(-1L).as("query_id"), col("hits"), col("recall"))
+    per.unionByName(corpus)
+  }
+
+  private def recallSql(approxSql: String) =
+    s"""WITH exact AS ($exactSql),
+        approx AS ($approxSql),
+        h AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS hits
+              FROM exact e JOIN approx a
+                ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+              GROUP BY 1),
+        per AS (SELECT b.query_id, coalesce(h.hits, CAST(0 AS BIGINT)) AS hits,
+                  CAST(coalesce(h.hits, CAST(0 AS BIGINT)) AS DOUBLE) / CAST(3 AS DOUBLE) AS recall
+                FROM (SELECT DISTINCT query_id FROM exact) b
+                LEFT JOIN h ON h.query_id = b.query_id)
+        SELECT query_id, hits, recall FROM per
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT) AS query_id, CAST(sum(hits) AS BIGINT) AS hits,
+          CAST(sum(hits) AS DOUBLE) / (CAST(3 AS DOUBLE) * CAST(count(*) AS DOUBLE)) AS recall
+        FROM per"""
+
   val defs: Seq[QDef] = Seq(
-    QDef(
-      "sim_cosine_topk",
-      (s, d) => {
-        val e = withNorm(t(s, d, "embeddings"))
-        val q = e.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("n2").as("qn2"))
-        val c = e.select(col("vec_id"), col("embedding").as("ce"), col("n2").as("cn2"))
-        // Broadcast the tiny query side and STREAM the corpus: at 100 TB the
-        // corpus never fits in a broadcast, but the handful of query vectors
-        // always does — every corpus partition scans locally against the
-        // broadcast queries (BroadcastNestedLoopJoin, build side = q).
-        c.join(broadcast(q), col("vec_id") =!= col("query_id"))
-          .withColumn("cos", Vectors.cosineFrom(Vectors.dotExact(col("qe"), col("ce")), col("qn2"), col("cn2")))
-          .withColumn(
-            "rnk",
-            row_number().over(Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id")))
-              .cast("long"))
-          .filter(col("rnk") <= 3)
-          .select("query_id", "rnk", "vec_id", "cos")
-      },
-      Some(s"""WITH $normSql,
-               q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
-               d AS (SELECT q.query_id, c.vec_id,
-                       ${Vectors.sqlDotExact("q.qe", "c.embedding", "i.i")} AS dot
-                     FROM q CROSS JOIN embeddings c, unnest(generate_series(1, 64)) AS i(i)
-                     WHERE c.vec_id <> q.query_id GROUP BY 1, 2),
-               s AS (SELECT d.query_id, d.vec_id,
-                       d.dot / nullif(sqrt(nq.n2) * sqrt(nc.n2), CAST(0.0 AS DOUBLE)) AS cos
-                     FROM d JOIN n nq ON nq.vec_id = d.query_id JOIN n nc ON nc.vec_id = d.vec_id)
-               SELECT query_id, rnk, vec_id, cos FROM
-                 (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
-                  FROM s) WHERE rnk <= 3""")),
+    QDef("sim_cosine_topk", (s, d) => exactTopk(s, d), Some(exactSql)),
 
     QDef(
       "sim_ivf_topk",
@@ -72,46 +166,18 @@ object SimilarityQ {
       // TOP-2 cells (nprobe=2 — the recall knob for neighbors straddling a
       // cell boundary) — the inverted-file structure that bounds candidate
       // counts at scale. Candidate cosines exact-decimal as before.
-      (s, d) => {
-        val e = withNorm(t(s, d, "embeddings"))
-        val ranked = graft.ops.Caches.trackPersist(
-          graft.ml.IvfQuantizer.fitRanked(e, "vec_id", "embedding", "n2", 8, 2, sampleEvery = 4))
-        val cells = ranked.filter(col("cell_rank") === 1).select(col("vec_id"), col("cell"))
-        val probes = ranked.filter(col("vec_id") < 5 && col("cell_rank") <= 2)
-          .select(col("vec_id").as("query_id"), col("cell"))
-        val q = e.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("n2").as("qn2"))
-          .join(probes, "query_id")
-        val c = e.join(cells, "vec_id")
-          .select(col("vec_id"), col("embedding").as("ce2"), col("n2").as("cn22"), col("cell"))
-        c.join(broadcast(q), Seq("cell"))
-          .filter(col("vec_id") =!= col("query_id"))
-          .withColumn("cos", Vectors.cosineFrom(Vectors.dotExact(col("qe"), col("ce2")), col("qn2"), col("cn22")))
-          .withColumn(
-            "rnk",
-            row_number().over(Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id")))
-              .cast("long"))
-          .filter(col("rnk") <= 3)
-          .select("query_id", "cell", "rnk", "vec_id", "cos")
-      },
-      Some(s"""WITH $normSql,
-               ${graft.ml.IvfQuantizer.lloydSql(8, 2, 64, sampleEvery = 4)},
-               q AS (SELECT cr.vec_id AS query_id, cr.cell, e.embedding AS qe
-                     FROM cellranks cr JOIN embeddings e ON e.vec_id = cr.vec_id
-                     WHERE cr.vec_id < 5 AND cr.rn <= 2),
-               c AS (SELECT a.vec_id, a.cell, e.embedding AS ce2
-                     FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id),
-               d AS (SELECT q.query_id, q.cell, c.vec_id,
-                       ${Vectors.sqlDotExact("q.qe", "c.ce2", "i.i")} AS dot
-                     FROM q JOIN c ON c.cell = q.cell AND c.vec_id <> q.query_id,
-                          unnest(generate_series(1, 64)) AS i(i)
-                     GROUP BY 1, 2, 3),
-               s AS (SELECT d.query_id, d.cell, d.vec_id,
-                       d.dot / nullif(sqrt(nq.n2) * sqrt(nc.n2), CAST(0.0 AS DOUBLE)) AS cos
-                     FROM d JOIN n nq ON nq.vec_id = d.query_id JOIN n nc ON nc.vec_id = d.vec_id)
-               SELECT query_id, cell, rnk, vec_id, cos FROM
-                 (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
-                  FROM s) WHERE rnk <= 3""")),
+      (s, d) => ivfTopk(s, d),
+      Some(ivfSql)),
+
+    QDef(
+      "sim_ivf_recall",
+      // the recall knob, MEASURED: recall@3 of the routed IVF search vs
+      // the exact cosine baseline, per query + the corpus mean — turns
+      // the IvfQuantizer scaladoc's recall assertion into a regression-
+      // pinned CORRECTNESS number (both pipelines are deterministic in
+      // both engines, so the audit itself is oracle-checkable)
+      (s, d) => recallOf(exactTopk(s, d), ivfTopk(s, d)),
+      Some(recallSql(ivfSql))),
 
     QDef(
       "sim_diverse_sample",
@@ -395,69 +461,86 @@ object SimilarityQ {
       // corpus, per-candidate cost 8 lookups on ~3-bit codes, and both
       // fits scan only systematic samples. Every stage reuses the
       // oracle-replicable components unchanged.
-      (s, d) => {
-        import org.apache.spark.sql.types.DecimalType
-        val nSub = 8; val dSub = 8; val kk = 8; val se = 2
-        val e = withNorm(t(s, d, "embeddings"))
-        // coarse routing (IVF): fit on the vec_id % 4 sample, assign all
-        val rankedC = Caches.trackPersist(
-          graft.ml.IvfQuantizer.fitRanked(e, "vec_id", "embedding", "n2", 8, 2, sampleEvery = 4))
-        val cellsC = rankedC.filter(col("cell_rank") === 1)
-          .select(col("vec_id"), col("cell").as("ccell"))
-        val probesC = rankedC.filter(col("vec_id") < 5 && col("cell_rank") <= 2)
-          .select(col("vec_id").as("query_id"), col("cell").as("ccell"))
-        val cand = cellsC.join(broadcast(probesC), "ccell")
-          .filter(col("vec_id") =!= col("query_id"))
-          .select("query_id", "vec_id")
-        // PQ codes + per-query ADC tables (identical machinery to sim_pq)
-        val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-        val slices = (0 until nSub).map(sb =>
-          struct(lit(sb).as("sub"), slice(col("embedding"), sb * dSub + 1, dSub).as("sv")))
-        val es = emb
-          .select(col("vec_id"), explode(array(slices: _*)).as("e"))
-          .select(col("e.sub").as("sub"), col("vec_id"), col("e.sv").as("sv"))
-          .withColumn("sn2", Vectors.norm2Exact(col("sv")))
-        val codesP = Caches.trackPersist(
-          graft.ml.IvfQuantizer.fitAssign(
-            es, "vec_id", "sv", "sn2", kk, 1, se, grpCols = Seq("sub")))
-        val compo = Caches.trackPersist(
-          emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim0", "xf")))
-            .select(
-              col("vec_id"),
-              expr(s"dim0 div $dSub").cast("int").as("sub"),
-              pmod(col("dim0"), lit(dSub)).as("sdim"),
-              col("xf").cast("double").as("x")))
-        val cb = compo.join(codesP, Seq("vec_id", "sub"))
-          .groupBy("sub", "cell", "sdim")
-          .agg(sum(col("x").cast(DecimalType(38, 9))).cast("double").as("sx"))
-        val m = codesP.groupBy("sub", "cell").agg(count(lit(1)).as("m"))
-        val tbl = compo.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("query_id"), col("sub"), col("sdim"), col("x").as("qx"))
-          .join(cb, Seq("sub", "sdim"))
-          .groupBy("query_id", "sub", "cell")
-          .agg(sum((col("qx") * col("sx")).cast(DecimalType(38, 9))).cast("double").as("ds"))
-          .join(m, Seq("sub", "cell"))
-          .withColumn("term", col("ds") / col("m").cast("double"))
-          .select("query_id", "sub", "cell", "term")
-        // ADC scoring restricted to the routed candidates
-        val pivots = (0 until nSub).map(sb =>
-          max(when(col("sub") === sb, col("term"))).as(s"t$sb"))
-        val wide = codesP.join(broadcast(tbl), Seq("sub", "cell"))
-          .join(cand, Seq("query_id", "vec_id"))
-          .groupBy("query_id", "vec_id")
-          .agg(pivots.head, pivots.tail: _*)
-        val score = (0 until nSub).map(sb => col(s"t$sb")).reduce(_ + _)
-        wide
-          .withColumn("score", score)
-          .withColumn(
-            "rnk",
-            row_number().over(
-              Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id")))
-              .cast("long"))
-          .filter(col("rnk") <= 3)
-          .select("query_id", "rnk", "vec_id", "score")
-      },
-      Some {
+      (s, d) => ivfpqTopk(s, d),
+      Some(ivfpqSql)),
+
+    QDef(
+      "sim_ivfpq_recall",
+      // recall@3 of the composed IVF-PQ pipeline vs the exact cosine
+      // baseline — quantifies the compound loss (coarse routing miss +
+      // ADC code approximation) the sim_ivfpq_topk comment only describes
+      (s, d) => recallOf(exactTopk(s, d), ivfpqTopk(s, d)),
+      Some(recallSql(ivfpqSql)))
+  )
+
+  /** The `sim_ivfpq_topk` builder (see its QDef comment), factored for
+    * the recall audit.
+    */
+  private def ivfpqTopk(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import org.apache.spark.sql.types.DecimalType
+    val nSub = 8; val dSub = 8; val kk = 8; val se = 2
+    val e = withNorm(t(s, d, "embeddings"))
+    // coarse routing (IVF): fit on the vec_id % 4 sample, assign all
+    val rankedC = Caches.trackPersist(
+      graft.ml.IvfQuantizer.fitRanked(e, "vec_id", "embedding", "n2", 8, 2, sampleEvery = 4))
+    val cellsC = rankedC.filter(col("cell_rank") === 1)
+      .select(col("vec_id"), col("cell").as("ccell"))
+    val probesC = rankedC.filter(col("vec_id") < 5 && col("cell_rank") <= 2)
+      .select(col("vec_id").as("query_id"), col("cell").as("ccell"))
+    val cand = cellsC.join(broadcast(probesC), "ccell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id")
+    // PQ codes + per-query ADC tables (identical machinery to sim_pq)
+    val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    val slices = (0 until nSub).map(sb =>
+      struct(lit(sb).as("sub"), slice(col("embedding"), sb * dSub + 1, dSub).as("sv")))
+    val es = emb
+      .select(col("vec_id"), explode(array(slices: _*)).as("e"))
+      .select(col("e.sub").as("sub"), col("vec_id"), col("e.sv").as("sv"))
+      .withColumn("sn2", Vectors.norm2Exact(col("sv")))
+    val codesP = Caches.trackPersist(
+      graft.ml.IvfQuantizer.fitAssign(
+        es, "vec_id", "sv", "sn2", kk, 1, se, grpCols = Seq("sub")))
+    val compo = Caches.trackPersist(
+      emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim0", "xf")))
+        .select(
+          col("vec_id"),
+          expr(s"dim0 div $dSub").cast("int").as("sub"),
+          pmod(col("dim0"), lit(dSub)).as("sdim"),
+          col("xf").cast("double").as("x")))
+    val cb = compo.join(codesP, Seq("vec_id", "sub"))
+      .groupBy("sub", "cell", "sdim")
+      .agg(sum(col("x").cast(DecimalType(38, 9))).cast("double").as("sx"))
+    val m = codesP.groupBy("sub", "cell").agg(count(lit(1)).as("m"))
+    val tbl = compo.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("sub"), col("sdim"), col("x").as("qx"))
+      .join(cb, Seq("sub", "sdim"))
+      .groupBy("query_id", "sub", "cell")
+      .agg(sum((col("qx") * col("sx")).cast(DecimalType(38, 9))).cast("double").as("ds"))
+      .join(m, Seq("sub", "cell"))
+      .withColumn("term", col("ds") / col("m").cast("double"))
+      .select("query_id", "sub", "cell", "term")
+    // ADC scoring restricted to the routed candidates
+    val pivots = (0 until nSub).map(sb =>
+      max(when(col("sub") === sb, col("term"))).as(s"t$sb"))
+    val wide = codesP.join(broadcast(tbl), Seq("sub", "cell"))
+      .join(cand, Seq("query_id", "vec_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(pivots.head, pivots.tail: _*)
+    val score = (0 until nSub).map(sb => col(s"t$sb")).reduce(_ + _)
+    wide
+      .withColumn("score", score)
+      .withColumn(
+        "rnk",
+        row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id")))
+          .cast("long"))
+      .filter(col("rnk") <= 3)
+      .select("query_id", "rnk", "vec_id", "score")
+  }
+
+  // lazy: declared after `defs`, which captures it during its own init
+  private lazy val ivfpqSql: String = {
         val nSub = 8; val dSub = 8; val kk = 8; val se = 2
         // full-vector norms for the coarse fit, under a non-colliding name
         // (lloydSqlAt(sfx) reads n{sfx}; PQ sub-fits use ns0..ns7)
@@ -516,6 +599,5 @@ object SimilarityQ {
                   ORDER BY $scoreExpr DESC, vec_id) AS rnk
               FROM wide)
             WHERE rnk <= 3"""
-      })
-  )
+  }
 }
