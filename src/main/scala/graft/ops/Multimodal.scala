@@ -4,19 +4,25 @@ import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+
 /** Multimodal-column plumbing: image/audio/video payloads ride as opaque
   * `binary` columns with typed metadata; decode / feature-extract run as
   * partition-local typed transforms (`mapPartitions` over the binary
   * column — the Scala analog of a Pandas-UDF `mapInPandas` stage).
   *
-  * The container has no image/audio codecs, so the DECODE KERNEL IS A
-  * DETERMINISTIC FAKE (byte-value histogram standing in for
-  * pixels/spectrogram — clearly marked below). Everything around it —
-  * schema, binary handling, batch shape, partition locality, the generator
-  * expansion for frame sampling — is the real production plumbing: swap
-  * `fakeDecodeKernel` for a codec call and nothing else changes. At 100 TB
-  * the decode stage is embarrassingly parallel (no shuffle: payloads stay
-  * in their input partitions; only the downstream aggregation shuffles).
+  * The decode kernel is a REAL pure-JVM decoder for the self-contained
+  * formats that need no external codec: 24-bit uncompressed BMP (pixel
+  * channel bytes, bottom-up rows, 4-byte stride) and RIFF/WAVE 16-bit PCM
+  * (s16le samples, chunk walk). Payloads that validate as neither fall
+  * back to a raw byte-intensity histogram — the documented behavior for
+  * opaque/unknown media, never an error. Features are 16-bin L1-normalized
+  * histograms (intensity for pixels/bytes, amplitude for audio samples) —
+  * pure functions of the decoded content, reproducible everywhere. At
+  * 100 TB the decode stage is embarrassingly parallel (no shuffle:
+  * payloads stay in their input partitions; only the downstream
+  * aggregation shuffles).
   */
 object Multimodal {
 
@@ -34,20 +40,196 @@ object Multimodal {
 
   val FeatureDim = 16
 
-  /** DETERMINISTIC FAKE decode kernel: 16-bin byte-value histogram,
-    * L1-normalized. Stands in for image decode + feature extraction; the
-    * real implementation would call a codec here and emit e.g. an
-    * embedding. Pure function of the bytes → reproducible everywhere.
+  /** Canonical encode width for [[bmp24Bytes]]: 16 px → 48-byte rows, a
+    * multiple of 4, so the BMP stride adds no per-row pad and the pixel
+    * area is exactly the input channels plus tail zeros.
     */
-  def fakeDecodeKernel(bytes: Array[Byte]): Array[Double] = {
+  val BmpWidthPx = 16
+
+  // ---------------------------------------------------------------- BMP
+
+  /** Minimal 24-bit bottom-up BMP writer (the encode stage / test-fixture
+    * generator — no codec library exists offline, and none is needed for
+    * this format). `channels` are raw per-pixel channel bytes laid
+    * row-major TOP-DOWN at `widthPx`·3 bytes per row; the final row is
+    * zero-padded. Standard 54-byte BITMAPFILEHEADER + BITMAPINFOHEADER,
+    * positive height (= bottom-up row order), stride rounded to 4 bytes.
+    */
+  def bmp24Bytes(channels: Array[Byte], widthPx: Int = BmpWidthPx): Array[Byte] = {
+    require(widthPx > 0, s"BMP width must be positive, got $widthPx")
+    val rowData = widthPx * 3
+    val stride = ((rowData + 3) / 4) * 4
+    val height = math.max(1, (channels.length + rowData - 1) / rowData)
+    val size = 54 + stride * height
+    val buf = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+    buf.putInt(40).putInt(widthPx).putInt(height)
+      .putShort(1).putShort(24)
+      .putInt(0).putInt(stride * height)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = height - 1 // bottom-up: last display row is stored first
+    while (y >= 0) {
+      val from = y * rowData
+      val take = math.max(0, math.min(rowData, channels.length - from))
+      if (take > 0) buf.put(channels, from, take)
+      var p = take
+      while (p < stride) { buf.put(0.toByte); p += 1 }
+      y -= 1
+    }
+    buf.array()
+  }
+
+  /** Parse an uncompressed 24-bit BMP: validates magic/planes/bpp/
+    * compression and the pixel-area bound, walks rows honoring the stride
+    * and the height sign (positive = bottom-up, negative = top-down), and
+    * returns the channel bytes row-major TOP-DOWN with stride padding
+    * stripped. None when the payload is not such a BMP (the caller falls
+    * back — malformed media must never kill a 100 TB job).
+    */
+  def decodeBmp24(bytes: Array[Byte]): Option[Array[Byte]] = {
+    if (bytes.length < 54 || bytes(0) != 'B'.toByte || bytes(1) != 'M'.toByte) return None
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val offset = buf.getInt(10)
+    val hdrSize = buf.getInt(14)
+    val w = buf.getInt(18)
+    val hRaw = buf.getInt(22)
+    val planes = buf.getShort(26)
+    val bpp = buf.getShort(28)
+    val compression = buf.getInt(30)
+    if (hdrSize < 40 || w <= 0 || hRaw == 0 || planes != 1 || bpp != 24 || compression != 0)
+      return None
+    val h = math.abs(hRaw)
+    val rowData = w * 3
+    val stride = ((rowData + 3) / 4) * 4
+    if (offset < 54 || offset.toLong + stride.toLong * h > bytes.length) return None
+    val out = new Array[Byte](rowData * h)
+    var y = 0
+    while (y < h) {
+      val srcRow = if (hRaw > 0) h - 1 - y else y
+      System.arraycopy(bytes, offset + srcRow * stride, out, y * rowData, rowData)
+      y += 1
+    }
+    Some(out)
+  }
+
+  // ---------------------------------------------------------------- WAV
+
+  /** Minimal RIFF/WAVE writer for mono 16-bit PCM (fixture generator):
+    * "fmt " (PCM, 1 channel, 16 bits) + "data" with s16le samples.
+    */
+  def wavPcm16Bytes(samples: Array[Short], sampleRate: Int = 8000): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val buf = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes(StandardCharsets.US_ASCII)).putInt(36 + dataSize)
+      .put("WAVE".getBytes(StandardCharsets.US_ASCII))
+    buf.put("fmt ".getBytes(StandardCharsets.US_ASCII)).putInt(16)
+      .putShort(1).putShort(1).putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16)
+    buf.put("data".getBytes(StandardCharsets.US_ASCII)).putInt(dataSize)
+    var i = 0
+    while (i < samples.length) { buf.putShort(samples(i)); i += 1 }
+    buf.array()
+  }
+
+  /** Parse a RIFF/WAVE payload carrying 16-bit PCM: validates the RIFF/
+    * WAVE magic, walks the chunk list (honoring the odd-size pad byte),
+    * requires a PCM 16-bit "fmt " chunk, and decodes the "data" chunk as
+    * s16le samples (all channels interleaved — the amplitude histogram is
+    * channel-agnostic). None when the payload is not such a WAV.
+    */
+  def decodeWavPcm16(bytes: Array[Byte]): Option[Array[Short]] = {
+    if (bytes.length < 44) return None
+    def tag(o: Int) = new String(bytes, o, 4, StandardCharsets.US_ASCII)
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    var pos = 12
+    var fmtOk = false
+    var data: Option[(Int, Int)] = None
+    while (pos + 8 <= bytes.length) {
+      val id = tag(pos)
+      val sz = buf.getInt(pos + 4)
+      if (sz < 0 || pos + 8 + sz > bytes.length) return None
+      if (id == "fmt ") {
+        if (sz < 16) return None
+        fmtOk = buf.getShort(pos + 8) == 1 && buf.getShort(pos + 8 + 14) == 16
+      } else if (id == "data") {
+        data = Some((pos + 8, sz))
+      }
+      pos += 8 + sz + (sz & 1)
+    }
+    if (!fmtOk) return None
+    data.map { case (o, sz) =>
+      val n = sz / 2
+      val out = new Array[Short](n)
+      var i = 0
+      while (i < n) { out(i) = buf.getShort(o + 2 * i); i += 1 }
+      out
+    }
+  }
+
+  // ------------------------------------------------------------- kernel
+
+  /** 16-bin L1-normalized intensity histogram of 8-bit values
+    * (bin = value ≫ 4) — the feature for decoded pixel channels and the
+    * opaque-payload fallback. Integer counts divided by the byte count:
+    * one IEEE division per bin, engine-replicable.
+    */
+  def intensityHist(bs: Array[Byte]): Array[Double] = {
     val hist = new Array[Double](FeatureDim)
     var i = 0
-    while (i < bytes.length) {
-      hist((bytes(i) & 0xff) % FeatureDim) += 1.0
-      i += 1
-    }
-    val n = math.max(bytes.length, 1).toDouble
+    while (i < bs.length) { hist((bs(i) & 0xff) >> 4) += 1.0; i += 1 }
+    val n = math.max(bs.length, 1).toDouble
     hist.map(_ / n)
+  }
+
+  /** 16-bin L1-normalized amplitude histogram of s16 samples
+    * (bin = (sample + 32768) ≫ 12) — the feature for decoded PCM audio.
+    */
+  def amplitudeHist(ss: Array[Short]): Array[Double] = {
+    val hist = new Array[Double](FeatureDim)
+    var i = 0
+    while (i < ss.length) { hist((ss(i) + 32768) >> 12) += 1.0; i += 1 }
+    val n = math.max(ss.length, 1).toDouble
+    hist.map(_ / n)
+  }
+
+  /** The decode kernel: genuinely parse the payload (24-bit BMP pixels or
+    * PCM-16 WAV samples) and feature-extract the decoded content; fall
+    * back to the raw byte-intensity histogram for payloads that validate
+    * as neither format. Pure function of the bytes.
+    */
+  def decodeKernel(bytes: Array[Byte]): Array[Double] =
+    decodeBmp24(bytes) match {
+      case Some(channels) => intensityHist(channels)
+      case None =>
+        decodeWavPcm16(bytes) match {
+          case Some(samples) => amplitudeHist(samples)
+          case None          => intensityHist(bytes)
+        }
+    }
+
+  // ------------------------------------------------------------- stages
+
+  /** Partition-local ENCODE stage: (id, srcCol bytes) → (id, payload)
+    * where payload is a real 24-bit BMP whose pixel channel bytes are the
+    * source bytes ([[bmp24Bytes]]). In a production pipeline payloads
+    * arrive already encoded; this stage is the deterministic fixture
+    * generator that lets the decode path run — and be oracle-checked —
+    * against genuine image binaries. Same mapPartitions shape as the
+    * decode stage: no shuffle, bytes stay in their input partitions.
+    */
+  def encodeBmpPayload(df: DataFrame, idCol: String, srcCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("payload", BinaryType)))
+    val encoder = org.apache.spark.sql.Encoders.row(schema)
+    df.select(col(idCol).cast("long"), col(srcCol).cast("binary"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          Row(r.getLong(0), bmp24Bytes(if (bytes == null) Array.emptyByteArray else bytes))
+        }
+      }(encoder)
   }
 
   /** Partition-local decode stage: (id, payload) → (id, features[16]).
@@ -67,7 +249,7 @@ object Multimodal {
         rows.map { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
-          Row(id, fakeDecodeKernel(if (bytes == null) Array.emptyByteArray else bytes))
+          Row(id, decodeKernel(if (bytes == null) Array.emptyByteArray else bytes))
         }
       }(encoder)
   }

@@ -13,21 +13,32 @@ import graft.ops._
 object TextQ {
   import Q._
 
-  /** Oracle CTE chain replicating [[graft.ops.Multimodal.fakeDecodeKernel]]
-    * on the ASCII corpus: `v(doc_id, dim, value)` is the L1-normalized
-    * 16-bin byte histogram of each document's payload.
+  /** Oracle CTE chain replicating the BMP-encode → BMP-decode feature
+    * pipeline ([[graft.ops.Multimodal.bmp24Bytes]] →
+    * [[graft.ops.Multimodal.decodeKernel]]) on the ASCII corpus. The
+    * payload is a real 24-bit BMP whose pixel channel bytes are the text
+    * bytes padded with zeros to fill 16-px rows (stride 48 = 16·3, so
+    * stride adds no extra pad), and the kernel's 16-bin intensity
+    * histogram (bin = byte ≫ 4) over the decoded channels is therefore
+    * the text-byte intensity histogram with the zero pad landing in
+    * bin 0, normalized by 48·height where height = max(1, ⌈len/48⌉).
+    * `v(doc_id, dim, value)` — all counts integers, one closing division.
     */
   private val mmHistSql =
-    """docs AS (SELECT doc_id, text, CAST(greatest(strlen(text), 1) AS BIGINT) AS n
-               FROM documents),
-       b AS (SELECT doc_id, ord(substr(text, CAST(i.i AS INTEGER), 1)) % 16 AS dim
+    """docs AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+       mt AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS len,
+                greatest(CAST(1 AS BIGINT), (CAST(strlen(text) AS BIGINT) + 47) // 48) AS h
+              FROM docs),
+       b AS (SELECT doc_id, ord(substr(text, CAST(i.i AS INTEGER), 1)) // 16 AS dim
              FROM docs, unnest(generate_series(1, CAST(strlen(text) AS BIGINT))) AS i(i)),
        cnt AS (SELECT doc_id, dim, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
-       v AS (SELECT d.doc_id, dm.dim,
-               CAST(coalesce(cnt.c, 0) AS DOUBLE) / CAST(d.n AS DOUBLE) AS value
-             FROM docs d
+       v AS (SELECT m.doc_id, dm.dim,
+               CAST(coalesce(cnt.c, 0)
+                    + CASE WHEN dm.dim = 0 THEN 48 * m.h - m.len ELSE 0 END AS DOUBLE)
+                 / CAST(48 * m.h AS DOUBLE) AS value
+             FROM mt m
              CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS dim) dm
-             LEFT JOIN cnt ON cnt.doc_id = d.doc_id AND cnt.dim = dm.dim)"""
+             LEFT JOIN cnt ON cnt.doc_id = m.doc_id AND cnt.dim = dm.dim)"""
 
   val defs: Seq[QDef] = Seq(
     QDef(
@@ -380,16 +391,20 @@ object TextQ {
 
     QDef(
       "mm1_decode_features",
-      // multimodal plumbing: text payload as opaque bytes → partition-local
-      // fake-decode kernel → 16-dim feature vector, registered EXPLODED to
-      // scalar (doc_id, dim, value) rows so the harness can sort/hash them.
-      // The corpus is pure ASCII (checked at every sf), so the stand-in
-      // byte histogram IS SQL-expressible: DuckDB re-derives each byte via
-      // ord(substr(text, i, 1)) and both engines divide exact integer
-      // counts as DOUBLE — bit-identical.
+      // multimodal decode, for real: each document's bytes are encoded as
+      // a genuine 24-bit BMP (partition-local encode stage — the fixture
+      // generator standing in for payloads that arrive pre-encoded), then
+      // the decode stage PARSES the BMP (header validation, bottom-up row
+      // walk, stride strip) and feature-extracts the decoded pixel
+      // channels into a 16-bin intensity histogram, registered EXPLODED
+      // to scalar (doc_id, dim, value) rows. The corpus is pure ASCII
+      // (checked at every sf) and the encode layout is known, so the
+      // decoded-pixel histogram IS SQL-expressible — DuckDB re-derives it
+      // from ord(substr(text, i, 1)) plus the zero padding; bit-identical.
       (s, d) => {
-        val withPayload = Multimodal.attachPayload(t(s, d, "documents"), "text")
-        Multimodal.decodeFeatures(withPayload, "doc_id")
+        val enc = Multimodal.encodeBmpPayload(
+          t(s, d, "documents").select(col("doc_id"), col("text")), "doc_id", "text")
+        Multimodal.decodeFeatures(enc, "doc_id")
           .select(col("doc_id"), posexplode(col("features")).as(Seq("dim", "value")))
           .select(col("doc_id"), col("dim").cast("long").as("dim"), col("value"))
       },
@@ -399,11 +414,12 @@ object TextQ {
     QDef(
       "mm2_pool_features",
       // the "resize" stage of the multimodal pipeline: mean-pool adjacent
-      // feature pairs (16 → 8 dims), array-local after the decode — the
-      // oracle averages the same explicit left-to-right pairs
+      // feature pairs (16 → 8 dims), array-local after the real BMP
+      // decode — the oracle averages the same explicit left-to-right pairs
       (s, d) => {
-        val withPayload = Multimodal.attachPayload(t(s, d, "documents"), "text")
-        val decoded = Multimodal.decodeFeatures(withPayload, "doc_id")
+        val enc = Multimodal.encodeBmpPayload(
+          t(s, d, "documents").select(col("doc_id"), col("text")), "doc_id", "text")
+        val decoded = Multimodal.decodeFeatures(enc, "doc_id")
         Multimodal.resizeFeatures(decoded, "features", Multimodal.FeatureDim, 2, "pooled")
           .select(col("doc_id"), posexplode(col("pooled")).as(Seq("dim", "value")))
           .select(col("doc_id"), col("dim").cast("long").as("dim"), col("value"))

@@ -33,6 +33,84 @@ class MultimodalSourcesSpec extends SparkSpec {
     assert(firstFrame == "abc")
   }
 
+  test("decodeBmp24: hand-written 2x2 24-bit BMP decodes to known pixels") {
+    // genuine external fixture, written byte-by-byte (NOT via bmp24Bytes,
+    // so a writer/parser co-bug can't self-validate): 2×2, 24 bpp,
+    // bottom-up, stride 8 (= 2·3 rounded to 4). Display pixels top-down:
+    // (1,2,3)(4,5,6) / (7,8,9)(10,11,12) — stored bottom row first.
+    val bmp: Array[Byte] = (Seq(
+      0x42, 0x4D, // "BM"
+      70, 0, 0, 0, // file size 54 + 2*8
+      0, 0, 0, 0, // reserved
+      54, 0, 0, 0, // pixel offset
+      40, 0, 0, 0, // info header size
+      2, 0, 0, 0, // width 2
+      2, 0, 0, 0, // height 2 (positive → bottom-up)
+      1, 0, // planes
+      24, 0, // bpp
+      0, 0, 0, 0, // compression BI_RGB
+      16, 0, 0, 0, // image size 2 rows × stride 8
+      0x13, 0x0B, 0, 0, 0x13, 0x0B, 0, 0, // 2835 ppm x/y
+      0, 0, 0, 0, 0, 0, 0, 0, // palette counts
+      7, 8, 9, 10, 11, 12, 0, 0, // stored row 0 = display BOTTOM row + stride pad
+      1, 2, 3, 4, 5, 6, 0, 0 // stored row 1 = display TOP row + stride pad
+    ).map(_.toByte)).toArray
+    val decoded = Multimodal.decodeBmp24(bmp)
+    assert(decoded.map(_.toSeq) == Some(Seq[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12)))
+    // the kernel takes the BMP branch: 12 channel bytes, all < 16 → bin 0
+    val feats = Multimodal.decodeKernel(bmp)
+    assert(feats(0) == 1.0 && feats.sum == 1.0)
+    // non-BMP payloads miss the branch: same bytes minus the magic
+    val broken = bmp.clone(); broken(0) = 'X'.toByte
+    assert(Multimodal.decodeBmp24(broken).isEmpty)
+  }
+
+  test("bmp24Bytes roundtrips through decodeBmp24 incl. tail zero-padding") {
+    // one exact row (48 channel bytes at the canonical width 16)
+    val full = (0 until 48).map(_.toByte).toArray
+    assert(Multimodal.decodeBmp24(Multimodal.bmp24Bytes(full)).map(_.toSeq)
+      == Some(full.toSeq))
+    // 50 bytes → 2 rows, 46 tail zeros appended by the encoder
+    val ragged = (1 to 50).map(_.toByte).toArray
+    val dec = Multimodal.decodeBmp24(Multimodal.bmp24Bytes(ragged)).get
+    assert(dec.length == 96)
+    assert(dec.take(50).toSeq == ragged.toSeq && dec.drop(50).forall(_ == 0))
+    // empty input still yields one all-zero row (height ≥ 1)
+    val empty = Multimodal.decodeBmp24(Multimodal.bmp24Bytes(Array.emptyByteArray)).get
+    assert(empty.length == 48 && empty.forall(_ == 0))
+  }
+
+  test("WAV PCM-16 roundtrip; kernel dispatches BMP/WAV/opaque correctly") {
+    val samples = Array[Short](0, 1000, -1000, 32767, -32768, 4096)
+    val wav = Multimodal.wavPcm16Bytes(samples)
+    assert(Multimodal.decodeWavPcm16(wav).map(_.toSeq) == Some(samples.toSeq))
+    // amplitude bins: (s + 32768) >> 12 → 8, 8, 7, 15, 0, 9
+    val f = Multimodal.decodeKernel(wav)
+    assert(f(8) == 2.0 / 6.0 && f(7) == 1.0 / 6.0 && f(15) == 1.0 / 6.0 &&
+      f(0) == 1.0 / 6.0 && f(9) == 1.0 / 6.0)
+    // opaque payload falls back to the raw byte-intensity histogram
+    val opaque = "hello".getBytes("UTF-8") // all bytes in 0x60-0x6f → bin 6
+    assert(Multimodal.decodeKernel(opaque).toSeq ==
+      (0 until 16).map(i => if (i == 6) 1.0 else 0.0))
+    // truncated RIFF junk must not crash the kernel, just fall back
+    val junk = "RIFFxxxxWAVE".getBytes("UTF-8")
+    assert(Multimodal.decodeKernel(junk).sum > 0.999)
+  }
+
+  test("encodeBmpPayload → decodeFeatures: end-to-end over a DataFrame") {
+    val df = Seq((1L, "abc"), (2L, "")).toDF("id", "raw")
+    val enc = Multimodal.encodeBmpPayload(df, "id", "raw")
+    // payloads are real BMPs
+    val payloads = enc.orderBy("id").select("payload").as[Array[Byte]].collect()
+    assert(payloads.forall(p => p(0) == 'B'.toByte && p(1) == 'M'.toByte))
+    val feats = Multimodal.decodeFeatures(enc, "id")
+      .orderBy("id").select("features").as[Seq[Double]].collect()
+    // doc 1: 'a','b','c' (bin 6) + 45 zero-pad (bin 0) over 48 channels
+    assert(feats(0)(6) == 3.0 / 48.0 && feats(0)(0) == 45.0 / 48.0)
+    // doc 2: empty text → one all-zero row
+    assert(feats(1)(0) == 1.0 && feats(1).sum == 1.0)
+  }
+
   test("resizeFeatures chains 16→8→4 and means adjacent blocks") {
     val feats = (0 until 16).map(_.toDouble) // 0..15
     val df = Seq((1L, feats)).toDF("id", "features")
