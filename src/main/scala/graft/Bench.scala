@@ -12,6 +12,34 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // plan-shape metrics per query (contention-IMMUNE, unlike seconds):
+    // total shuffle bytes (read + write) and completed-stage count, via a
+    // listener + per-query deltas. Stage-completed events are async, so
+    // deltas are read only after the bus goes quiet (poll-until-stable —
+    // the public API has no drain hook); the settle wait runs OUTSIDE the
+    // timed window and never inflates secs.
+    val shuffleBytesAcc = new java.util.concurrent.atomic.AtomicLong(0L)
+    val stagesAcc = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = e.stageInfo.taskMetrics
+        if (m != null)
+          shuffleBytesAcc.addAndGet(
+            m.shuffleReadMetrics.totalBytesRead + m.shuffleWriteMetrics.bytesWritten)
+        stagesAcc.incrementAndGet()
+      }
+    })
+    def drainListenerBus(): Unit = {
+      var last = (stagesAcc.get, shuffleBytesAcc.get)
+      var stable = 0
+      var waited = 0
+      while (stable < 2 && waited < 1000) {
+        Thread.sleep(25); waited += 25
+        val now = (stagesAcc.get, shuffleBytesAcc.get)
+        if (now == last) stable += 1 else { stable = 0; last = now }
+      }
+    }
     // absorb JVM/codegen/session warmup and first-touch parquet reader cost
     // so neither is charged to whichever query runs first; fixed name order
     // for stable attribution. The window pass matters: WindowExec + sort
@@ -32,6 +60,9 @@ object Bench {
     // window/projection expressions and under-measures projection queries
     import org.apache.spark.sql.functions.{col, sum => fsum, xxhash64}
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      drainListenerBus()
+      val s0 = stagesAcc.get
+      val b0 = shuffleBytesAcc.get
       val t0 = System.nanoTime()
       try {
         val out = fn(spark, sfDir)
@@ -39,13 +70,21 @@ object Bench {
         out.select(xxhash64(out.columns.toIndexedSeq.map(col): _*).cast("double").as("__h"))
           .agg(fsum("__h")).collect()
       } catch { case _: Throwable => () }
+      val secs = (System.nanoTime() - t0) / 1e9
       graft.ops.Caches.releaseAll()
-      name -> (System.nanoTime() - t0) / 1e9
+      drainListenerBus()
+      (name, secs, shuffleBytesAcc.get - b0, stagesAcc.get - s0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val qstats = results
+      .map { case (k, v, b, st) =>
+        s"\"" + k + s"""\":{"secs":$v,"shuffleBytes":$b,"stages":$st}"""
+      }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""queryStats":$qstats,"sf":"$sfDir"}"""
     // sbt wraps stdout in [info] prefixes, which broke the driver's JSON
     // parse in round 1 — print FIRST (stdout + bare stderr line), then also
     // write the file copy; a file-write failure (read-only cwd) must not
@@ -56,11 +95,12 @@ object Bench {
       java.nio.file.Paths.get("bench_result.json"),
       (json + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
-    // the full per-query line is ~4 KB and a tail-limited capture window can
+    // the full per-query line is large and a tail-limited capture window can
     // cut it from the FRONT (observed in round 2: the driver recorded
     // "parsed": null even though the line itself was valid). Emit a short
     // summary with no per-query dict as the very last line on both streams —
-    // short enough that no tail window can truncate it.
+    // short enough that no tail window can truncate it. DO NOT append
+    // anything after it: the driver parses the LAST stdout line.
     val summary = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
     println(summary)
     System.err.println(summary)
