@@ -163,6 +163,76 @@ object Streaming {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** NEAR-dup-dedup-as-stream — the streaming analog of the `d14` LSH
+    * composition's ingest decision, built from the same primitives: the
+    * native [[graft.functions.MinHashSig]] signature (array-local, no
+    * shuffle), the identical band hashing as batch
+    * [[graft.ops.Dedup.lshCandidates]] (md5 over the band's minhash
+    * strings), then watermark-bounded FIRST-CLAIMANT state per
+    * (band_idx, band_hash) key and a windowed count closing the per-doc
+    * verdict: a doc is KEPT iff it claimed ALL of its band keys first.
+    *
+    * Contract vs batch d14 (stated, not hidden): batch resolves clusters
+    * by transitive closure over agreement-filtered candidates and keeps
+    * one doc per cluster; the stream keeps a doc iff NO band key was
+    * already claimed inside the watermark horizon. The two agree whenever
+    * each near-duplicate band-collides with an earlier member of its
+    * cluster directly (exact and close near-dups — the overwhelming case;
+    * pinned in `StreamingSpec` against the batch composition on the same
+    * corpus). Chains still dedupe: a dropped doc's unclaimed-first bands
+    * stay claimed by their first claimant, so later members of the same
+    * cluster keep colliding. Divergences: the stream has no agreement
+    * refinement on a collision (banding alone gates, est. Jaccard ≥
+    * (1/nBands)^(1/rowsPerBand) per band), and state ages out past the
+    * watermark (the same horizon contract as [[exactDedupStream]] — at
+    * 100 TB/day the horizon IS the contract).
+    *
+    * Docs with fewer than `shingleK` tokens carry no shingle evidence and
+    * are NOT consumed (same as batch `minhashSignaturesLocal`, where they
+    * produce no signature and resolve as singleton keepers) — route them
+    * around the filter as unconditional keeps.
+    *
+    * Scale shape: signature + banding are stateless and partition-local;
+    * the claim state holds one row per distinct band key within the
+    * horizon (sub-linear in docs for duplicate-heavy ingest); the closing
+    * count shuffles nBands rows per doc, grouped by event-time window so
+    * append mode finalizes when the watermark passes the window end.
+    */
+  def nearDupDedupStream(
+      docs: DataFrame,
+      tsCol: String,
+      idCol: String,
+      textCol: String,
+      shingleK: Int,
+      nHashes: Int,
+      nBands: Int,
+      watermarkDelay: String,
+      windowLength: String = "1 hour"): DataFrame = {
+    require(nHashes % nBands == 0, "nHashes must divide into nBands")
+    val rpb = nHashes / nBands
+    val toks = graft.ops.Text.tokens(col(textCol))
+    val sig = graft.functions.MinHashSig(
+      array_distinct(graft.ops.Text.shingles(toks, shingleK)), nHashes)
+    val withSig = docs
+      .filter(size(toks) >= shingleK)
+      .select(col(idCol), col(tsCol), sig.as("__sig"))
+    val bandCols = (0 until nBands).map { b =>
+      val parts = (0 until rpb).map(r => element_at(col("__sig"), b * rpb + r + 1))
+      struct(lit(b).as("band_idx"), md5(concat(parts: _*)).as("band_hash"))
+    }
+    val claims = withSig
+      .select(col(idCol), col(tsCol), explode(array(bandCols: _*)).as("bd"))
+      .select(col(idCol), col(tsCol), col("bd.band_idx").as("band_idx"),
+        col("bd.band_hash").as("band_hash"))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("band_idx", "band_hash")
+    claims
+      .groupBy(window(col(tsCol), windowLength), col(idCol))
+      .agg(count(lit(1)).as("n_bands"))
+      .filter(col("n_bands") === nBands)
+      .select(col(idCol), col("n_bands"))
+  }
+
   /** Running (cumulative) per-key aggregate — the streaming analog of the
     * reference's partial_fit scaler accumulation (A10): counts/sums update
     * incrementally per micro-batch.

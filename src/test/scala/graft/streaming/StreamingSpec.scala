@@ -327,6 +327,56 @@ class StreamingSpec extends SparkSpec {
     assert(out == Seq(("u1", 2L, 3.0)))
   }
 
+  test("nearDupDedupStream: LSH near-dup kept set matches the batch d14 survivors") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Dedup
+    val a = "the quick brown fox jumps over the lazy dog"
+    val b = "pack my box with five dozen liquor jugs"
+    val c = "sphinx of black quartz judge my vow"
+    val originals = Seq((ts(1), 1L, a), (ts(2), 3L, b), (ts(3), 5L, c))
+    val dups = Seq((ts(4), 2L, a), (ts(5), 4L, b)) // exact near-dups of 1 and 3
+    val corpus = (originals ++ dups).map { case (_, id, t) => (id, t) }
+
+    // batch ground truth: the d14 composition's survivors (cluster
+    // representative = the minimum reachable id from connectedComponents)
+    val docs = corpus.toDF("doc_id", "text")
+    val sig = Dedup.minhashSignaturesLocal(docs, "doc_id", "text", 3, 8)
+    val pairs = Dedup.lshCandidates(sig, "doc_id", 8, 4)
+      .filter(col("n_equal") >= 6).select("a_id", "b_id")
+    val comp = Dedup.connectedComponents(pairs, "a_id", "b_id")
+      .withColumnRenamed("id", "doc_id")
+    val batchSurvivors = docs.join(comp, Seq("doc_id"), "left")
+      .filter(coalesce(col("comp"), col("doc_id")) === col("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(batchSurvivors == Set(1L, 3L, 5L)) // sanity: dups clustered
+
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val df = input.toDF().toDF("ts", "doc_id", "text")
+    val q = Streaming.nearDupDedupStream(
+      df, "ts", "doc_id", "text", shingleK = 3, nHashes = 8, nBands = 4,
+      watermarkDelay = "10 seconds", windowLength = "1 minute")
+      .writeStream.format("memory").queryName("neardup_stream").outputMode("append").start()
+    try {
+      // originals land a batch before their dups, so first-claimant order
+      // is deterministic; the pusher closes the [0, 60s) window
+      input.addData(originals: _*); q.processAllAvailable()
+      input.addData(dups: _*); q.processAllAvailable()
+      input.addData((ts(600), 99L, "totally unrelated watermark pusher text here"))
+      q.processAllAvailable()
+      val kept = spark.table("neardup_stream").as[(Long, Long)].collect().toMap
+      assert(kept.keySet == batchSurvivors, s"stream kept ${kept.keySet}")
+      assert(kept.values.forall(_ == 4L)) // every keeper claimed all 4 bands
+      // horizon contract: band-claim state ages out past the watermark, so
+      // a long-delayed duplicate of doc 1 is RE-ADMITTED (same contract as
+      // exactDedupStream); a second pusher closes its window
+      input.addData((ts(601), 7L, a)); q.processAllAvailable()
+      input.addData((ts(1200), 98L, "second pusher with more unrelated text"))
+      q.processAllAvailable()
+      val later = spark.table("neardup_stream").as[(Long, Long)].collect().map(_._1).toSet
+      assert(later == batchSurvivors ++ Set(99L, 7L), s"got $later")
+    } finally q.stop()
+  }
+
   test("exactDedupStream keeps the first doc per fingerprint within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
