@@ -66,6 +66,15 @@ object Graph {
     * the node count; an explicit value is validated against the same
     * overflow bound (and must mirror into any cross-engine oracle).
     */
+  /** `checkpointEvery`: truncate the rank frame's lineage with an eager
+    * `localCheckpoint` every N iterations — the same per-round hygiene as
+    * [[Dedup.connectedComponents]]. At the default 5 iterations the
+    * nested plan is harmless, so 0 (off) is the default; long-iteration
+    * runs (≥ ~10) should pass 1 — without truncation Catalyst re-analyzes
+    * one nesting level per round and plan prep grows superlinearly (on a
+    * cluster with dynamic allocation, swap for reliable `checkpoint`).
+    * Checkpointing changes no values, only the plan boundary.
+    */
   def pagerankScaled(
       pairs: DataFrame,
       nodes: DataFrame,
@@ -73,7 +82,8 @@ object Graph {
       bCol: String,
       idCol: String,
       iters: Int = 5,
-      scale: Option[Long] = None): DataFrame = {
+      scale: Option[Long] = None,
+      checkpointEvery: Int = 0): DataFrame = {
     val fwd = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
     val rev = pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst"))
     val edges = Caches.trackPersist(fwd.union(rev).distinct())
@@ -89,7 +99,7 @@ object Graph {
         "use derivedScale or pass a smaller scale")
     val base = 15L * sc / 100 // 0.15, exact: sc is a multiple of 100
     var ranks = ids.withColumn("rank_scaled", lit(sc))
-    (1 to iters).foreach { _ =>
+    (1 to iters).foreach { i =>
       val contrib = edges
         .join(deg, "src")
         .join(ranks.select(col("id").as("src"), col("rank_scaled")), "src")
@@ -101,6 +111,8 @@ object Graph {
         .select(
           col("id"),
           (lit(base) + expr("85 * coalesce(s, 0L) DIV 100")).as("rank_scaled"))
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
+        ranks = ranks.localCheckpoint()
     }
     ranks
   }

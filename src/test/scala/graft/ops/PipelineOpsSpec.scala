@@ -113,6 +113,22 @@ class PipelineOpsSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("pagerankScaled: checkpointEvery truncates lineage without changing values") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)).toDF("a", "b")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id0")
+    val plain = Graph.pagerankScaled(pairs, nodes, "a", "b", "id0", iters = 12)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    Caches.releaseAll()
+    val ckpt = Graph.pagerankScaled(pairs, nodes, "a", "b", "id0", iters = 12,
+      checkpointEvery = 1)
+    val ckptRows = ckpt.orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(ckptRows == plain)
+    // the checkpoint actually bounds the plan: the iterated join tower is
+    // gone (a LogicalRDD scan leaf replaces the nested lineage)
+    assert(ckpt.queryExecution.optimizedPlan.toString.contains("LogicalRDD"))
+    Caches.releaseAll()
+  }
+
   test("pagerankScaled survives a 10^6-node component: scale derives from n, no overflow") {
     // star with one hub and 10^6 leaves: after one iteration the hub
     // receives the full leaf mass, Σ = 10^6·scale — at the canonical 10^12
