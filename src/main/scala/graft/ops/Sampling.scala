@@ -45,6 +45,15 @@ object Sampling {
     * chosen by hash order (plus the key as total tiebreak) — per-class
     * balancing / per-source capping without `rand()`, reproducible across
     * runs and partitionings. One shuffle on the strata keys.
+    *
+    * Hot-stratum scale note (probed at 1M rows with one stratum holding
+    * 803k members — see BASELINE.md round-6 probes): the `row_number <= n`
+    * filter plans as Partial+Final `WindowGroupLimit`, so every map task
+    * pre-prunes to ≤ n rows per stratum BEFORE the exchange — a skewed
+    * stratum never ships its full membership through one task, and the
+    * window form matches a per-key heap within noise. Keep the rank filter
+    * directly over the window (that adjacency is what the optimizer
+    * pattern-matches).
     */
   def stratifiedSample(
       df: DataFrame,
