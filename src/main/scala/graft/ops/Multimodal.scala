@@ -232,6 +232,31 @@ object Multimodal {
       }(encoder)
   }
 
+  /** Partition-local WAV ENCODE stage: (id, srcCol bytes) → (id, payload)
+    * where payload is a real RIFF/WAVE PCM-16 binary whose samples are an
+    * affine map of the source bytes (`s = (b − 64)·512`, spreading ASCII
+    * text across the amplitude range) — the audio twin of
+    * [[encodeBmpPayload]], letting the WAV decode path run and be
+    * oracle-checked against genuine audio binaries.
+    */
+  def encodeWavPayload(df: DataFrame, idCol: String, srcCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("payload", BinaryType)))
+    val encoder = org.apache.spark.sql.Encoders.row(schema)
+    df.select(col(idCol).cast("long"), col(srcCol).cast("binary"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val bs = if (bytes == null) Array.emptyByteArray else bytes
+          val samples = new Array[Short](bs.length)
+          var i = 0
+          while (i < bs.length) { samples(i) = (((bs(i) & 0xff) - 64) * 512).toShort; i += 1 }
+          Row(r.getLong(0), wavPcm16Bytes(samples))
+        }
+      }(encoder)
+  }
+
   /** Partition-local decode stage: (id, payload) → (id, features[16]).
     * mapPartitions keeps the batch shape (one iterator per partition, no
     * per-row closure overhead) and never shuffles the payload bytes.

@@ -299,6 +299,40 @@ object Stats {
     per.unionByName(mac)
   }
 
+  /** Calibration (reliability-diagram) bins: scores in [0, 1] bucket into
+    * `nBins` equal-width bins (`min(⌊s·nBins⌋, nBins−1)`, so s = 1.0 joins
+    * the top bin) and each bin reports (n, mean_score, frac_pos) — the
+    * table a reliability plot reads straight off, and the ECE integrand.
+    *
+    * Determinism: bin ids and counts are integers; mean_score sums the
+    * scale-9-TRUNCATED scores (the [[Exact.dsumTrunc9]] contract — the
+    * metric is defined over quantized scores, ≤1e-9 per row, buying
+    * partition-order independence); frac_pos is one BIGINT→double
+    * division. Empty bins emit no row (their reliability is undefined).
+    * One partial-aggregated groupBy, nBins output rows.
+    */
+  def calibrationBins(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      nBins: Int): DataFrame = {
+    require(nBins > 0, s"need nBins > 0, got $nBins")
+    df.withColumn(
+        "bin",
+        least(floor(col(scoreCol) * nBins).cast("long"), lit(nBins - 1L)))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n"),
+        Exact.dsumTrunc9(col(scoreCol)).as("__ss"),
+        sum(col(labelCol).cast("long")).as("pos"))
+      .select(
+        col("bin"),
+        col("n"),
+        (col("__ss") / col("n").cast("double")).as("mean_score"),
+        col("pos"),
+        (col("pos").cast("double") / col("n").cast("double")).as("frac_pos"))
+  }
+
   /** Classification evaluation — per-class (n_true, n_pred, tp, precision,
     * recall, f1) over an (actual, predicted) column pair. NULL predictions
     * (an abstaining classifier) count toward n_true only — a false

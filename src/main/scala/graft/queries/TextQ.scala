@@ -431,6 +431,89 @@ object TextQ {
               WHERE va.dim % 2 = 0""")),
 
     QDef(
+      "mm3_decode_audio",
+      // the audio leg of the multimodal pipeline: each document's bytes
+      // become REAL RIFF/WAVE PCM-16 payloads (samples = (byte-64)·512,
+      // spreading ASCII across the amplitude range), the decode stage
+      // genuinely walks the chunk list and parses s16le samples, and the
+      // feature is the 16-bin amplitude histogram of the decoded audio.
+      // The sample map is known, so DuckDB re-derives each bin from
+      // ord(...) arithmetic — bin = ((b-64)·512 + 32768) // 4096, always
+      // positive, so floor division and arithmetic shift agree
+      (s, d) => {
+        val enc = Multimodal.encodeWavPayload(
+          t(s, d, "documents").select(col("doc_id"), col("text")), "doc_id", "text")
+        Multimodal.decodeFeatures(enc, "doc_id")
+          .select(col("doc_id"), posexplode(col("features")).as(Seq("dim", "value")))
+          .select(col("doc_id"), col("dim").cast("long").as("dim"), col("value"))
+      },
+      Some("""WITH docs AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+              mt AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS len FROM docs),
+              b AS (SELECT doc_id,
+                      ((ord(substr(text, CAST(i.i AS INTEGER), 1)) - 64) * 512 + 32768) // 4096 AS bin
+                    FROM docs, unnest(generate_series(1, CAST(strlen(text) AS BIGINT))) AS i(i)),
+              cnt AS (SELECT doc_id, bin, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+              v AS (SELECT m.doc_id, dm.dim,
+                      CASE WHEN m.len > 0
+                           THEN CAST(coalesce(cnt.c, 0) AS DOUBLE) / CAST(m.len AS DOUBLE)
+                           ELSE CAST(0.0 AS DOUBLE) END AS value
+                    FROM mt m
+                    CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS dim) dm
+                    LEFT JOIN cnt ON cnt.doc_id = m.doc_id AND cnt.bin = dm.dim)
+              SELECT doc_id, CAST(dim AS BIGINT) AS dim, value FROM v""")),
+
+    QDef(
+      "mm4_frame_features",
+      // frame sampling registered as a CORRECTNESS query (it was
+      // test-only): the payload chops into fixed 64-byte frames — the
+      // video-frame / audio-window generator expansion — and each frame
+      // reports its length and content sha256, so the oracle pins the
+      // exact frame boundaries AND bytes. One in-stage generator off the
+      // scan, no shuffle
+      (s, d) => {
+        val withPayload = Multimodal.attachPayload(
+          t(s, d, "documents").select(col("doc_id"), col("text")), "text")
+        Multimodal.sampleFrames(withPayload, "doc_id", 64)
+          .select(
+            col("doc_id"),
+            col("frame_idx").cast("long").as("frame_idx"),
+            octet_length(col("frame_bytes")).cast("long").as("n_bytes"),
+            sha2(col("frame_bytes"), 256).as("frame_sha256"))
+      },
+      Some("""WITH docs AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+              f AS (SELECT doc_id, i.i AS frame_idx,
+                      substr(text, CAST(i.i * 64 + 1 AS INTEGER), 64) AS fb
+                    FROM docs, unnest(generate_series(0,
+                      greatest((CAST(strlen(text) AS BIGINT) - 1) // 64, 0))) AS i(i))
+              SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+                CAST(strlen(fb) AS BIGINT) AS n_bytes, sha256(fb) AS frame_sha256
+              FROM f""")),
+
+    QDef(
+      "m14_calibration_bins",
+      // the reliability-diagram table (and ECE integrand): quality_score
+      // in [0,1] as the "probability", label = is-English; 10 equal-width
+      // bins report (n, mean predicted score, observed positive rate).
+      // Integer counts + truncated-sum mean + one ratio per bin — the
+      // same determinism recipe as the other evaluation ops
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val scored = Text.qualityScore(docs, "doc_id", "text")
+          .join(docs.select(col("doc_id"), (col("lang") === "en").cast("long").as("y")), "doc_id")
+        Stats.calibrationBins(scored, "quality_score", "y", 10)
+      },
+      Some(s"""WITH ${Text.qualitySql()},
+               sc AS (SELECT q.doc_id, q.quality_score AS s,
+                        CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+                      FROM qual q JOIN documents d ON d.doc_id = q.doc_id),
+               b AS (SELECT least(CAST(floor(s * 10) AS BIGINT), 9) AS bin, s, y FROM sc)
+               SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                 ${graft.ops.Exact.sqlDsumTrunc9("s")} / CAST(count(*) AS DOUBLE) AS mean_score,
+                 CAST(sum(y) AS BIGINT) AS pos,
+                 CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS frac_pos
+               FROM b GROUP BY 1""")),
+
+    QDef(
       "profile_documents",
       // the ingest-time data-quality audit: one aggregation pass profiles
       // every column's row/null/distinct counts

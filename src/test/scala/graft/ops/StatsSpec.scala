@@ -134,6 +134,22 @@ class StatsSpec extends SparkSpec {
     assert(out.size == 4)
   }
 
+  test("calibrationBins: equal-width bins, top edge joins the last bin, empty bins absent") {
+    val df = Seq(
+      (0.05, 1L), (0.05, 0L), // bin 0
+      (0.95, 1L), (1.0, 1L) // bin 9 (s = 1.0 clamps into the top bin)
+    ).toDF("s", "y")
+    val out = Stats.calibrationBins(df, "s", "y", 10)
+      .select("bin", "n", "mean_score", "pos", "frac_pos")
+      .as[(Long, Long, Double, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(0L, 9L)) // empty bins emit no row
+    assert(out(0L)._2 == 2L && out(0L)._4 == 1L && out(0L)._5 == 0.5)
+    assert(math.abs(out(0L)._3 - 0.05) < 1e-9)
+    assert(out(9L)._2 == 2L && out(9L)._4 == 2L && out(9L)._5 == 1.0)
+    assert(math.abs(out(9L)._3 - 0.975) < 1e-9)
+  }
+
   test("regressionMetrics: constant actual (SST=0) gives NULL r2, not NaN/Inf") {
     val const = Seq(("g", 5.0, 5.5), ("g", 5.0, 4.5), ("g", 5.0, 5.0)).toDF("k", "y", "yp")
     val row = Stats.regressionMetrics(const, Seq("k"), "y", "yp")
