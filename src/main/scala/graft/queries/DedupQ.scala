@@ -167,6 +167,69 @@ object DedupQ {
       }),
 
     QDef(
+      "d15_lsh_pair_recall",
+      // the LSH dedup audit, MEASURED like the ANN recalls: pair-level
+      // recall and candidate precision of d14's banded ≥6/8 gate against
+      // d2's exact Jaccard ≥ 0.5 relation (the audit-grade truth). One
+      // summary row of integer counts + two closing divisions — the
+      // "banding bounds candidates" claim gets a regression-pinned
+      // quality number to go with its probed cost number
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val truth = Caches.trackPersist(
+          Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5).select("a_id", "b_id"))
+        val sig = Dedup.minhashSignaturesLocal(docs, "doc_id", "text", 3, 8)
+        val found = Caches.trackPersist(
+          Dedup.lshCandidates(sig, "doc_id", 8, 4)
+            .filter(col("n_equal") >= 6).select("a_id", "b_id"))
+        val hit = truth
+          .join(found.withColumn("__f", lit(1L)), Seq("a_id", "b_id"), "left")
+          .agg(
+            count(lit(1)).as("n_true"),
+            sum(coalesce(col("__f"), lit(0L))).as("n_hit"))
+        val cand = found.agg(count(lit(1)).as("n_cand"))
+        hit.crossJoin(cand).select(
+          col("n_true"), col("n_cand"), col("n_hit"),
+          when(col("n_true") > 0,
+            col("n_hit").cast("double") / col("n_true").cast("double")).as("recall"),
+          when(col("n_cand") > 0,
+            col("n_hit").cast("double") / col("n_cand").cast("double")).as("precision"))
+      },
+      Some {
+        val bands = (0 until 4).map(b =>
+          s"SELECT doc_id, $b AS band_idx, md5(mh_${2 * b} || mh_${2 * b + 1}) AS band_hash FROM sig")
+          .mkString(" UNION ALL ")
+        val agree = (0 until 8).map(j => s"(CASE WHEN sa.mh_$j = sb.mh_$j THEN 1 ELSE 0 END)").mkString(" + ")
+        s"""WITH $shSql, $sigSql,
+            sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+            pp AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS shared
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+            truth AS (SELECT a_id, b_id FROM pp
+                      JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+                      WHERE CAST(shared AS DOUBLE) / CAST(sa.n + sb.n - shared AS DOUBLE)
+                            >= CAST(0.5 AS DOUBLE)),
+            bands AS ($bands),
+            cand0 AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                      FROM bands a JOIN bands b ON a.band_idx = b.band_idx
+                        AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+            foundq AS (SELECT a_id, b_id FROM cand0
+                       JOIN sig sa ON sa.doc_id = a_id JOIN sig sb ON sb.doc_id = b_id
+                       WHERE ($agree) >= 6),
+            h AS (SELECT CAST(count(*) AS BIGINT) AS n_true,
+                    CAST(sum(CASE WHEN f.a_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+                  FROM truth t LEFT JOIN foundq f
+                    ON f.a_id = t.a_id AND f.b_id = t.b_id),
+            c AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM foundq)
+            SELECT h.n_true, c.n_cand, h.n_hit,
+              CASE WHEN h.n_true > 0
+                   THEN CAST(h.n_hit AS DOUBLE) / CAST(h.n_true AS DOUBLE) END AS recall,
+              CASE WHEN c.n_cand > 0
+                   THEN CAST(h.n_hit AS DOUBLE) / CAST(c.n_cand AS DOUBLE) END AS "precision"
+            FROM h, c"""
+      }),
+
+    QDef(
       "d6_shared_spans",
       // exact substring-level dedup: maximal shared token spans >= 5 between
       // doc pairs, via 3-gram position join + diagonal islands. Grams in

@@ -490,6 +490,39 @@ object TextQ {
               FROM f""")),
 
     QDef(
+      "t15_char_entropy",
+      // per-doc character-distribution Shannon entropy (nats) — the
+      // gibberish / encoding-junk / low-diversity quality signal that
+      // complements t2's token-level ratios: natural text sits in a narrow
+      // entropy band, base64 blobs and aaaa-runs fall far outside it.
+      // ln is the correctly-rounded MathLn; the per-doc term sum goes
+      // through tie-free truncated scale-9 fixed point (entropy ≤ ln 128,
+      // so the scaled sum stays far under 2^53) — the t10 recipe at
+      // per-doc granularity
+      (s, d) => {
+        import graft.functions.MathLn
+        val chars = t(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        val cnt = chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+        val terms = cnt
+          .withColumn("n", sum("c").over(Window.partitionBy("doc_id")))
+          .withColumn("p", col("c").cast("double") / col("n").cast("double"))
+          .withColumn("h_term", col("p") * MathLn(col("p")))
+        terms.groupBy("doc_id").agg(
+          max(col("n")).as("n_chars"),
+          count(lit(1)).as("n_distinct_chars"),
+          (-Exact.dsumTrunc9(col("h_term"))).as("char_entropy"))
+      },
+      Some(s"""WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+               cnt AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c FROM ch GROUP BY 1, 2),
+               t AS (SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM cnt),
+               p2 AS (SELECT doc_id, n, CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS p FROM t)
+               SELECT doc_id, CAST(max(n) AS BIGINT) AS n_chars,
+                 CAST(count(*) AS BIGINT) AS n_distinct_chars,
+                 -${Exact.sqlDsumTrunc9("p * ln(p)")} AS char_entropy
+               FROM p2 GROUP BY 1""")),
+
+    QDef(
       "m14_calibration_bins",
       // the reliability-diagram table (and ECE integrand): quality_score
       // in [0,1] as the "probability", label = is-English; 10 equal-width
