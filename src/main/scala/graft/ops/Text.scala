@@ -230,6 +230,51 @@ object Text {
         (Exact.dsumTrunc9(col("__lp")) / count(lit(1)).cast("double")).as("avg_logprob"))
   }
 
+  /** Corpus-trained BIGRAM LM fluency score — [[unigramLogProb]]'s
+    * sequential big sibling: per doc, the mean `ln P(wᵢ | wᵢ₋₁)` over its
+    * ordered bigrams, with MLE conditionals `c(w₁w₂)/c(w₁·)` estimated
+    * from the corpus's own bigram bag (prefix counts are the bigram bag
+    * re-grouped by first word, so conditionals sum to 1 per history and
+    * every doc bigram exists in the table — no backoff mass needed).
+    * Unigram logprob scores vocabulary typicality; this scores SEQUENCE
+    * typicality (shuffled or boilerplate-stitched text keeps its unigram
+    * score but craters here). Docs with fewer than 2 tokens emit no row.
+    *
+    * Scale shape: same as unigram — the fitted tables are sub-linear in
+    * corpus size and the planner has NO stats on them (fresh aggregates),
+    * so they broadcast explicitly; the bigram bag itself never shuffles
+    * for the joins. The bigram vocab grows faster than the unigram one,
+    * so the `broadcastVocab = false` shuffle-join regime arrives earlier —
+    * results are bit-identical either way.
+    *
+    * Determinism: identical recipe to [[unigramLogProb]] — BIGINT→double
+    * conditional, [[graft.functions.MathLn]], per-doc [[Exact.dsumTrunc9]]
+    * term sum, one closing division.
+    */
+  def bigramLogProb(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      broadcastVocab: Boolean = true): DataFrame = {
+    val toks = tokens(col(textCol))
+    val bg = spread(df, idCol)
+      .filter(size(toks) >= 2)
+      .select(col(idCol), explode(shingles(toks, 2)).as("bigram"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+    val bgCounts = bg.groupBy("bigram").agg(count(lit(1)).as("__cb"))
+    val prefCounts = bg.groupBy("w1").agg(count(lit(1)).as("__cp"))
+    bg.join(if (broadcastVocab) broadcast(bgCounts) else bgCounts, "bigram")
+      .join(if (broadcastVocab) broadcast(prefCounts) else prefCounts, "w1")
+      .select(
+        col(idCol),
+        graft.functions.MathLn(col("__cb").cast("double") / col("__cp").cast("double"))
+          .as("__lp"))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        (Exact.dsumTrunc9(col("__lp")) / count(lit(1)).cast("double")).as("avg_logprob"))
+  }
+
   /** Sequence packing — assign documents to fixed-capacity token packs
     * (context windows), the concat-and-chunk layout LLM training shards
     * use: within each shard, docs are laid end-to-end in id order and a

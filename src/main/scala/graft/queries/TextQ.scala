@@ -744,6 +744,29 @@ object TextQ {
                FROM lp GROUP BY 1""")),
 
     QDef(
+      "t16_bigram_logprob",
+      // t13's sequential sibling: mean bigram conditional log-prob per doc
+      // (MLE c(w1 w2)/c(w1·) from the corpus's own bigram bag) — scores
+      // SEQUENCE typicality where unigram scores vocabulary typicality;
+      // shuffled/boilerplate-stitched text keeps its t13 score but craters
+      // here. Same MathLn + dsumTrunc9 determinism recipe; fitted tables
+      // broadcast explicitly (the planner has no stats on them)
+      (s, d) => Text.bigramLogProb(t(s, d, "documents"), "doc_id", "text"),
+      Some(s"""WITH tk AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+                           FROM documents),
+               bg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bigram, toks[i] AS w1
+                      FROM tk, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+                      WHERE len(toks) >= 2),
+               cb AS (SELECT bigram, CAST(count(*) AS BIGINT) AS cb FROM bg GROUP BY 1),
+               cp AS (SELECT w1, CAST(count(*) AS BIGINT) AS cp FROM bg GROUP BY 1),
+               lp AS (SELECT g.doc_id,
+                        ln(CAST(cb.cb AS DOUBLE) / CAST(cp.cp AS DOUBLE)) AS l
+                      FROM bg g JOIN cb ON cb.bigram = g.bigram JOIN cp ON cp.w1 = g.w1)
+               SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                 ${Exact.sqlDsumTrunc9("l")} / CAST(count(*) AS DOUBLE) AS avg_logprob
+               FROM lp GROUP BY 1""")),
+
+    QDef(
       "t14_normalize",
       // Unicode NFC canonicalization ahead of byte-level ops (fingerprints,
       // shingle hashes, equality joins) — native codegen expression, DuckDB

@@ -45,6 +45,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p1.contains("Exchange") && !p2.contains("Exchange"))
   }
 
+  test("bigramLogProb broadcasts BOTH fitted tables (bigram + prefix vocab)") {
+    // the unigramLogProb lesson applies twice over: fresh aggregates have
+    // no stats, so without the hints the planner SMJs the token bag on
+    // string keys — the 40s→8.5s probe regression
+    val df = (0L until 40L).map(i => (i, s"alpha beta gamma tok${i % 5} delta"))
+      .toDF("doc_id", "text")
+    val p = plan(Text.bigramLogProb(df, "doc_id", "text"))
+    val bcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bcasts >= 2, s"expected both vocab joins broadcast, got $bcasts:\n$p")
+  }
+
+  test("macroAuc grid: the class list broadcasts; corpus side streams") {
+    val df = (0L until 60L).map(i => (i, Seq("en", "de", "fr")(i.toInt % 3), i % 7))
+      .toDF("doc_id", "lang", "score")
+    val classes = df.select(col("lang").as("class")).distinct()
+    val grid = df.crossJoin(broadcast(classes))
+    val p = plan(grid)
+    assert(p.contains("BroadcastNestedLoopJoin"), s"class grid not broadcast:\n$p")
+  }
+
   test("Cdc.upsert plans a WindowGroupLimit (rn=1 pruned during the sort, no full window)") {
     val base = (0L until 50L).map(i => (i % 10, i, s"b$i")).toDF("k", "ts", "v")
     val upd = (0L until 20L).map(i => (i % 10, i + 100, s"u$i")).toDF("k", "ts", "v")
