@@ -173,7 +173,10 @@ object DedupQ {
       // d2's exact Jaccard ≥ 0.5 relation (the audit-grade truth). One
       // summary row of integer counts + two closing divisions — the
       // "banding bounds candidates" claim gets a regression-pinned
-      // quality number to go with its probed cost number
+      // quality number to go with its probed cost number. Inherits d2's
+      // audit-baseline contract: the exact truth side is the uncapped
+      // inverted-index join, so at web scale this audit runs on a
+      // deterministic SAMPLE of the corpus, never the full ingest
       (s, d) => {
         val docs = t(s, d, "documents")
         val truth = Caches.trackPersist(
