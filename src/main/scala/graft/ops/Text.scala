@@ -245,7 +245,12 @@ object Text {
     * so they broadcast explicitly; the bigram bag itself never shuffles
     * for the joins. The bigram vocab grows faster than the unigram one,
     * so the `broadcastVocab = false` shuffle-join regime arrives earlier —
-    * results are bit-identical either way.
+    * results are bit-identical either way. Probed at the cliff (BASELINE.md
+    * round-6: 300k docs / 17.5M distinct bigrams, a near-unique-pair
+    * stress corpus): the two regimes are comparable there, but the
+    * broadcast side carries the unstable tail (a GB-scale broadcast built
+    * under memory pressure ran 2-3× its own best) — beyond ~10M vocab
+    * entries, or with tight driver memory, pass `false`.
     *
     * Determinism: identical recipe to [[unigramLogProb]] — BIGINT→double
     * conditional, [[graft.functions.MathLn]], per-doc [[Exact.dsumTrunc9]]
