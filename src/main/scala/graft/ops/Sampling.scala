@@ -98,6 +98,52 @@ object Sampling {
     df.filter(hashU24(col(keyCol)) % 10000L < threshold)
   }
 
+  /** Temperature-smoothed mixture weights at α = 0.5 — the multilingual /
+    * multi-source rebalancing move (T5 / UniMax shape): target share of
+    * stratum ℓ ∝ p_ℓ^α, flattening the head and lifting the tail. α is
+    * FIXED at 0.5 because that exponent is `sqrt` — the one temperature
+    * whose power function is correctly rounded IEEE in every engine
+    * (general `pow`/`exp` are not, and would break the cross-engine hash
+    * contract).
+    *
+    * Emits one row per stratum: (stratum, n_docs, p, target_share,
+    * keep_per_10k), where keep_per_10k is the per-myriad downsampling
+    * threshold that realizes the target mixture at the LARGEST total that
+    * needs no upsampling (the arg-min stratum keeps ~everything) — feed
+    * it straight into [[mixtureSample]]-style hash thresholds.
+    *
+    * Determinism: p is one BIGINT→double division; w = sqrt(p) is IEEE;
+    * the stratum-count-sized Σw goes through tie-free truncated scale-9
+    * fixed point (the [[Exact.dsumTrunc9]] recipe inlined as a window — a
+    * bare double SUM over a handful of rows is partition-order-dependent);
+    * min over ratios is exact; the closing floor sees identical doubles
+    * in both engines. Scale shape: one partial-agged groupBy collapses
+    * the corpus to the STRATUM frame; every window after that is
+    * unpartitioned over that frame — a handful of rows, bounded by the
+    * stratum count, never corpus-sized.
+    */
+  def temperatureMixtureSqrt(df: DataFrame, strataCol: String): DataFrame = {
+    val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val m = floor(abs(col("__w")) * lit(1.0e9d))
+    val wSum = sum(when(col("__w") < 0, -m).otherwise(m)
+      .cast(org.apache.spark.sql.types.DecimalType(38, 0))).over(all)
+      .cast("double") / lit(1.0e9d)
+    df.groupBy(strataCol).agg(count(lit(1)).as("n_docs"))
+      .withColumn("p",
+        col("n_docs").cast("double") / sum(col("n_docs")).over(all).cast("double"))
+      .withColumn("__w", sqrt(col("p")))
+      .withColumn("target_share", col("__w") / wSum)
+      .withColumn("__ratio", col("p") / col("target_share"))
+      .withColumn("__s", min(col("__ratio")).over(all))
+      .select(
+        col(strataCol),
+        col("n_docs"),
+        col("p"),
+        col("target_share"),
+        floor(col("__s") * col("target_share") / col("p") * lit(10000.0))
+          .cast("long").as("keep_per_10k"))
+  }
+
   /** Split assignment: `cuts` are (label, upperBoundExclusive) pairs over
     * `den` hash buckets, in ascending bound order with the last bound ==
     * den — e.g. Seq(("train",8),("val",9),("test",10)) with den=10 is an

@@ -426,6 +426,33 @@ object DedupQ {
                                      ELSE 2500 END""")),
 
     QDef(
+      "temperature_mix",
+      // temperature-smoothed mixture weights at α = 0.5 over the corpus
+      // languages (the T5/UniMax multilingual rebalance): target share ∝
+      // √p flattens the en-heavy head and lifts the tail; keep_per_10k is
+      // the downsampling threshold realizing the mixture with no stratum
+      // upsampled. α is pinned at 0.5 because sqrt is the one IEEE-exact
+      // power — general pow/exp would break the cross-engine hash
+      (s, d) => Sampling.temperatureMixtureSqrt(
+        t(s, d, "documents").select("doc_id", "lang"), "lang"),
+      Some(s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+                          FROM documents GROUP BY 1),
+               tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS N FROM c),
+               wv AS (SELECT lang, n_docs,
+                        CAST(n_docs AS DOUBLE) / CAST(N AS DOUBLE) AS p,
+                        sqrt(CAST(n_docs AS DOUBLE) / CAST(N AS DOUBLE)) AS wval
+                      FROM c, tot),
+               ws AS (SELECT ${graft.ops.Exact.sqlDsumTrunc9("wval")} AS wsum FROM wv),
+               t AS (SELECT lang, n_docs, p, wval / ws.wsum AS target_share,
+                       p / (wval / ws.wsum) AS ratio
+                     FROM wv, ws),
+               s AS (SELECT min(ratio) AS s FROM t)
+               SELECT lang, n_docs, p, target_share,
+                 CAST(floor(s.s * target_share / p * CAST(10000.0 AS DOUBLE)) AS BIGINT)
+                   AS keep_per_10k
+               FROM t, s""")),
+
+    QDef(
       "weighted_sample",
       // Efraimidis-Spirakis weighted sampling without replacement: 10 docs
       // per source, probability ∝ n_chars. The A-ES key ranks in the log

@@ -122,6 +122,30 @@ class SamplingPackingSpec extends SparkSpec {
     assert(out == Set(("s0", 1L, 3L), ("s0", 2L, 7L)))
   }
 
+  test("temperatureMixtureSqrt: sqrt-flattened shares, arg-min stratum keeps ~all") {
+    // 9:1 two-stratum corpus: p = (.9, .1); w = (√.9, √.1); shares ≈
+    // (.75, .25); scale s = min(.9/.75, .1/.25) = .4 → heavy keeps
+    // .4·.75/.9 = 1/3 (3333 per 10k), light keeps ~all
+    val df = ((1 to 90).map(i => (i.toLong, "en")) ++ (91 to 100).map(i => (i.toLong, "de")))
+      .toDF("doc_id", "lang")
+    val out = Sampling.temperatureMixtureSqrt(df, "lang")
+      .select("lang", "n_docs", "p", "target_share", "keep_per_10k")
+      .as[(String, Long, Double, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("en")._2 == 90L && out("en")._3 == 0.9)
+    assert(out("de")._2 == 10L && out("de")._3 == 0.1)
+    // sqrt flattening: the heavy share drops below p, the light rises
+    assert(out("en")._4 < 0.9 && out("en")._4 > 0.7)
+    assert(out("de")._4 > 0.1 && out("de")._4 < 0.3)
+    assert(math.abs(out("en")._4 + out("de")._4 - 1.0) < 1e-6)
+    assert(out("en")._5 == 3333L)
+    // the arg-min stratum's keep rate closes to ~1 (9999 or 10000 — the
+    // (p/t)·(t/p) product is an IEEE dag, not algebra; both engines agree)
+    assert(out("de")._5 >= 9999L && out("de")._5 <= 10000L)
+    // every row emitted exactly once per stratum
+    assert(out.size == 2)
+  }
+
   test("weightedSample matches a local A-ES reference bit-for-bit and is repeatable") {
     val rows = (0L until 200L).map(i => (i, "g" + (i % 2), 1L + i % 17))
     val df = rows.toDF("id", "grp", "w")
