@@ -213,8 +213,15 @@ object Streaming {
     val toks = graft.ops.Text.tokens(col(textCol))
     val sig = graft.functions.MinHashSig(
       array_distinct(graft.ops.Text.shingles(toks, shingleK)), nHashes)
+    // hash-spread on the doc id BEFORE the CPU-bound signature stage: a
+    // low-parallelism source (one Kafka partition, MemoryStream) would
+    // otherwise compute every digest serially — the streaming analog of
+    // the batch ops' Spread.byKey (probed on a 1-partition source at 300k
+    // docs: 274s → 202s; the residual per-batch cost is state-store
+    // maintenance for the two stateful ops, not compute)
     val withSig = docs
       .filter(size(toks) >= shingleK)
+      .repartition(col(idCol))
       .select(col(idCol), col(tsCol), sig.as("__sig"))
     val bandCols = (0 until nBands).map { b =>
       val parts = (0 until rpb).map(r => element_at(col("__sig"), b * rpb + r + 1))
