@@ -40,6 +40,30 @@ object TextQ {
              CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS dim) dm
              LEFT JOIN cnt ON cnt.doc_id = m.doc_id AND cnt.dim = dm.dim)"""
 
+  /** Shared scored frame for the calibration family (m14/m15): quality
+    * score as the "probability", is-English as the label.
+    */
+  private def calibScored(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val docs = t(s, d, "documents")
+    Text.qualityScore(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), (col("lang") === "en").cast("long").as("y")), "doc_id")
+  }
+
+  /** Oracle CTE chain ending in `bins(bin, n, mean_score, pos, frac_pos)`
+    * — the [[graft.ops.Stats.calibrationBins]] twin over [[calibScored]].
+    */
+  private lazy val calibBinsSql =
+    s"""${Text.qualitySql()},
+        csc AS (SELECT q.doc_id, q.quality_score AS s,
+                  CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+                FROM qual q JOIN documents d ON d.doc_id = q.doc_id),
+        cb0 AS (SELECT least(CAST(floor(s * 10) AS BIGINT), 9) AS bin, s, y FROM csc),
+        bins AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                   ${graft.ops.Exact.sqlDsumTrunc9("s")} / CAST(count(*) AS DOUBLE) AS mean_score,
+                   CAST(sum(y) AS BIGINT) AS pos,
+                   CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS frac_pos
+                 FROM cb0 GROUP BY 1)"""
+
   val defs: Seq[QDef] = Seq(
     QDef(
       "t1_token_stats",
@@ -529,22 +553,30 @@ object TextQ {
       // bins report (n, mean predicted score, observed positive rate).
       // Integer counts + truncated-sum mean + one ratio per bin — the
       // same determinism recipe as the other evaluation ops
+      (s, d) => Stats.calibrationBins(calibScored(s, d), "quality_score", "y", 10),
+      Some(s"""WITH $calibBinsSql
+               SELECT bin, n, mean_score, pos, frac_pos FROM bins""")),
+
+    QDef(
+      "m15_ece",
+      // the calibration table closed into its scalar: expected calibration
+      // error = Σ (n_b/N)·|frac_pos_b − mean_score_b| over m14's bins —
+      // the single number a model card quotes. Per-bin |gap| terms are
+      // identical IEEE dags in both engines; the bin-count-sized weighted
+      // sum goes through tie-free truncated fixed point, one closing
+      // division by N
       (s, d) => {
-        val docs = t(s, d, "documents")
-        val scored = Text.qualityScore(docs, "doc_id", "text")
-          .join(docs.select(col("doc_id"), (col("lang") === "en").cast("long").as("y")), "doc_id")
-        Stats.calibrationBins(scored, "quality_score", "y", 10)
+        val bins = Stats.calibrationBins(calibScored(s, d), "quality_score", "y", 10)
+        bins.agg(
+          sum(col("n")).as("n"),
+          (Exact.dsumTrunc9(col("n").cast("double") * abs(col("frac_pos") - col("mean_score")))
+            / sum(col("n")).cast("double")).as("ece"))
       },
-      Some(s"""WITH ${Text.qualitySql()},
-               sc AS (SELECT q.doc_id, q.quality_score AS s,
-                        CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
-                      FROM qual q JOIN documents d ON d.doc_id = q.doc_id),
-               b AS (SELECT least(CAST(floor(s * 10) AS BIGINT), 9) AS bin, s, y FROM sc)
-               SELECT bin, CAST(count(*) AS BIGINT) AS n,
-                 ${graft.ops.Exact.sqlDsumTrunc9("s")} / CAST(count(*) AS DOUBLE) AS mean_score,
-                 CAST(sum(y) AS BIGINT) AS pos,
-                 CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS frac_pos
-               FROM b GROUP BY 1""")),
+      Some(s"""WITH $calibBinsSql
+               SELECT CAST(sum(n) AS BIGINT) AS n,
+                 ${Exact.sqlDsumTrunc9("CAST(n AS DOUBLE) * abs(frac_pos - mean_score)")}
+                   / CAST(sum(n) AS DOUBLE) AS ece
+               FROM bins""")),
 
     QDef(
       "profile_documents",
