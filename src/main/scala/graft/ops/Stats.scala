@@ -299,6 +299,54 @@ object Stats {
     per.unionByName(mac)
   }
 
+  /** Spearman rank correlation between two columns — the monotone-
+    * association readout that complements [[corrCovar]]'s Pearson (rank
+    * agreement between two quality signals is THE question when deciding
+    * if one filter subsumes another). Computed as Pearson over
+    * average ranks with the ranks kept INTEGER: per signal, the
+    * distinct-value frame yields `2·avgRank = 2·below + cnt + 1` (the
+    * [[binaryAuc]] trick — ties get average ranks, the ×2 clears the .5),
+    * every moment sum accumulates in DECIMAL(38,0), and the closing
+    * `ρ = (nΣxy−ΣxΣy) / (√(nΣxx−Σx²)·√(nΣyy−Σy²))` casts each EXACT
+    * decimal difference to double separately before the IEEE dag (a
+    * decimal PRODUCT cast would sit past 2^53 where the engines' decimal→
+    * double conversions split). Degenerate inputs (either signal
+    * constant) emit NULL rho.
+    *
+    * Contracts: the final casts are exact while `4n⁴ < 2^53` (n ≲ 7·10³
+    * rows — sample or quantize above); the rank windows share
+    * [[binaryAuc]]'s bounded distinct-cardinality assumption.
+    */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def rank2(c: String, out: String): DataFrame = {
+      val g = df.groupBy(col(c).as("__v")).agg(count(lit(1)).as("__cnt"))
+      val w = Window.orderBy(col("__v")).rowsBetween(Window.unboundedPreceding, -1)
+      g.withColumn("__below", coalesce(sum(col("__cnt")).over(w), lit(0L)))
+        .select(col("__v").as(c),
+          (lit(2L) * col("__below") + col("__cnt") + lit(1L)).as(out))
+    }
+    val nD = col("n").cast(dec)
+    val num = nD * col("__sxy") - col("__sx") * col("__sy")
+    val dx = nD * col("__sxx") - col("__sx") * col("__sx")
+    val dy = nD * col("__syy") - col("__sy") * col("__sy")
+    df.select(col(xCol), col(yCol))
+      .join(rank2(xCol, "__rx"), xCol)
+      .join(rank2(yCol, "__ry"), yCol)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__rx").cast(dec)).as("__sx"),
+        sum(col("__ry").cast(dec)).as("__sy"),
+        sum((col("__rx") * col("__ry")).cast(dec)).as("__sxy"),
+        sum((col("__rx") * col("__rx")).cast(dec)).as("__sxx"),
+        sum((col("__ry") * col("__ry")).cast(dec)).as("__syy"))
+      .select(
+        col("n"),
+        when(dx > 0 && dy > 0,
+          num.cast("double") / (sqrt(dx.cast("double")) * sqrt(dy.cast("double"))))
+          .as("rho"))
+  }
+
   /** Calibration (reliability-diagram) bins: scores in [0, 1] bucket into
     * `nBins` equal-width bins (`min(⌊s·nBins⌋, nBins−1)`, so s = 1.0 joins
     * the top bin) and each bin reports (n, mean_score, frac_pos) — the

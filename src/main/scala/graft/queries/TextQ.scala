@@ -514,6 +514,61 @@ object TextQ {
               FROM f""")),
 
     QDef(
+      "m16_spearman",
+      // do two quality filters agree on ORDER? Spearman rank correlation
+      // between t2's quality score and t13's unigram log-prob — the
+      // monotone-association readout that says whether one signal
+      // subsumes the other. Integer average ranks off each signal's
+      // distinct-value frame, DECIMAL moment sums, separate decimal→
+      // double casts before the closing IEEE dag
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val q = Text.qualityScore(docs, "doc_id", "text")
+          .select(col("doc_id"), col("quality_score"))
+        val u = Text.unigramLogProb(docs, "doc_id", "text")
+          .select(col("doc_id"), col("avg_logprob"))
+        Stats.spearman(q.join(u, "doc_id"), "quality_score", "avg_logprob")
+      },
+      Some(s"""WITH ${Text.qualitySql()},
+               tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+                       FROM documents),
+               vocab AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+               tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM vocab),
+               lp AS (SELECT tok.doc_id,
+                        ln(CAST(v.c AS DOUBLE) / CAST(tot.t AS DOUBLE)) AS lp
+                      FROM tok JOIN vocab v ON v.token = tok.token CROSS JOIN tot),
+               ul AS (SELECT doc_id,
+                        ${graft.ops.Exact.sqlDsumTrunc9("lp")} / CAST(count(*) AS DOUBLE) AS y
+                      FROM lp GROUP BY 1),
+               xy AS (SELECT q.quality_score AS x, ul.y
+                      FROM qual q JOIN ul ON ul.doc_id = q.doc_id),
+               rxc AS (SELECT x AS v, CAST(count(*) AS BIGINT) AS cnt FROM xy GROUP BY 1),
+               rx2 AS (SELECT v, 2 * coalesce(sum(cnt) OVER (ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), CAST(0 AS BIGINT))
+                         + cnt + 1 AS r
+                       FROM rxc),
+               ryc AS (SELECT y AS v, CAST(count(*) AS BIGINT) AS cnt FROM xy GROUP BY 1),
+               ry2 AS (SELECT v, 2 * coalesce(sum(cnt) OVER (ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), CAST(0 AS BIGINT))
+                         + cnt + 1 AS r
+                       FROM ryc),
+               rr AS (SELECT rx2.r AS xr, ry2.r AS yr FROM xy
+                      JOIN rx2 ON rx2.v = xy.x JOIN ry2 ON ry2.v = xy.y),
+               sm AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                        sum(CAST(xr AS HUGEINT)) AS sx, sum(CAST(yr AS HUGEINT)) AS sy,
+                        sum(CAST(xr AS HUGEINT) * yr) AS sxy,
+                        sum(CAST(xr AS HUGEINT) * xr) AS sxx,
+                        sum(CAST(yr AS HUGEINT) * yr) AS syy
+                      FROM rr)
+               SELECT CAST(n AS BIGINT) AS n,
+                 CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                      THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                           / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                              * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                      END AS rho
+               FROM sm""")),
+
+    QDef(
       "t15_char_entropy",
       // per-doc character-distribution Shannon entropy (nats) — the
       // gibberish / encoding-junk / low-diversity quality signal that

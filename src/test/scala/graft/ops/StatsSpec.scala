@@ -134,6 +134,24 @@ class StatsSpec extends SparkSpec {
     assert(out.size == 4)
   }
 
+  test("spearman: monotone → ~1, reversed → ~-1, ties averaged, constant → NULL") {
+    val up = Seq((1.0, 10.0), (2.0, 20.0), (3.0, 30.0), (4.0, 35.0)).toDF("x", "y")
+    val r1 = Stats.spearman(up, "x", "y").select("rho").as[Double].head()
+    assert(math.abs(r1 - 1.0) < 1e-12) // exact ranks; only the closing sqrt dag rounds
+    val down = Seq((1.0, 30.0), (2.0, 20.0), (3.0, 10.0)).toDF("x", "y")
+    val r2 = Stats.spearman(down, "x", "y").select("rho").as[Double].head()
+    assert(math.abs(r2 + 1.0) < 1e-12)
+    // tie handling: x ties share an average rank; hand-checked closed form
+    // x = (1,1,2), avg ranks (1.5,1.5,3); y = (10,20,30), ranks (1,2,3)
+    // → ρ = cov/σxσy = 0.75/(√1.5·√2)·... = √3/2
+    val tied = Seq((1.0, 10.0), (1.0, 20.0), (2.0, 30.0)).toDF("x", "y")
+    val r3 = Stats.spearman(tied, "x", "y").select("rho").as[Double].head()
+    assert(math.abs(r3 - math.sqrt(3.0) / 2.0) < 1e-12)
+    // constant signal → zero variance → NULL, never NaN
+    val const = Seq((5.0, 1.0), (5.0, 2.0), (5.0, 3.0)).toDF("x", "y")
+    assert(Stats.spearman(const, "x", "y").select("rho").as[Option[Double]].head().isEmpty)
+  }
+
   test("calibrationBins: equal-width bins, top edge joins the last bin, empty bins absent") {
     val df = Seq(
       (0.05, 1L), (0.05, 0L), // bin 0
