@@ -96,13 +96,24 @@ object Multimodal {
     val planes = buf.getShort(26)
     val bpp = buf.getShort(28)
     val compression = buf.getInt(30)
-    if (hdrSize < 40 || w <= 0 || hRaw == 0 || planes != 1 || bpp != 24 || compression != 0)
+    if (hdrSize < 40 || w <= 0 || hRaw == 0 || hRaw == Int.MinValue ||
+      planes != 1 || bpp != 24 || compression != 0)
       return None
     val h = math.abs(hRaw)
-    val rowData = w * 3
-    val stride = ((rowData + 3) / 4) * 4
-    if (offset < 54 || offset.toLong + stride.toLong * h > bytes.length) return None
-    val out = new Array[Byte](rowData * h)
+    // All size arithmetic in Long: a width near 2^31/3 wraps w*3 negative in
+    // Int, and stride*h can pass 2^63 when both factors approach 2^31. The
+    // early per-dimension bounds (each row and each row-count must fit the
+    // payload) cap both factors at bytes.length ≤ 2^31, so the Long product
+    // below cannot overflow.
+    val rowDataL = 3L * w
+    val strideL = ((rowDataL + 3L) / 4L) * 4L
+    if (rowDataL > bytes.length || h.toLong > bytes.length) return None
+    if (offset < 54 || offset.toLong + strideL * h > bytes.length) return None
+    // rowData*h ≤ stride*h ≤ bytes.length − offset < 2^31 after the guard,
+    // so the Int narrowings below are exact.
+    val rowData = rowDataL.toInt
+    val stride = strideL.toInt
+    val out = new Array[Byte]((rowDataL * h).toInt)
     var y = 0
     while (y < h) {
       val srcRow = if (hRaw > 0) h - 1 - y else y
@@ -142,20 +153,24 @@ object Multimodal {
     def tag(o: Int) = new String(bytes, o, 4, StandardCharsets.US_ASCII)
     if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-    var pos = 12
+    // The chunk cursor walks in Long: with an Int cursor a crafted sz near
+    // 2^31 wraps pos+8+sz negative PAST the bounds check and the next
+    // tag/getShort read throws instead of returning None.
+    var pos = 12L
     var fmtOk = false
     var data: Option[(Int, Int)] = None
     while (pos + 8 <= bytes.length) {
-      val id = tag(pos)
-      val sz = buf.getInt(pos + 4)
-      if (sz < 0 || pos + 8 + sz > bytes.length) return None
+      val p = pos.toInt // pos < bytes.length ≤ 2^31 inside the loop
+      val id = tag(p)
+      val sz = buf.getInt(p + 4)
+      if (sz < 0 || pos + 8L + sz > bytes.length) return None
       if (id == "fmt ") {
         if (sz < 16) return None
-        fmtOk = buf.getShort(pos + 8) == 1 && buf.getShort(pos + 8 + 14) == 16
+        fmtOk = buf.getShort(p + 8) == 1 && buf.getShort(p + 8 + 14) == 16
       } else if (id == "data") {
-        data = Some((pos + 8, sz))
+        data = Some((p + 8, sz))
       }
-      pos += 8 + sz + (sz & 1)
+      pos += 8L + sz + (sz & 1)
     }
     if (!fmtOk) return None
     data.map { case (o, sz) =>
@@ -196,17 +211,17 @@ object Multimodal {
   /** The decode kernel: genuinely parse the payload (24-bit BMP pixels or
     * PCM-16 WAV samples) and feature-extract the decoded content; fall
     * back to the raw byte-intensity histogram for payloads that validate
-    * as neither format. Pure function of the bytes.
+    * as neither format. Pure function of the bytes. The parse branches run
+    * under a Try so that even an unanticipated decoder defect degrades to
+    * the opaque-payload histogram — malformed media must never kill a
+    * 100 TB job (OutOfMemoryError and other fatal errors still propagate;
+    * Try only absorbs parse-level exceptions).
     */
   def decodeKernel(bytes: Array[Byte]): Array[Double] =
-    decodeBmp24(bytes) match {
-      case Some(channels) => intensityHist(channels)
-      case None =>
-        decodeWavPcm16(bytes) match {
-          case Some(samples) => amplitudeHist(samples)
-          case None          => intensityHist(bytes)
-        }
-    }
+    scala.util.Try {
+      decodeBmp24(bytes).map(intensityHist)
+        .orElse(decodeWavPcm16(bytes).map(amplitudeHist))
+    }.toOption.flatten.getOrElse(intensityHist(bytes))
 
   // ------------------------------------------------------------- stages
 

@@ -97,6 +97,28 @@ class MultimodalSourcesSpec extends SparkSpec {
     assert(Multimodal.decodeKernel(junk).sum > 0.999)
   }
 
+  test("crafted oversized headers fall back instead of throwing (Int-wrap hazards)") {
+    // BMP whose width 0x2AAAAAAB makes w*3 wrap negative in Int arithmetic:
+    // must decode to None / fall back, never NegativeArraySizeException
+    val hostile = Multimodal.bmp24Bytes(Array[Byte](1, 2, 3))
+    val bb = java.nio.ByteBuffer.wrap(hostile).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(18, 0x2AAAAAAB) // width ≈ 2^31/3 + 1
+    assert(Multimodal.decodeBmp24(hostile).isEmpty)
+    assert(Multimodal.decodeKernel(hostile).sum > 0.999)
+    // negative-height Int.MinValue: math.abs is still negative — reject
+    val minH = Multimodal.bmp24Bytes(Array[Byte](1, 2, 3))
+    java.nio.ByteBuffer.wrap(minH).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(22, Int.MinValue)
+    assert(Multimodal.decodeBmp24(minH).isEmpty)
+    // WAV chunk whose size near 2^31 wraps pos+8+sz negative past the old
+    // bounds check: must return None, never an out-of-bounds read
+    val wav = Multimodal.wavPcm16Bytes(Array[Short](1, 2, 3))
+    java.nio.ByteBuffer.wrap(wav).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(40, Int.MaxValue - 4) // "data" chunk size
+    assert(Multimodal.decodeWavPcm16(wav).isEmpty)
+    assert(Multimodal.decodeKernel(wav).sum > 0.999)
+  }
+
   test("encodeBmpPayload → decodeFeatures: end-to-end over a DataFrame") {
     val df = Seq((1L, "abc"), (2L, "")).toDF("id", "raw")
     val enc = Multimodal.encodeBmpPayload(df, "id", "raw")
