@@ -224,9 +224,11 @@ object Stats {
     * size. That makes the operator safe for integer / quantized scores
     * (hit counts, calibrated score bins) and WRONG for a continuous
     * double score, where distinct cardinality ≈ row count and the whole
-    * corpus collapses into one task — quantize continuous scores first
-    * (e.g. `floor(score · 10^d)`; AUC over the binned scores is the
-    * standard binned-ROC approximation).
+    * corpus collapses into one task. The contract is ENFORCED at plan
+    * time: a double/float score column is rejected unless `scoreScale`
+    * is given, in which case the operator itself quantizes to
+    * `⌊score·10^d⌋` (the standard binned-ROC approximation, mirrored
+    * verbatim in any oracle).
     *
     * The rank cumulation runs over the DISTINCT-score frame (the
     * `exactQuantiles` trick — the global window sees one row per distinct
@@ -234,8 +236,12 @@ object Stats {
     * the n² rank-sum magnitude cannot overflow int64 at any corpus size
     * (DuckDB mirrors in HUGEINT).
     */
-  def binaryAuc(df: DataFrame, labelCol: String, scoreCol: String): DataFrame =
-    binaryAucBy(df, Nil, labelCol, scoreCol)
+  def binaryAuc(
+      df: DataFrame,
+      labelCol: String,
+      scoreCol: String,
+      scoreScale: Option[Int] = None): DataFrame =
+    binaryAucBy(df, Nil, labelCol, scoreCol, scoreScale)
 
   /** Keyed [[binaryAuc]]: one (keys…, n_pos, n_neg, auc) row per key group
     * — the one-vs-rest building block for macro-averaged AUC, where the
@@ -247,9 +253,33 @@ object Stats {
       df: DataFrame,
       keys: Seq[String],
       labelCol: String,
-      scoreCol: String): DataFrame = {
+      scoreCol: String,
+      scoreScale: Option[Int] = None): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val c = df.groupBy(keys.map(col) :+ col(scoreCol).as("__s"): _*)
+    // Enforce the scale contract AT PLAN TIME: a continuous double/float
+    // score makes distinct cardinality ≈ row count, collapsing the whole
+    // corpus into the rank window's single task. scoreScale = Some(d)
+    // quantizes in-operator to ⌊score·10^d⌋ (the standard binned-ROC
+    // approximation — floor is engine-exact on identical doubles, so the
+    // oracle mirrors it as floor(s * 10^d) verbatim); without it, a
+    // floating-point score column faults loudly here instead of silently
+    // serializing at 100 TB.
+    val scoreExpr = scoreScale match {
+      case Some(d) =>
+        require(d >= 0 && d <= 15, s"scoreScale must be in [0, 15], got $d")
+        floor(col(scoreCol) * lit(math.pow(10.0, d.toDouble))).cast("long")
+      case None =>
+        val dt = df.schema(scoreCol).dataType
+        require(
+          dt != org.apache.spark.sql.types.DoubleType &&
+            dt != org.apache.spark.sql.types.FloatType,
+          s"binaryAuc: continuous $dt score column '$scoreCol' collapses the " +
+            "rank window to one task (distinct cardinality ~ corpus size); " +
+            "pass scoreScale = Some(d) to quantize to floor(score*10^d) " +
+            "(binned ROC) or bin the scores upstream")
+        col(scoreCol)
+    }
+    val c = df.groupBy(keys.map(col) :+ scoreExpr.as("__s"): _*)
       .agg(count(lit(1)).as("__cnt"), sum(col(labelCol).cast("long")).as("__pos"))
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__s"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -281,8 +311,13 @@ object Stats {
     * partition-order-dependent double sum. The macro row's n_pos/n_neg
     * carry the class totals.
     */
-  def macroAuc(df: DataFrame, classCol: String, labelCol: String, scoreCol: String): DataFrame = {
-    val per = binaryAucBy(df, Seq(classCol), labelCol, scoreCol)
+  def macroAuc(
+      df: DataFrame,
+      classCol: String,
+      labelCol: String,
+      scoreCol: String,
+      scoreScale: Option[Int] = None): DataFrame = {
+    val per = binaryAucBy(df, Seq(classCol), labelCol, scoreCol, scoreScale)
     val mac = per.groupBy()
       .agg(
         sum(col("n_pos")).as("n_pos"),
@@ -313,9 +348,13 @@ object Stats {
     * double conversions split). Degenerate inputs (either signal
     * constant) emit NULL rho.
     *
-    * Contracts: the final casts are exact while `4n⁴ < 2^53` (n ≲ 7·10³
-    * rows — sample or quantize above); the rank windows share
-    * [[binaryAuc]]'s bounded distinct-cardinality assumption.
+    * Contracts: the final casts are exact while `4n⁴ < 2^53` (n ≤
+    * [[SpearmanMaxExactN]] rows — sample or quantize above); the rank
+    * windows share [[binaryAuc]]'s bounded distinct-cardinality
+    * assumption. The n bound is ENFORCED at run time: past it the
+    * operator raises an error (`raise_error` inside the closing select)
+    * instead of silently returning a last-bits-wrong rho — the guard adds
+    * no work to the plan (one comparison on the single aggregated row).
     */
   def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
@@ -342,10 +381,23 @@ object Stats {
         sum((col("__ry") * col("__ry")).cast(dec)).as("__syy"))
       .select(
         col("n"),
-        when(dx > 0 && dy > 0,
-          num.cast("double") / (sqrt(dx.cast("double")) * sqrt(dy.cast("double"))))
+        when(col("n") > lit(SpearmanMaxExactN),
+          raise_error(concat(
+            lit("spearman exactness bound exceeded: n = "), col("n"),
+            lit(s" > $SpearmanMaxExactN (4n^4 >= 2^53 — the closing " +
+              "decimal->double casts stop being exact); run on a " +
+              "deterministic hash-sample or quantize the signals first"))))
+          .otherwise(
+            when(dx > 0 && dy > 0,
+              num.cast("double") / (sqrt(dx.cast("double")) * sqrt(dy.cast("double")))))
           .as("rho"))
   }
+
+  /** Largest row count for which [[spearman]]'s closing decimal→double
+    * casts are exact: the moment differences are O(4n⁴) over the doubled
+    * ranks, and 4n⁴ < 2^53 holds through n = 6888.
+    */
+  val SpearmanMaxExactN = 6888L
 
   /** Calibration (reliability-diagram) bins: scores in [0, 1] bucket into
     * `nBins` equal-width bins (`min(⌊s·nBins⌋, nBins−1)`, so s = 1.0 joins
@@ -357,6 +409,10 @@ object Stats {
     * metric is defined over quantized scores, ≤1e-9 per row, buying
     * partition-order independence); frac_pos is one BIGINT→double
     * division. Empty bins emit no row (their reliability is undefined).
+    * NULL scores are EXCLUDED up front: without the filter,
+    * `floor(NULL·nBins)` is NULL and `least(NULL, nBins−1)` returns
+    * nBins−1 (least/greatest skip null arguments — the same resurrection
+    * hazard as the winsorize clamp), silently polluting the top bin.
     * One partial-aggregated groupBy, nBins output rows.
     */
   def calibrationBins(
@@ -365,7 +421,8 @@ object Stats {
       labelCol: String,
       nBins: Int): DataFrame = {
     require(nBins > 0, s"need nBins > 0, got $nBins")
-    df.withColumn(
+    df.filter(col(scoreCol).isNotNull)
+      .withColumn(
         "bin",
         least(floor(col(scoreCol) * nBins).cast("long"), lit(nBins - 1L)))
       .groupBy("bin")

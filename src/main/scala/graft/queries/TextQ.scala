@@ -57,7 +57,8 @@ object TextQ {
         csc AS (SELECT q.doc_id, q.quality_score AS s,
                   CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
                 FROM qual q JOIN documents d ON d.doc_id = q.doc_id),
-        cb0 AS (SELECT least(CAST(floor(s * 10) AS BIGINT), 9) AS bin, s, y FROM csc),
+        cb0 AS (SELECT least(CAST(floor(s * 10) AS BIGINT), 9) AS bin, s, y
+                FROM csc WHERE s IS NOT NULL),
         bins AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
                    ${graft.ops.Exact.sqlDsumTrunc9("s")} / CAST(count(*) AS DOUBLE) AS mean_score,
                    CAST(sum(y) AS BIGINT) AS pos,
@@ -192,6 +193,42 @@ object TextQ {
                          FROM documents d
                          LEFT JOIN (SELECT doc_id, score FROM sc WHERE profile_lang = 'en') s
                            ON s.doc_id = d.doc_id),
+              c AS (SELECT s, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(y) AS BIGINT) AS pos
+                    FROM scored GROUP BY 1),
+              r AS (SELECT *, coalesce(sum(cnt) OVER (ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), CAST(0 AS BIGINT)) AS below
+                    FROM c),
+              a AS (SELECT sum(CAST(pos AS HUGEINT) * (2 * CAST(below AS HUGEINT) + cnt + 1)) AS r2,
+                      CAST(sum(pos) AS BIGINT) AS n_pos,
+                      CAST(sum(cnt - pos) AS BIGINT) AS n_neg
+                    FROM r)
+              SELECT n_pos, n_neg,
+                CASE WHEN n_pos > 0 AND n_neg > 0
+                     THEN CAST(r2 - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS DOUBLE)
+                          / CAST(CAST(n_pos AS HUGEINT) * n_neg * 2 AS DOUBLE)
+                     END AS auc
+              FROM a""")),
+
+    QDef(
+      "m12b_auc_quantized",
+      // the CONTINUOUS-score AUC recipe the binaryAuc plan-time guard
+      // points at: quality_score is a double, so the operator quantizes it
+      // in-operator to ⌊score·10³⌋ (scoreScale = Some(3)) — the binned-ROC
+      // approximation over 10³ buckets; the rank window stays bounded by
+      // bucket cardinality, not corpus size. floor(s·1000.0) is
+      // engine-exact on identical doubles, so the oracle mirrors the
+      // quantization token-for-token
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val scored = Text.qualityScore(docs, "doc_id", "text")
+          .join(docs.select(col("doc_id"), (col("lang") === "en").cast("long").as("y")), "doc_id")
+          .select(col("y"), col("quality_score").as("s"))
+        Stats.binaryAuc(scored, "y", "s", scoreScale = Some(3))
+      },
+      Some(s"""WITH ${Text.qualitySql()},
+              scored AS (SELECT CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
+                           CAST(floor(q.quality_score * 1000) AS BIGINT) AS s
+                         FROM qual q JOIN documents d ON d.doc_id = q.doc_id),
               c AS (SELECT s, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(y) AS BIGINT) AS pos
                     FROM scored GROUP BY 1),
               r AS (SELECT *, coalesce(sum(cnt) OVER (ORDER BY s

@@ -152,6 +152,34 @@ class StatsSpec extends SparkSpec {
     assert(Stats.spearman(const, "x", "y").select("rho").as[Option[Double]].head().isEmpty)
   }
 
+  test("binaryAuc rejects continuous double scores at plan time; scoreScale quantizes") {
+    val cont = Seq((1L, 0.91), (0L, 0.10), (1L, 0.85), (0L, 0.35)).toDF("y", "s")
+    val e = intercept[IllegalArgumentException](Stats.binaryAuc(cont, "y", "s"))
+    assert(e.getMessage.contains("scoreScale"))
+    // quantized via scoreScale: floor(s·10) → 9, 1, 8, 3 — perfect
+    // separation of the positives → AUC 1.0
+    val row = Stats.binaryAuc(cont, "y", "s", scoreScale = Some(1))
+      .select("n_pos", "n_neg", "auc").as[(Long, Long, Option[Double])].head()
+    assert(row == ((2L, 2L, Some(1.0))))
+    // the guard also covers the keyed/macro forms (shared code path)
+    val keyed = Seq(("a", 1L, 0.9)).toDF("k", "y", "s")
+    intercept[IllegalArgumentException](Stats.binaryAucBy(keyed, Seq("k"), "y", "s"))
+  }
+
+  test("spearman raises past the 4n^4 < 2^53 exactness bound instead of drifting") {
+    val big = spark.range(Stats.SpearmanMaxExactN + 1)
+      .selectExpr("CAST(id AS DOUBLE) AS x", "CAST(id * 2 AS DOUBLE) AS y")
+    val e = intercept[Throwable](Stats.spearman(big, "x", "y").collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(t => Option(t.getMessage).toSeq ++ msgs(t.getCause))
+    assert(msgs(e).exists(_.contains("spearman exactness bound")))
+    // exactly AT the bound the guard stays quiet and the rank algebra holds
+    val atBound = spark.range(Stats.SpearmanMaxExactN)
+      .selectExpr("CAST(id AS DOUBLE) AS x", "CAST(id * 2 AS DOUBLE) AS y")
+    val rho = Stats.spearman(atBound, "x", "y").select("rho").as[Double].head()
+    assert(math.abs(rho - 1.0) < 1e-12)
+  }
+
   test("calibrationBins: equal-width bins, top edge joins the last bin, empty bins absent") {
     val df = Seq(
       (0.05, 1L), (0.05, 0L), // bin 0
@@ -166,6 +194,16 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(out(0L)._3 - 0.05) < 1e-9)
     assert(out(9L)._2 == 2L && out(9L)._4 == 2L && out(9L)._5 == 1.0)
     assert(math.abs(out(9L)._3 - 0.975) < 1e-9)
+  }
+
+  test("calibrationBins: NULL scores are excluded, not resurrected into the top bin") {
+    // least(NULL, 9) returns 9 (least skips null args) — without the
+    // isNotNull filter the null-scored row would land in bin 9
+    val df = Seq((Some(0.95), 1L), (None, 0L), (None, 1L))
+      .toDF("s", "y")
+    val out = Stats.calibrationBins(df, "s", "y", 10)
+      .select("bin", "n", "pos").as[(Long, Long, Long)].collect()
+    assert(out.toSeq == Seq((9L, 1L, 1L)))
   }
 
   test("regressionMetrics: constant actual (SST=0) gives NULL r2, not NaN/Inf") {
