@@ -11,12 +11,17 @@ import graft.ops._
 object DedupQ {
   import Q._
 
-  /** Oracle CTE: distinct (doc_id, shingle) 3-word shingles. */
-  private val shSql =
-    """sh AS (SELECT DISTINCT doc_id, shingle FROM (
+  /** Oracle CTE: distinct (doc_id, shingle) 3-word shingles, from an
+    * arbitrary documents-shaped relation (the d15b sampled audit swaps in
+    * a hash-sampled CTE).
+    */
+  private def shSqlFrom(rel: String) =
+    s"""sh AS (SELECT DISTINCT doc_id, shingle FROM (
          SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
-         FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+         FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM $rel),
               unnest(generate_series(1, len(toks) - 2)) AS u(i)))"""
+
+  private val shSql = shSqlFrom("documents")
 
   /** Document-frequency cap for the SHIPPED cluster-resolution pipeline
     * (d7/d8/g1): one corpus-hot boilerplate shingle with df docs contributes
@@ -123,6 +128,71 @@ object DedupQ {
        lab AS (SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS cluster_id
                FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)"""
 
+  /** Shared pipeline for d15/d15b: pair-level recall + candidate precision
+    * of the banded ≥6/8 LSH gate against the exact Jaccard ≥ 0.5 truth,
+    * over whatever `docs` frame the caller passes (full corpus for the
+    * audit baseline, a deterministic hash-mod sample for the at-scale
+    * form).
+    */
+  private def lshPairRecall(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val truth = Caches.trackPersist(
+      Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5).select("a_id", "b_id"))
+    val sig = Dedup.minhashSignaturesLocal(docs, "doc_id", "text", 3, 8)
+    val found = Caches.trackPersist(
+      Dedup.lshCandidates(sig, "doc_id", 8, 4)
+        .filter(col("n_equal") >= 6).select("a_id", "b_id"))
+    val hit = truth
+      .join(found.withColumn("__f", lit(1L)), Seq("a_id", "b_id"), "left")
+      .agg(
+        count(lit(1)).as("n_true"),
+        sum(coalesce(col("__f"), lit(0L))).as("n_hit"))
+    val cand = found.agg(count(lit(1)).as("n_cand"))
+    hit.crossJoin(cand).select(
+      col("n_true"), col("n_cand"), col("n_hit"),
+      when(col("n_true") > 0,
+        col("n_hit").cast("double") / col("n_true").cast("double")).as("recall"),
+      when(col("n_cand") > 0,
+        col("n_hit").cast("double") / col("n_cand").cast("double")).as("precision"))
+  }
+
+  /** Oracle twin of [[lshPairRecall]]: `docsCte` is an optional leading
+    * CTE (e.g. the hash-mod sample) and `shRel` the relation the shingle
+    * CTE reads — "" / "documents" for the full-corpus audit.
+    */
+  private def lshPairRecallSql(docsCte: String, shRel: String): String = {
+    val bands = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band_idx, md5(mh_${2 * b} || mh_${2 * b + 1}) AS band_hash FROM sig")
+      .mkString(" UNION ALL ")
+    val agree = (0 until 8).map(j => s"(CASE WHEN sa.mh_$j = sb.mh_$j THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH $docsCte${shSqlFrom(shRel)}, $sigSql,
+        sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+        pp AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS shared
+               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+        truth AS (SELECT a_id, b_id FROM pp
+                  JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+                  WHERE CAST(shared AS DOUBLE) / CAST(sa.n + sb.n - shared AS DOUBLE)
+                        >= CAST(0.5 AS DOUBLE)),
+        bands AS ($bands),
+        cand0 AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                  FROM bands a JOIN bands b ON a.band_idx = b.band_idx
+                    AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+        foundq AS (SELECT a_id, b_id FROM cand0
+                   JOIN sig sa ON sa.doc_id = a_id JOIN sig sb ON sb.doc_id = b_id
+                   WHERE ($agree) >= 6),
+        h AS (SELECT CAST(count(*) AS BIGINT) AS n_true,
+                CAST(sum(CASE WHEN f.a_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+              FROM truth t LEFT JOIN foundq f
+                ON f.a_id = t.a_id AND f.b_id = t.b_id),
+        c AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM foundq)
+        SELECT h.n_true, c.n_cand, h.n_hit,
+          CASE WHEN h.n_true > 0
+               THEN CAST(h.n_hit AS DOUBLE) / CAST(h.n_true AS DOUBLE) END AS recall,
+          CASE WHEN c.n_cand > 0
+               THEN CAST(h.n_hit AS DOUBLE) / CAST(c.n_cand AS DOUBLE) END AS "precision"
+        FROM h, c"""
+  }
+
   val defs: Seq[QDef] = Seq(
     QDef(
       "d1_exact_dedup",
@@ -177,60 +247,24 @@ object DedupQ {
       // audit-baseline contract: the exact truth side is the uncapped
       // inverted-index join, so at web scale this audit runs on a
       // deterministic SAMPLE of the corpus, never the full ingest
-      (s, d) => {
-        val docs = t(s, d, "documents")
-        val truth = Caches.trackPersist(
-          Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5).select("a_id", "b_id"))
-        val sig = Dedup.minhashSignaturesLocal(docs, "doc_id", "text", 3, 8)
-        val found = Caches.trackPersist(
-          Dedup.lshCandidates(sig, "doc_id", 8, 4)
-            .filter(col("n_equal") >= 6).select("a_id", "b_id"))
-        val hit = truth
-          .join(found.withColumn("__f", lit(1L)), Seq("a_id", "b_id"), "left")
-          .agg(
-            count(lit(1)).as("n_true"),
-            sum(coalesce(col("__f"), lit(0L))).as("n_hit"))
-        val cand = found.agg(count(lit(1)).as("n_cand"))
-        hit.crossJoin(cand).select(
-          col("n_true"), col("n_cand"), col("n_hit"),
-          when(col("n_true") > 0,
-            col("n_hit").cast("double") / col("n_true").cast("double")).as("recall"),
-          when(col("n_cand") > 0,
-            col("n_hit").cast("double") / col("n_cand").cast("double")).as("precision"))
-      },
-      Some {
-        val bands = (0 until 4).map(b =>
-          s"SELECT doc_id, $b AS band_idx, md5(mh_${2 * b} || mh_${2 * b + 1}) AS band_hash FROM sig")
-          .mkString(" UNION ALL ")
-        val agree = (0 until 8).map(j => s"(CASE WHEN sa.mh_$j = sb.mh_$j THEN 1 ELSE 0 END)").mkString(" + ")
-        s"""WITH $shSql, $sigSql,
-            sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
-            pp AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS shared
-                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                   GROUP BY 1, 2),
-            truth AS (SELECT a_id, b_id FROM pp
-                      JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
-                      WHERE CAST(shared AS DOUBLE) / CAST(sa.n + sb.n - shared AS DOUBLE)
-                            >= CAST(0.5 AS DOUBLE)),
-            bands AS ($bands),
-            cand0 AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-                      FROM bands a JOIN bands b ON a.band_idx = b.band_idx
-                        AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
-            foundq AS (SELECT a_id, b_id FROM cand0
-                       JOIN sig sa ON sa.doc_id = a_id JOIN sig sb ON sb.doc_id = b_id
-                       WHERE ($agree) >= 6),
-            h AS (SELECT CAST(count(*) AS BIGINT) AS n_true,
-                    CAST(sum(CASE WHEN f.a_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
-                  FROM truth t LEFT JOIN foundq f
-                    ON f.a_id = t.a_id AND f.b_id = t.b_id),
-            c AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM foundq)
-            SELECT h.n_true, c.n_cand, h.n_hit,
-              CASE WHEN h.n_true > 0
-                   THEN CAST(h.n_hit AS DOUBLE) / CAST(h.n_true AS DOUBLE) END AS recall,
-              CASE WHEN c.n_cand > 0
-                   THEN CAST(h.n_hit AS DOUBLE) / CAST(c.n_cand AS DOUBLE) END AS "precision"
-            FROM h, c"""
-      }),
+      (s, d) => lshPairRecall(t(s, d, "documents")),
+      Some(lshPairRecallSql("", "documents"))),
+
+    QDef(
+      "d15b_lsh_recall_sampled",
+      // the SAMPLED form of the d15 audit — the shape it actually runs in
+      // at web scale, where the truth side's uncapped exact join is only
+      // affordable over a deterministic slice: the SAME hash-mod doc
+      // sample (hashU24(doc_id) % 2 < 1, the sampleDeterministic recipe)
+      // gates BOTH the truth and LSH sides before any pair work, so the
+      // audit stays an apples-to-apples recall/precision over the sampled
+      // sub-corpus. Pair survival is 1/den² — size den so n_true stays
+      // statistically meaningful
+      (s, d) => lshPairRecall(
+        Sampling.sampleDeterministic(t(s, d, "documents"), "doc_id", 1, 2)),
+      Some(lshPairRecallSql(
+        s"sdocs AS (SELECT * FROM documents WHERE ${Sampling.sqlHashU24("doc_id")} % 2 < 1), ",
+        "sdocs"))),
 
     QDef(
       "d6_shared_spans",
