@@ -30,15 +30,21 @@ object Bench {
         stagesAcc.incrementAndGet()
       }
     })
-    def drainListenerBus(): Unit = {
+    // Returns FALSE when the settle loop hit its cap without the bus going
+    // quiet — on a loaded box late stage-completed events then bleed one
+    // query's shuffleBytes/stages delta into the next query's numbers, so
+    // the timeout is surfaced per-query in the JSON (drainTimedOut) instead
+    // of silently misattributing the plan-shape telemetry.
+    def drainListenerBus(): Boolean = {
       var last = (stagesAcc.get, shuffleBytesAcc.get)
       var stable = 0
       var waited = 0
-      while (stable < 2 && waited < 1000) {
+      while (stable < 2 && waited < 3000) {
         Thread.sleep(25); waited += 25
         val now = (stagesAcc.get, shuffleBytesAcc.get)
         if (now == last) stable += 1 else { stable = 0; last = now }
       }
+      stable >= 2
     }
     // absorb JVM/codegen/session warmup and first-touch parquet reader cost
     // so neither is charged to whichever query runs first; fixed name order
@@ -60,7 +66,7 @@ object Bench {
     // window/projection expressions and under-measures projection queries
     import org.apache.spark.sql.functions.{col, sum => fsum, xxhash64}
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      drainListenerBus()
+      val preDrained = drainListenerBus()
       val s0 = stagesAcc.get
       val b0 = shuffleBytesAcc.get
       val t0 = System.nanoTime()
@@ -72,29 +78,37 @@ object Bench {
       } catch { case _: Throwable => () }
       val secs = (System.nanoTime() - t0) / 1e9
       graft.ops.Caches.releaseAll()
-      drainListenerBus()
-      (name, secs, shuffleBytesAcc.get - b0, stagesAcc.get - s0)
+      val postDrained = drainListenerBus()
+      (name, secs, shuffleBytesAcc.get - b0, stagesAcc.get - s0,
+        !(preDrained && postDrained))
     }
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val qstats = results
-      .map { case (k, v, b, st) =>
-        s"\"" + k + s"""\":{"secs":$v,"shuffleBytes":$b,"stages":$st}"""
+      .map { case (k, v, b, st, to) =>
+        s"\"" + k +
+          s"""\":{"secs":$v,"shuffleBytes":$b,"stages":$st,"drainTimedOut":$to}"""
       }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val drainTimeouts = results.count(_._5)
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""queryStats":$qstats,"sf":"$sfDir"}"""
+      s""""queryStats":$qstats,"drainTimeouts":$drainTimeouts,"sf":"$sfDir"}"""
+    // Write the file copies FIRST: a tail-limited stdout capture window has
+    // twice clipped the full per-query line from the front (r2, r6 verdicts),
+    // so the complete telemetry must exist on disk regardless of what
+    // survives the capture. bench_stats.json is the tracked artifact name;
+    // bench_result.json stays for compatibility with earlier tooling. A
+    // file-write failure (read-only cwd) must not suppress the printed
+    // result.
+    for (f <- Seq("bench_stats.json", "bench_result.json"))
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(f), (json + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable => System.err.println(s"[bench] $f write failed: ${e.getMessage}") }
     // sbt wraps stdout in [info] prefixes, which broke the driver's JSON
-    // parse in round 1 — print FIRST (stdout + bare stderr line), then also
-    // write the file copy; a file-write failure (read-only cwd) must not
-    // suppress the printed result.
+    // parse in round 1 — print to stdout + a bare stderr line.
     println(json)
     System.err.println(json)
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_result.json"),
-      (json + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
     // the full per-query line is large and a tail-limited capture window can
     // cut it from the FRONT (observed in round 2: the driver recorded
     // "parsed": null even though the line itself was valid). Emit a short
