@@ -168,24 +168,52 @@ object Streaming {
     * native [[graft.functions.MinHashSig]] signature (array-local, no
     * shuffle), the identical band hashing as batch
     * [[graft.ops.Dedup.lshCandidates]] (md5 over the band's minhash
-    * strings), then watermark-bounded FIRST-CLAIMANT state per
-    * (band_idx, band_hash) key and a windowed count closing the per-doc
-    * verdict: a doc is KEPT iff it claimed ALL of its band keys first.
+    * strings), then TWO chained stateful stages keyed by the SAME
+    * event-time tumbling window: (1) each (window, band_idx, band_hash)
+    * key resolves to its MINIMUM claimant doc id; (2) a per-(window,
+    * claimant) count closes the verdict — a doc is KEPT iff it won ALL
+    * of its nBands band keys.
+    *
+    * The tumbling window IS the dedup horizon. Stage (1) exists because
+    * a first-claimant rule (`dropDuplicatesWithinWatermark` per band key)
+    * picks an ARBITRARY winner per band key independently: members of one
+    * duplicate cluster arriving in the SAME micro-batch could split the
+    * band-key first-claims so that NO doc claims all nBands and the
+    * entire cluster is dropped (the round-6 advice hazard). Resolving
+    * each window's claims to the minimum id makes the winner
+    * deterministic and arrival-order-free: a same-window duplicate
+    * cluster always keeps exactly its minimum-id member — the SAME
+    * representative batch d14's min-reachable-id convention picks.
+    *
+    * Why no cross-window claim state (probed, not assumed — both
+    * alternatives are broken in Spark 4.1): a
+    * `dropDuplicatesWithinWatermark` placed downstream of the windowed
+    * resolution has no timestamp-typed event-time column to expire by
+    * (the window struct does not qualify), so its claim state grows
+    * FOREVER — probed: a duplicate 900+ s past the horizon was never
+    * re-admitted, i.e. unbounded state at 100 TB/day. Re-exposing
+    * `window.end` via a second `withWatermark` instead DEADLOCKS the
+    * query: the global watermark is the min over both nodes and the
+    * second never advances past epoch, so no window ever finalizes
+    * (probed: watermark pinned at 0). Window-as-horizon is the one
+    * composition where every stage's state expires exactly when the
+    * watermark passes the window end.
     *
     * Contract vs batch d14 (stated, not hidden): batch resolves clusters
     * by transitive closure over agreement-filtered candidates and keeps
-    * one doc per cluster; the stream keeps a doc iff NO band key was
-    * already claimed inside the watermark horizon. The two agree whenever
-    * each near-duplicate band-collides with an earlier member of its
-    * cluster directly (exact and close near-dups — the overwhelming case;
-    * pinned in `StreamingSpec` against the batch composition on the same
-    * corpus). Chains still dedupe: a dropped doc's unclaimed-first bands
-    * stay claimed by their first claimant, so later members of the same
-    * cluster keep colliding. Divergences: the stream has no agreement
-    * refinement on a collision (banding alone gates, est. Jaccard ≥
-    * (1/nBands)^(1/rowsPerBand) per band), and state ages out past the
-    * watermark (the same horizon contract as [[exactDedupStream]] — at
-    * 100 TB/day the horizon IS the contract).
+    * one doc per cluster; the stream keeps a doc iff it won every one of
+    * its band keys within its window. The two agree whenever each
+    * near-duplicate band-collides with a same-window member of its
+    * cluster directly (pinned in `StreamingSpec` against the batch
+    * composition on the same corpus, including the same-batch arrival
+    * case). Divergences: duplicates straddling a window boundary do NOT
+    * dedupe — a later-window duplicate is re-admitted (size
+    * `windowLength` to the dedup horizon you mean; `watermarkDelay` only
+    * bounds late arrivals); the stream has no agreement refinement on a
+    * collision (banding alone gates, est. Jaccard ≥
+    * (1/nBands)^(1/rowsPerBand) per band); and a same-window chain A~B~C
+    * whose endpoints share no direct band keeps both endpoints where
+    * batch keeps one (transitive closure needs the global pair graph).
     *
     * Docs with fewer than `shingleK` tokens carry no shingle evidence and
     * are NOT consumed (same as batch `minhashSignaturesLocal`, where they
@@ -193,10 +221,13 @@ object Streaming {
     * around the filter as unconditional keeps.
     *
     * Scale shape: signature + banding are stateless and partition-local;
-    * the claim state holds one row per distinct band key within the
-    * horizon (sub-linear in docs for duplicate-heavy ingest); the closing
-    * count shuffles nBands rows per doc, grouped by event-time window so
-    * append mode finalizes when the watermark passes the window end.
+    * the window-resolution state holds one row per distinct (window,
+    * band key) within the horizon (sub-linear in docs for duplicate-heavy
+    * ingest); the closing count shuffles nBands rows per surviving band
+    * key. Both stages group by the same event-time window, so append mode
+    * finalizes each window — and evicts ALL its state — when the
+    * watermark passes the window end (Spark 4.1 supports chained
+    * stateful aggregations over the same window struct).
     */
   def nearDupDedupStream(
       docs: DataFrame,
@@ -227,14 +258,25 @@ object Streaming {
       val parts = (0 until rpb).map(r => element_at(col("__sig"), b * rpb + r + 1))
       struct(lit(b).as("band_idx"), md5(concat(parts: _*)).as("band_hash"))
     }
-    val claims = withSig
+    // stage 1: deterministic within-window claim resolution — min doc id
+    // per (window, band key), so same-batch cluster members can never
+    // split the claims. The window is the dedup horizon: its state (and
+    // stage 2's) is evicted exactly when the watermark passes window.end
+    // — cross-window claim state is deliberately absent (see scaladoc:
+    // both Spark 4.1 formulations of it are broken — one never expires,
+    // one deadlocks the watermark).
+    val resolved = withSig
       .select(col(idCol), col(tsCol), explode(array(bandCols: _*)).as("bd"))
       .select(col(idCol), col(tsCol), col("bd.band_idx").as("band_idx"),
         col("bd.band_hash").as("band_hash"))
       .withWatermark(tsCol, watermarkDelay)
-      .dropDuplicatesWithinWatermark("band_idx", "band_hash")
-    claims
-      .groupBy(window(col(tsCol), windowLength), col(idCol))
+      .groupBy(window(col(tsCol), windowLength), col("band_idx"), col("band_hash"))
+      .agg(min(col(idCol)).as(idCol))
+    // stage 2: a window's winner is kept iff it won ALL its band keys —
+    // chained windowed agg over the SAME window struct, so both stages
+    // finalize together when the watermark passes the window end.
+    resolved
+      .groupBy(col("window"), col(idCol))
       .agg(count(lit(1)).as("n_bands"))
       .filter(col("n_bands") === nBands)
       .select(col(idCol), col("n_bands"))

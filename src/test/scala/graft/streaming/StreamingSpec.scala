@@ -357,8 +357,10 @@ class StreamingSpec extends SparkSpec {
       watermarkDelay = "10 seconds", windowLength = "1 minute")
       .writeStream.format("memory").queryName("neardup_stream").outputMode("append").start()
     try {
-      // originals land a batch before their dups, so first-claimant order
-      // is deterministic; the pusher closes the [0, 60s) window
+      // originals and dups land in different micro-batches but the SAME
+      // [0, 60s) window — the windowed min-id resolution is
+      // arrival-order-free; one pusher past window.end + delay finalizes
+      // both chained stages
       input.addData(originals: _*); q.processAllAvailable()
       input.addData(dups: _*); q.processAllAvailable()
       input.addData((ts(600), 99L, "totally unrelated watermark pusher text here"))
@@ -366,14 +368,49 @@ class StreamingSpec extends SparkSpec {
       val kept = spark.table("neardup_stream").as[(Long, Long)].collect().toMap
       assert(kept.keySet == batchSurvivors, s"stream kept ${kept.keySet}")
       assert(kept.values.forall(_ == 4L)) // every keeper claimed all 4 bands
-      // horizon contract: band-claim state ages out past the watermark, so
-      // a long-delayed duplicate of doc 1 is RE-ADMITTED (same contract as
-      // exactDedupStream); a second pusher closes its window
-      input.addData((ts(601), 7L, a)); q.processAllAvailable()
-      input.addData((ts(1200), 98L, "second pusher with more unrelated text"))
+      // horizon contract: the window IS the dedup horizon, so a duplicate
+      // of doc 1 landing in a LATER window is RE-ADMITTED; each pusher
+      // closes the previous arrival's window
+      input.addData((ts(1000), 7L, a)); q.processAllAvailable()
+      input.addData((ts(1100), 97L, "third pusher text with yet more unrelated words"))
+      q.processAllAvailable()
+      input.addData((ts(1700), 96L, "fourth pusher sentence full of other unrelated words"))
       q.processAllAvailable()
       val later = spark.table("neardup_stream").as[(Long, Long)].collect().map(_._1).toSet
-      assert(later == batchSurvivors ++ Set(99L, 7L), s"got $later")
+      // 99's window closed at the doc-7 arrival, 7's at the 97 pusher,
+      // 97's at the 96 pusher; 96's own window is still open at the end
+      assert(later == batchSurvivors ++ Set(99L, 7L, 97L), s"got $later")
+    } finally q.stop()
+  }
+
+  test("nearDupDedupStream: same-batch cluster members keep exactly the min-id member") {
+    // the round-6 advice hazard: originals AND their dups arriving in ONE
+    // micro-batch. With an arbitrary per-band first-claim, members of one
+    // cluster could split the band keys so no doc claims all of them and
+    // the WHOLE cluster vanishes; the within-window min-id resolution must
+    // keep exactly the minimum-id member of each cluster (batch d14's
+    // representative convention)
+    implicit val sqlCtx = spark.sqlContext
+    val a = "the quick brown fox jumps over the lazy dog"
+    val b = "pack my box with five dozen liquor jugs"
+    val c = "sphinx of black quartz judge my vow"
+    val batch = Seq(
+      (ts(1), 2L, a), (ts(2), 1L, a), // cluster {1, 2} — dup FIRST in arrival order
+      (ts(3), 3L, b), (ts(4), 4L, b), // cluster {3, 4}
+      (ts(5), 5L, c)) // singleton
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val df = input.toDF().toDF("ts", "doc_id", "text")
+    val q = Streaming.nearDupDedupStream(
+      df, "ts", "doc_id", "text", shingleK = 3, nHashes = 8, nBands = 4,
+      watermarkDelay = "10 seconds", windowLength = "1 minute")
+      .writeStream.format("memory").queryName("neardup_samebatch").outputMode("append").start()
+    try {
+      input.addData(batch: _*); q.processAllAvailable()
+      input.addData((ts(600), 99L, "totally unrelated watermark pusher text here"))
+      q.processAllAvailable()
+      val kept = spark.table("neardup_samebatch").as[(Long, Long)].collect().toMap
+      assert(kept.keySet == Set(1L, 3L, 5L), s"stream kept ${kept.keySet}")
+      assert(kept.values.forall(_ == 4L)) // each keeper won all 4 bands
     } finally q.stop()
   }
 
