@@ -65,35 +65,58 @@ object Bench {
     // force EVERY output column: a bare count() lets Catalyst prune unused
     // window/projection expressions and under-measures projection queries
     import org.apache.spark.sql.functions.{col, sum => fsum, xxhash64}
+    // a thrown query must never record a plausible-looking fast timing:
+    // round 7's events-schema drift produced fake ~0.06 s rows for 42
+    // silently-failing queries. Carry the error string into queryStats so
+    // the artifact itself shows red.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val preDrained = drainListenerBus()
       val s0 = stagesAcc.get
       val b0 = shuffleBytesAcc.get
       val t0 = System.nanoTime()
-      try {
-        val out = fn(spark, sfDir)
-        // double sum: a long sum of hashes overflows under ANSI mode
-        out.select(xxhash64(out.columns.toIndexedSeq.map(col): _*).cast("double").as("__h"))
-          .agg(fsum("__h")).collect()
-      } catch { case _: Throwable => () }
+      val err: Option[String] =
+        try {
+          val out = fn(spark, sfDir)
+          // double sum: a long sum of hashes overflows under ANSI mode
+          out.select(xxhash64(out.columns.toIndexedSeq.map(col): _*).cast("double").as("__h"))
+            .agg(fsum("__h")).collect()
+          None
+        } catch { case e: Throwable =>
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
+        }
       val secs = (System.nanoTime() - t0) / 1e9
       graft.ops.Caches.releaseAll()
       val postDrained = drainListenerBus()
       (name, secs, shuffleBytesAcc.get - b0, stagesAcc.get - s0,
-        !(preDrained && postDrained))
+        !(preDrained && postDrained), err)
     }
-    val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + v }
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val qs = results.map { case (k, v, _, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val qstats = results
-      .map { case (k, v, b, st, to) =>
+      .map { case (k, v, b, st, to, err) =>
+        val errField = err.map(m => s""","err":${jstr(m)}""").getOrElse("")
         s"\"" + k +
-          s"""\":{"secs":$v,"shuffleBytes":$b,"stages":$st,"drainTimedOut":$to}"""
+          s"""\":{"secs":$v,"shuffleBytes":$b,"stages":$st,"drainTimedOut":$to$errField}"""
       }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val drainTimeouts = results.count(_._5)
+    val errCount = results.count(_._6.nonEmpty)
+    if (errCount > 0)
+      System.err.println(s"[bench] $errCount queries FAILED: " +
+        results.filter(_._6.nonEmpty).map(_._1).mkString(", "))
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""queryStats":$qstats,"drainTimeouts":$drainTimeouts,"sf":"$sfDir"}"""
+      s""""queryStats":$qstats,"drainTimeouts":$drainTimeouts,""" +
+      s""""errors":$errCount,"sf":"$sfDir"}"""
     // Write the file copies FIRST: a tail-limited stdout capture window has
     // twice clipped the full per-query line from the front (r2, r6 verdicts),
     // so the complete telemetry must exist on disk regardless of what
@@ -115,7 +138,11 @@ object Bench {
     // summary with no per-query dict as the very last line on both streams —
     // short enough that no tail window can truncate it. DO NOT append
     // anything after it: the driver parses the LAST stdout line.
-    val summary = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
+    // a contended or broken run must be self-describing from the short line
+    // alone: drainTimeouts flags bleed-prone telemetry, errors flags thrown
+    // queries (fake-fast totals otherwise read as a speedup)
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""drainTimeouts":$drainTimeouts,"errors":$errCount,"sf":"$sfDir"}"""
     println(summary)
     System.err.println(summary)
     spark.stop()

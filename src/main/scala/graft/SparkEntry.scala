@@ -22,10 +22,15 @@ object SparkEntry {
     * per-user hourly tumbling aggregation over events (W1 + A3/A4).
     */
   def entry(spark: SparkSession): DataFrame = {
-    // the events parquet stores TIMESTAMP(NANOS); a session without this
-    // legacy conf refuses the scan (Verify/Bench set it at build time, but
-    // entry runs on the driver's own session)
+    // events.ts has shipped as TIMESTAMP(NANOS), TIMESTAMP, and (currently)
+    // TIMESTAMP_NTZ across driver rounds — Q.events handles all three, but
+    // needs the legacy conf for the nanos shape and a UTC session timezone
+    // for the NTZ→TIMESTAMP cast to match the oracle's epoch_us (entry runs
+    // on the driver's own session, so self-set both; Verify/Bench set them
+    // at build time)
     try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Throwable => () }
+    try spark.conf.set("spark.sql.session.timeZone", "UTC")
     catch { case _: Throwable => () }
     queries("w1_tumble_agg")(spark, "/root/testdata/sf0.001")
   }

@@ -27,11 +27,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // a thrown query must surface as a red row in the round artifacts, never
+    // a silent omission: round 7's events-schema drift erased 42 queries
+    // from CORRECTNESS because failures only went to stderr. _failed.json
+    // (query → error) is written even when empty so its absence is itself a
+    // signal that Verify died before finishing.
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        failed(name) = msg.take(500)
+        System.err.println(s"[verify] $name failed: $msg")
       }
       // several operators persist intermediates (dedup, the IVF fit); do not
       // let 60+ queries' worth of cached blocks pile up in this one session
@@ -52,6 +60,12 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val failedJson = failed
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_failed.json"), failedJson)
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size} queries FAILED: " +
+        failed.keys.mkString(", "))
     spark.stop()
   }
 }

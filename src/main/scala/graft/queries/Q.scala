@@ -31,18 +31,30 @@ object Q {
 
   /** events with the canonical BIGINT µs time key.
     *
-    * The driver parquet stores ts as TIMESTAMP(NANOS), which Spark 4 only
-    * reads with `spark.sql.legacy.parquet.nanosAsLong=true` (set by
-    * Verify/Bench) — then ts is a nanos BIGINT and the µs key is an integer
-    * DIV (ns magnitudes exceed 2^53, so double division would corrupt).
-    * With a session that maps it to TimestampType instead, unix_micros is
-    * exact (the data has no sub-µs precision).
+    * The driver has shipped events.ts in three shapes across rounds; all
+    * three are accepted and produce identical `ts_us` (pinned by
+    * `EventsSchemaSpec`):
+    *   - TIMESTAMP(NANOS): Spark 4 only reads it with
+    *     `spark.sql.legacy.parquet.nanosAsLong=true` (Verify/Bench and
+    *     `SparkEntry.entry` set it) — ts arrives as a nanos BIGINT and the
+    *     µs key is an integer DIV (ns magnitudes exceed 2^53, so double
+    *     division would corrupt);
+    *   - TIMESTAMP (µs, with tz): `unix_micros` is exact — the data has no
+    *     sub-µs precision;
+    *   - TIMESTAMP_NTZ (µs, no tz — the shape since round 7's regen):
+    *     `unix_micros` rejects NTZ at analysis time, so cast to TIMESTAMP
+    *     first. The cast interprets the naive value in the SESSION timezone,
+    *     so callers must pin `spark.sql.session.timeZone=UTC` (Verify/Bench
+    *     and `entry` do) — then it matches the oracle's `epoch_us(ts)`,
+    *     which also treats naive timestamps as UTC.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     val raw = t(s, dir, "events")
     val tsUs = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => expr("ts DIV 1000")
-      case _                                   => unix_micros(col("ts"))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col("ts").cast("timestamp"))
+      case _ => unix_micros(col("ts"))
     }
     raw.withColumn("ts_us", tsUs)
   }
