@@ -86,6 +86,54 @@ object Dedup {
       .select("a_id", "b_id", "shared", "na", "nb", "jaccard")
   }
 
+  /** Containment near-dup pairs — the ASYMMETRIC companion of
+    * [[jaccardPairs]]: containment(A⊆B) = |sh(A) ∩ sh(B)| / |sh(A)|.
+    * Jaccard misses the doc-inside-doc case (a tweet quoted inside a long
+    * article has Jaccard ≈ |A|/|B| ≈ 0 but containment(A) = 1), which is
+    * the dominant duplication mode for quoted/boilerplate-wrapped web text;
+    * production pipelines (CCNet-class) filter on max(cont_a, cont_b).
+    *
+    * Same inverted-index shape and df-cap scale story as [[jaccardPairs]]:
+    * one shingle-key equi-join bounded by `maxShingleDf`, one pair groupBy,
+    * two broadcast-size joins for set sizes. Returns (a_id, b_id, shared,
+    * na, nb, cont_a, cont_b) for pairs where max(cont_a, cont_b) ≥
+    * `minContainment`; integer counts + two closing divisions, so the
+    * DuckDB oracle is exact.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      minContainment: Double,
+      maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    val allSh = Text.shingleKeySet(df, idCol, textCol, k)
+    val sh = Caches.trackPersist(
+      if (maxShingleDf == Int.MaxValue) allSh
+      else {
+        val base = Caches.trackPersist(allSh)
+        val hot = base.groupBy(col("sk"))
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxShingleDf)
+          .select("sk")
+        base.join(broadcast(hot), Seq("sk"), "left_anti")
+      })
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"), col("a.sk") === col("b.sk") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"))
+      .agg(count(lit(1)).as("shared"))
+    val contA = col("shared").cast("double") / col("na").cast("double")
+    val contB = col("shared").cast("double") / col("nb").cast("double")
+    pairs
+      .join(sizes.withColumnRenamed(idCol, "a_id").withColumnRenamed("n_sh", "na"), "a_id")
+      .join(sizes.withColumnRenamed(idCol, "b_id").withColumnRenamed("n_sh", "nb"), "b_id")
+      .withColumn("cont_a", contA)
+      .withColumn("cont_b", contB)
+      .filter(greatest(col("cont_a"), col("cont_b")) >= minContainment)
+      .select("a_id", "b_id", "shared", "na", "nb", "cont_a", "cont_b")
+  }
+
   /** MinHash signature via double hashing: ONE md5 per shingle, split into
     * two little-endian 64-bit halves (h1 = digest bytes 8..15, h2 = bytes
     * 0..7 — DuckDB's md5_number_lower/upper), permutation j = h1 + j·h2

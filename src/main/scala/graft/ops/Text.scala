@@ -182,6 +182,38 @@ object Text {
           lit(1.0) - col("n_distinct_grams").cast("double") / col("n_grams").cast("double")))
   }
 
+  /** Top-n-gram concentration — the OTHER Gopher repetition signal,
+    * complementing [[repetitionScore]]'s duplicate fraction: the share of a
+    * doc's k-gram occurrences taken by its single most frequent k-gram
+    * (`max count / total grams`). A doc stuck in a loop ("buy now buy now
+    * buy now …") has a LOW dup-distinct signal contribution per gram but a
+    * near-1 top-gram share; natural prose sits near 1/n_grams. Gopher cuts
+    * docs where the top 2-gram exceeds 0.20 of the text.
+    *
+    * Works on gram KEYS ([[graft.functions.ShingleKeys]]) — only the
+    * equality relation matters for counting, same 64-bit collision contract
+    * as [[shingleKeySet]]. Scale shape: one explode + (id, gram) hash agg +
+    * per-id max/sum; the first groupBy's partial aggregation collapses
+    * doc-local gram repeats before its exchange (explode keeps a doc's
+    * grams in one partition), so the shuffle carries ≤ distinct grams per
+    * doc. Docs with fewer than k tokens emit no row.
+    */
+  def topGramShare(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val toks = tokens(col(textCol))
+    spread(df, idCol)
+      .filter(size(toks) >= k)
+      .select(col(idCol), explode(graft.functions.ShingleKeys(toks, k)).as("__gk"))
+      .groupBy(col(idCol), col("__gk"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__c")).cast("long").as("n_grams"),
+        max(col("__c")).cast("long").as("top_gram_count"))
+      .withColumn(
+        "top_gram_share",
+        col("top_gram_count").cast("double") / col("n_grams").cast("double"))
+  }
+
   /** Unigram language-model scoring — the CCNet/Wikipedia-LM class of
     * quality filter: fit a unigram LM on the corpus itself (token counts /
     * total tokens), then score each doc by its mean token log-probability.

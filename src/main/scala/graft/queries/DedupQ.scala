@@ -702,6 +702,25 @@ object DedupQ {
                     FROM f WHERE doc_id % 10 = 7 GROUP BY 1)
               SELECT doc_id, fp, n_batch_dups FROM b
               WHERE NOT EXISTS (SELECT 1 FROM f s
-                                WHERE s.doc_id % 10 <> 7 AND s.fp = b.fp)"""))
+                                WHERE s.doc_id % 10 <> 7 AND s.fp = b.fp)""")),
+
+    QDef(
+      "d16_containment",
+      // asymmetric containment pairs (doc-inside-doc dedup) over the
+      // df-capped shingle universe — same cap as the shipped d7/d8
+      // pipeline; see [[graft.ops.Dedup.containmentPairs]]
+      (s, d) => Dedup.containmentPairs(t(s, d, "documents"), "doc_id", "text", 3, 0.8, shCapDf),
+      Some(s"""WITH $shCappedSql,
+               sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+               p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS shared
+                     FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                     GROUP BY 1, 2)
+               SELECT a_id, b_id, shared, sa.n AS na, sb.n AS nb,
+                      CAST(shared AS DOUBLE) / CAST(sa.n AS DOUBLE) AS cont_a,
+                      CAST(shared AS DOUBLE) / CAST(sb.n AS DOUBLE) AS cont_b
+               FROM p JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+               WHERE greatest(CAST(shared AS DOUBLE) / CAST(sa.n AS DOUBLE),
+                              CAST(shared AS DOUBLE) / CAST(sb.n AS DOUBLE))
+                     >= CAST(0.8 AS DOUBLE)"""))
   )
 }

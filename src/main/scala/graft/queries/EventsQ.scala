@@ -210,6 +210,30 @@ object EventsQ {
                  AND CAST(cum - cnt AS DOUBLE) < q * CAST(n AS DOUBLE)""")),
 
     QDef(
+      "ivm_hll_merge",
+      // incremental DISTINCT-COUNT maintenance: per-event_type HLL sketch
+      // partials from the historical side and the new batch, unioned and
+      // closed into an estimate — the mergeable-sketch companion of
+      // ivm_merge_agg/ivm_hist_quantile and the batch shape of the
+      // foreachBatch streaming IVM loop. Registered WITHOUT an oracle by
+      // the documented sketch contract (Incremental.hllPartials scaladoc):
+      // Spark unions per-partition partial sketches, so the estimate can
+      // wobble ±ε under different partitioning — the driver records the
+      // weaker rows-only check, and the spec pins estimate-vs-exact error
+      // bounds instead
+      (s, d) => {
+        val ev = events(s, d)
+        val keys = Seq("event_type")
+        val merged = Incremental.hllMerge(
+          Incremental.hllPartials(ev.filter(col("ts_us") < cutoffUs), keys, "user_id"),
+          Incremental.hllPartials(ev.filter(col("ts_us") >= cutoffUs), keys, "user_id"),
+          keys)
+        Incremental.hllFinalize(merged)
+          .select("event_type", "approx_distinct")
+      },
+      None),
+
+    QDef(
       "p16_json_extract",
       // semi-structured payloads: parse the props JSON column with an
       // explicit schema (from_json — typed, codegen'd, PERMISSIVE nulls

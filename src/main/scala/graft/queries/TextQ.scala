@@ -925,6 +925,41 @@ object TextQ {
               regexp_replace(
                 regexp_replace(text, '\bcustomer\b|\bsupplier\b', '[MASKED]', 'g'),
                 '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g') AS text_redacted
-              FROM documents"""))
+              FROM documents""")),
+
+    QDef(
+      "t17_topgram_share",
+      // Gopher-class top-n-gram concentration: share of gram occurrences
+      // taken by the most frequent 2-gram and 3-gram per doc (the loop-spam
+      // signal repetitionScore's dup_frac under-weights). Integer counts +
+      // closing divisions; docs with fewer than 3 tokens drop (inner join)
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        def g(k: Int) = Text.topGramShare(docs, "doc_id", "text", k)
+          .select(
+            col("doc_id"),
+            col("n_grams").as(s"n_grams_$k"),
+            col("top_gram_count").as(s"top${k}_count"),
+            col("top_gram_share").as(s"top${k}_share"))
+        g(2).join(g(3), Seq("doc_id"))
+      },
+      Some {
+        def gramSql(k: Int) = {
+          val gram = (0 until k).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+          s"""g$k AS (SELECT doc_id, $gram AS gram FROM tk,
+                unnest(generate_series(1, len(toks) - ${k - 1})) AS u$k(i)),
+              c$k AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c
+                      FROM g$k GROUP BY 1, 2),
+              s$k AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams_$k,
+                        CAST(max(c) AS BIGINT) AS top${k}_count,
+                        CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top${k}_share
+                      FROM c$k GROUP BY 1)"""
+        }
+        s"""WITH tk AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+            ${gramSql(2)}, ${gramSql(3)}
+            SELECT s2.doc_id, n_grams_2, top2_count, top2_share,
+                   n_grams_3, top3_count, top3_share
+            FROM s2 JOIN s3 ON s2.doc_id = s3.doc_id"""
+      })
   )
 }

@@ -222,4 +222,44 @@ class DedupTextSpec extends SparkSpec {
       .map { case (id, n, s) => id -> ((n, s)) }.toMap
     assert(repart == out)
   }
+
+  test("containmentPairs catches doc-inside-doc pairs that Jaccard misses") {
+    val contained = "w1 w2 w3 w4 w5"
+    val container = "x1 x2 x3 x4 x5 x6 x7 " + contained + " y1 y2 y3 y4 y5 y6 y7"
+    val corpus = Seq((1L, contained), (2L, container), (3L, "p q r s t u")).toDF("doc_id", "text")
+    // 1's three 3-shingles all occur in 2: cont_a = 1.0, but jaccard = 3/17
+    val jac = Dedup.jaccardPairs(corpus, "doc_id", "text", 3, 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((1L, 2L)), "symmetric Jaccard should miss the containment pair")
+    val cont = Dedup.containmentPairs(corpus, "doc_id", "text", 3, 0.8)
+      .select("a_id", "b_id", "shared", "na", "nb", "cont_a", "cont_b")
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(cont == Seq((1L, 2L, 3L, 3L, 17L, 1.0, 3.0 / 17.0)))
+  }
+
+  test("containmentPairs maxShingleDf drops corpus-hot shingles from every set") {
+    val hot = "HOT1 HOT2 HOT3"
+    // 1 ⊂ 2 via the hot shingle only; six fillers push its df over the cap
+    val corpus = (Seq((1L, hot + " a b"), (2L, "z1 z2 " + hot + " z3 z4")) ++
+      (10L to 15L).map(i => (i, hot))).toDF("doc_id", "text")
+    val capped = Dedup.containmentPairs(corpus, "doc_id", "text", 3, 0.5, maxShingleDf = 5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(!capped.exists(p => p._1 == 1L && p._2 == 2L),
+      "with the hot shingle dropped, 1 and 2 share nothing")
+  }
+
+  test("topGramShare: loop spam concentrates on one gram; prose does not") {
+    val corpus = Seq(
+      (1L, "buy now buy now buy now"),
+      (2L, "all grams here are fully distinct words"),
+      (3L, "xy")) // 1 token < k: no row
+    .toDF("doc_id", "text")
+    val out = Text.topGramShare(corpus, "doc_id", "text", 2)
+      .select("doc_id", "n_grams", "top_gram_count", "top_gram_share")
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (id, n, c, s) => id -> ((n, c, s)) }.toMap
+    assert(out(1L) == ((5L, 3L, 0.6))) // "buy now"×3 of 5 bigrams
+    assert(out(2L) == ((6L, 1L, 1.0 / 6.0)))
+    assert(!out.contains(3L))
+  }
 }
