@@ -312,6 +312,71 @@ object Text {
         (Exact.dsumTrunc9(col("__lp")) / count(lit(1)).cast("double")).as("avg_logprob"))
   }
 
+  /** Byte-pair-encoding merge learning — the tokenizer-fit step of an LLM
+    * data pipeline: `rounds` greedy merge rules over the corpus, each round
+    * picking the most frequent adjacent symbol pair (ties: lexicographically
+    * smallest pair string) and merging it everywhere before recounting.
+    * Returns one row per learned rule: (merge_rank, pair, merged,
+    * pair_count).
+    *
+    * Runs on the word-TYPE histogram, as real BPE trainers do: pair
+    * statistics over (type, freq) are identical to statistics over the
+    * token bag, and the vocabulary is sub-linear in corpus size — the 100
+    * TB corpus is scanned ONCE (the word groupBy); every merge round then
+    * touches only the vocab table. The per-round argmax is a one-row
+    * driver collect (a plan-time scalar of the fit loop, same cost class
+    * as [[Dedup.connectedComponents]]' convergence probe and the
+    * k-means fit in `ml/IvfQuantizer`).
+    *
+    * Cross-engine exactness: the symbol state is a single-spaced string;
+    * merge application uses LITERAL left-to-right non-overlapping replace
+    * (Spark's `replace` and DuckDB's `replace` agree) on the doubled-space
+    * form — ' l  r ' occurrences in ' ' + sym.replace(" ", "  ") + ' ' —
+    * which makes consecutive overlapping pairs ("a a a") merge greedily
+    * left-to-right exactly as BPE defines; integer counts and binary
+    * string tie-breaks end to end, so the unrolled-CTE DuckDB oracle is
+    * bit-exact.
+    */
+  def bpeMerges(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds > 0, "bpeMerges needs at least one round")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.functions.{replace => sreplace}
+    val vocab = df.select(explode(tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    var state = Caches.trackPersist(vocab.select(
+      trim(regexp_replace(col("word"), "(.)", "$1 ")).as("sym"), col("freq")))
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val toks = split(col("sym"), " ")
+      val top = state
+        .filter(size(toks) >= 2) // shingles() needs the guard (sequence(0,-1) descends)
+        .select(explode(shingles(toks, 2)).as("pair"), col("freq"))
+        .groupBy("pair").agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val pair = top(0).getString(0)
+        val cnt = top(0).getLong(1)
+        val merged = pair.replace(" ", "")
+        learned += ((r.toLong, pair, merged, cnt))
+        val doubled = concat(lit(" "), sreplace(col("sym"), lit(" "), lit("  ")), lit(" "))
+        val applied = sreplace(
+          doubled,
+          lit(" " + pair.replace(" ", "  ") + " "),
+          lit(" " + merged + " "))
+        state = Caches.trackPersist(
+          state.select(trim(sreplace(applied, lit("  "), lit(" "))).as("sym"), col("freq")))
+      }
+      r += 1
+    }
+    import spark.implicits._
+    learned.toSeq.toDF("merge_rank", "pair", "merged", "pair_count")
+  }
+
   /** Sequence packing — assign documents to fixed-capacity token packs
     * (context windows), the concat-and-chunk layout LLM training shards
     * use: within each shard, docs are laid end-to-end in id order and a

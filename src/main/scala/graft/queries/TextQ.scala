@@ -960,6 +960,40 @@ object TextQ {
             SELECT s2.doc_id, n_grams_2, top2_count, top2_share,
                    n_grams_3, top3_count, top3_share
             FROM s2 JOIN s3 ON s2.doc_id = s3.doc_id"""
+      }),
+
+    QDef(
+      "t18_bpe_merges",
+      // tokenizer fit: 6 greedy BPE merge rules learned from the corpus's
+      // word-type histogram (see Text.bpeMerges — literal left-to-right
+      // replace on the doubled-space form makes overlapping pairs merge
+      // exactly as BPE defines, identically in both engines)
+      (s, d) => Text.bpeMerges(t(s, d, "documents"), "text", 6),
+      Some {
+        val rounds = 6
+        // sN = symbol state after N merges; pN/tN = round-N pair counts
+        // and the argmax rule, CTEs unrolled per round
+        val roundCtes = (1 to rounds).map { r =>
+          s"""p$r AS (SELECT toks[i] || ' ' || toks[i+1] AS pair, CAST(sum(freq) AS BIGINT) AS cnt
+                FROM (SELECT string_split(sym, ' ') AS toks, freq FROM s${r - 1}),
+                     unnest(generate_series(1, len(toks) - 1)) AS u(i)
+                GROUP BY 1),
+              t$r AS (SELECT pair, replace(pair, ' ', '') AS merged, cnt
+                      FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
+              s$r AS (SELECT trim(replace(replace(' ' || replace(sym, ' ', '  ') || ' ',
+                               ' ' || replace(t$r.pair, ' ', '  ') || ' ',
+                               ' ' || t$r.merged || ' '), '  ', ' ')) AS sym, freq
+                      FROM s${r - 1}, t$r)"""
+        }.mkString(",\n")
+        val unions = (1 to rounds).map(r =>
+          s"SELECT CAST($r AS BIGINT) AS merge_rank, pair, merged, cnt AS pair_count FROM t$r")
+          .mkString(" UNION ALL ")
+        s"""WITH wv AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM
+                (SELECT unnest(string_split(trim(text), ' ')) AS word FROM documents)
+                GROUP BY 1),
+            s0 AS (SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym, freq FROM wv),
+            $roundCtes
+            $unions"""
       })
   )
 }

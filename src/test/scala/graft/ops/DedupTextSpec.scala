@@ -262,4 +262,30 @@ class DedupTextSpec extends SparkSpec {
     assert(out(2L) == ((6L, 1L, 1.0 / 6.0)))
     assert(!out.contains(3L))
   }
+
+  test("bpeMerges learns the classic low/lower merge sequence") {
+    val corpus = Seq((1L, "low low lower")).toDF("doc_id", "text")
+    val rules = Text.bpeMerges(corpus, "text", 5)
+      .select("merge_rank", "pair", "merged", "pair_count")
+      .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+    // vocab: low×2, lower×1; round-1 tie (l o)=3 vs (o w)=3 breaks
+    // lexicographically; rounds stop when no pairs remain (4 < 5 asked)
+    assert(rules == Seq(
+      (1L, "l o", "lo", 3L),
+      (2L, "lo w", "low", 3L),
+      (3L, "e r", "er", 1L),
+      (4L, "low er", "lower", 1L)))
+  }
+
+  test("bpeMerges merges overlapping repeats greedily left-to-right") {
+    val corpus = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val rules = Text.bpeMerges(corpus, "text", 3)
+      .select("merge_rank", "pair", "merged", "pair_count")
+      .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+    // 'a a a a' has 3 (a,a) pairs but greedy application yields 'aa aa',
+    // so round 2 finds exactly one (aa,aa) pair
+    assert(rules == Seq(
+      (1L, "a a", "aa", 3L),
+      (2L, "aa aa", "aaaa", 1L)))
+  }
 }

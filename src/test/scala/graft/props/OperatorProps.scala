@@ -295,4 +295,47 @@ object OperatorProps extends Properties("graft.ops") {
       }
       Prop(oneShot == merged && dominated)
     }
+
+  /** Direct in-memory BPE trainer — the independent reference for
+    * [[graft.ops.Text.bpeMerges]]'s distributed string-rewrite form.
+    * Greedy left-to-right merge application over symbol LISTS; tie-break
+    * on the pair string ascending (ASCII = binary = Spark's ordering).
+    */
+  private def refBpe(words: Seq[String], rounds: Int): Seq[(Long, String, String, Long)] = {
+    var vocab: Seq[(List[String], Long)] = words.groupBy(identity).toSeq
+      .map { case (w, ws) => (w.map(_.toString).toList, ws.size.toLong) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      vocab.foreach { case (syms, f) =>
+        syms.zip(syms.drop(1)).foreach(p => counts(p) += f)
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, rr), c) = counts.toSeq.minBy { case ((a, b), n) => (-n, a + " " + b) }
+        out += ((r.toLong, l + " " + rr, l + rr, c))
+        def applyMerge(syms: List[String]): List[String] = syms match {
+          case a :: b :: rest if a == l && b == rr => (l + rr) :: applyMerge(rest)
+          case a :: rest => a :: applyMerge(rest)
+          case Nil => Nil
+        }
+        vocab = vocab.map { case (syms, f) => (applyMerge(syms), f) }
+      }
+      r += 1
+    }
+    out.toSeq
+  }
+
+  property("bpeMerges equals a direct in-memory BPE trainer on random corpora") =
+    Prop.forAll(
+      Gen.choose(1, 4),
+      Gen.nonEmptyListOf(Gen.choose(1, 5).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString)))) { (rounds, words) =>
+      val df = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val got = Text.bpeMerges(df, "text", rounds)
+        .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+      Prop(got == refBpe(words, rounds)) :| s"words=$words got=$got expected=${refBpe(words, rounds)}"
+    }
 }
