@@ -594,4 +594,65 @@ object Stats {
       .withColumn("pearson_r", when(vx > 0 && vy > 0, corr))
       .drop("__sx", "__sy", "__sxy", "__sxx", "__syy")
   }
+
+  /** Population stability index between a BASE and a CURRENT distribution
+    * of `valueCol`, per key — the standard drift monitor a continuously
+    * ingested pipeline runs between the historical snapshot and each new
+    * batch (PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted):
+    *
+    *   PSI = Σ_bins (p_i − q_i) · ln(p_i / q_i)
+    *
+    * over `nBins` fixed-width bins on [lo, lo + nBins·binWidth), clamped at
+    * the edges (same convention as [[Incremental.histPartials]]). Shares
+    * are Laplace-smoothed — p_i = (c_i + 1)/(n + nBins) — so empty bins are
+    * well-defined on both sides without an epsilon constant.
+    *
+    * Scale shape: each side collapses to ≤ keys·nBins count cells via one
+    * map-side-combined groupBy (the 100 TB scan shuffles only the cell
+    * grid); the bin scaffold (every key × every bin) and the per-key totals
+    * are sub-linear frames joined broadcast. Determinism: shares and their
+    * ratio are BIGINT→double divisions (correctly rounded, engine-equal),
+    * ln is [[graft.functions.MathLn]], and the per-key term sum is
+    * [[Exact.dsumTrunc9]] (order-independent; |term| sums are O(ln nBins),
+    * so scale-9 noise is far under double precision needs).
+    */
+  def psi(
+      base: DataFrame,
+      cur: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      lo: Double,
+      binWidth: Double,
+      nBins: Int): DataFrame = {
+    require(nBins > 1 && binWidth > 0, "psi needs nBins > 1 and a positive binWidth")
+    val kCols = keys.map(col)
+    def binOf = least(
+      greatest(floor((col(valueCol) - lit(lo)) / lit(binWidth)).cast("long"), lit(0L)),
+      lit(nBins - 1L))
+    def cells(df: DataFrame, out: String) = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(kCols :+ binOf.as("__bin"): _*)
+      .agg(count(lit(1)).as(out))
+    def totals(df: DataFrame, out: String) = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(kCols: _*)
+      .agg(count(lit(1)).as(out))
+    val scaffold = base.select(kCols: _*).union(cur.select(kCols: _*)).distinct()
+      .select(kCols :+ explode(sequence(lit(0L), lit(nBins - 1L))).as("__bin"): _*)
+    val joined = scaffold
+      .join(broadcast(cells(base, "__cb")), keys :+ "__bin", "left")
+      .join(broadcast(cells(cur, "__cc")), keys :+ "__bin", "left")
+      .join(broadcast(totals(base, "n_base")), keys, "left")
+      .join(broadcast(totals(cur, "n_cur")), keys, "left")
+      .na.fill(0L, Seq("__cb", "__cc", "n_base", "n_cur"))
+    val p = (col("__cb") + 1L).cast("double") / (col("n_base") + nBins).cast("double")
+    val q = (col("__cc") + 1L).cast("double") / (col("n_cur") + nBins).cast("double")
+    joined
+      .withColumn("__term", (p - q) * graft.functions.MathLn(p / q))
+      .groupBy(kCols: _*)
+      .agg(
+        max(col("n_base")).as("n_base"),
+        max(col("n_cur")).as("n_cur"),
+        Exact.dsumTrunc9(col("__term")).as("psi"))
+  }
 }

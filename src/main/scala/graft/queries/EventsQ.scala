@@ -210,6 +210,55 @@ object EventsQ {
                  AND CAST(cum - cnt AS DOUBLE) < q * CAST(n AS DOUBLE)""")),
 
     QDef(
+      "m17_psi",
+      // drift monitoring: population stability index of the value
+      // distribution, new batch vs historical snapshot, per event_type —
+      // 20 fixed bins of width 30 over value's [0, 600) range (the
+      // ivm_hist_quantile binning, coarsened to PSI convention)
+      (s, d) => {
+        val ev = events(s, d)
+        Stats.psi(
+          ev.filter(col("ts_us") < cutoffUs),
+          ev.filter(col("ts_us") >= cutoffUs),
+          Seq("event_type"), "value", 0.0, 30.0, 20)
+      },
+      Some {
+        val smoothP = "CAST(cb + 1 AS DOUBLE) / CAST(n_base + 20 AS DOUBLE)"
+        val smoothQ = "CAST(cc + 1 AS DOUBLE) / CAST(n_cur + 20 AS DOUBLE)"
+        s"""WITH ev AS ($evSql),
+            binned AS (SELECT event_type, ts_us,
+                least(greatest(CAST(floor((value - CAST(0.0 AS DOUBLE))
+                    / CAST(30.0 AS DOUBLE)) AS BIGINT), 0), 19) AS bin
+              FROM ev WHERE value IS NOT NULL),
+            bb AS (SELECT event_type, bin, CAST(count(*) AS BIGINT) AS cb
+                   FROM binned WHERE ts_us < $cutoffUs GROUP BY 1, 2),
+            cc AS (SELECT event_type, bin, CAST(count(*) AS BIGINT) AS cc
+                   FROM binned WHERE ts_us >= $cutoffUs GROUP BY 1, 2),
+            tb AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_base
+                   FROM binned WHERE ts_us < $cutoffUs GROUP BY 1),
+            tc AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_cur
+                   FROM binned WHERE ts_us >= $cutoffUs GROUP BY 1),
+            grid AS (SELECT event_type, CAST(b.b AS BIGINT) AS bin
+                     FROM (SELECT DISTINCT event_type FROM ev),
+                          unnest(generate_series(0, 19)) AS b(b)),
+            j AS (SELECT g.event_type, g.bin,
+                    coalesce(bb.cb, 0) AS cb, coalesce(cc.cc, 0) AS cc,
+                    coalesce(tb.n_base, 0) AS n_base, coalesce(tc.n_cur, 0) AS n_cur
+                  FROM grid g
+                  LEFT JOIN bb ON bb.event_type = g.event_type AND bb.bin = g.bin
+                  LEFT JOIN cc ON cc.event_type = g.event_type AND cc.bin = g.bin
+                  LEFT JOIN tb ON tb.event_type = g.event_type
+                  LEFT JOIN tc ON tc.event_type = g.event_type),
+            t AS (SELECT event_type, n_base, n_cur,
+                    ($smoothP - $smoothQ) * ln(($smoothP) / ($smoothQ)) AS term
+                  FROM j)
+            SELECT event_type, CAST(max(n_base) AS BIGINT) AS n_base,
+              CAST(max(n_cur) AS BIGINT) AS n_cur,
+              ${graft.ops.Exact.sqlDsumTrunc9("term")} AS psi
+            FROM t GROUP BY 1"""
+      }),
+
+    QDef(
       "ivm_hll_merge",
       // incremental DISTINCT-COUNT maintenance: per-event_type HLL sketch
       // partials from the historical side and the new batch, unioned and

@@ -234,4 +234,24 @@ class StatsSpec extends SparkSpec {
     val z = Stats.zOutliers(df.filter(col("k") === "a"), Seq("k"), "v", 2.5)
     assert(z.isEmpty)
   }
+
+  test("psi: zero on identical distributions, positive on a shift, closed form") {
+    val base = Seq(("a", 0.5), ("a", 1.5), ("a", 1.5), ("a", 2.5)).toDF("k", "v")
+    val same = Stats.psi(base, base, Seq("k"), "v", 0.0, 1.0, 4)
+      .select("k", "n_base", "n_cur", "psi").as[(String, Long, Long, Double)].head()
+    assert(same == (("a", 4L, 4L, 0.0))) // p_i == q_i exactly -> every term 0
+    // shift everything up one bin; PSI is symmetric-positive
+    val cur = Seq(("a", 1.5), ("a", 2.5), ("a", 2.5), ("a", 3.5)).toDF("k", "v")
+    val shifted = Stats.psi(base, cur, Seq("k"), "v", 0.0, 1.0, 4)
+      .select("psi").as[Double].head()
+    // closed form with Laplace smoothing, n=4, nBins=4: shares are
+    // (c+1)/8 with base counts (1,2,1,0) and cur counts (0,1,2,1)
+    def t9(x: Double) = math.signum(x) * math.floor(math.abs(x) * 1e9) / 1e9
+    val terms = Seq((1, 0), (2, 1), (1, 2), (0, 1)).map { case (cb, cc) =>
+      val (p, q) = ((cb + 1) / 8.0, (cc + 1) / 8.0)
+      t9((p - q) * math.log(p / q))
+    }
+    assert(math.abs(shifted - terms.sum) < 1e-12)
+    assert(shifted > 0.0)
+  }
 }
