@@ -328,6 +328,42 @@ object OperatorProps extends Properties("graft.ops") {
     out.toSeq
   }
 
+  property("containment dominates Jaccard and stays in (0, 1] on random corpora") =
+    Prop.forAll(
+      Gen.listOfN(6, Gen.choose(4, 9).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("w1", "w2", "w3", "w4", "w5")).map(_.mkString(" "))))) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val jac = Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.0)
+        .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect()
+        .map { case (a, b, j) => (a, b) -> j }.toMap
+      val cont = Dedup.containmentPairs(df, "doc_id", "text", 3, 0.0)
+        .select("a_id", "b_id", "shared", "na", "nb", "cont_a", "cont_b")
+        .as[(Long, Long, Long, Long, Long, Double, Double)].collect()
+      Prop(cont.forall { case (a, b, shared, na, nb, ca, cb) =>
+        val j = jac((a, b)) // same pair universe: shared >= 1 both ways
+        ca > 0.0 && ca <= 1.0 && cb > 0.0 && cb <= 1.0 &&
+          ca >= j && cb >= j &&
+          ca == shared.toDouble / na && cb == shared.toDouble / nb
+      } && cont.length == jac.size)
+    }
+
+  property("psi is non-negative, symmetric under swap, zero on identical sides") =
+    Prop.forAll(
+      Gen.nonEmptyListOf(Gen.choose(0.0, 100.0)),
+      Gen.nonEmptyListOf(Gen.choose(0.0, 100.0))) { (xs, ys) =>
+      val base = xs.map(("k", _)).toDF("k", "v")
+      val cur = ys.map(("k", _)).toDF("k", "v")
+      def p(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+        Stats.psi(a, b, Seq("k"), "v", 0.0, 10.0, 10).select("psi").as[Double].head()
+      val fwd = p(base, cur)
+      // every term (p-q)ln(p/q) >= 0; the form is symmetric in (p, q) but
+      // ln(q/p) is only the ulp-level negation of ln(p/q), and trunc-9 can
+      // split such a pair across adjacent 1e-9 cells — tolerance, not
+      // equality, sized at one cell per bin (10 bins)
+      Prop(fwd >= 0.0 && math.abs(fwd - p(cur, base)) <= 1.1e-8 &&
+        p(base, base) == 0.0) :| s"fwd=$fwd"
+    }
+
   property("bpeMerges equals a direct in-memory BPE trainer on random corpora") =
     Prop.forAll(
       Gen.choose(1, 4),
