@@ -626,24 +626,58 @@ object Stats {
       nBins: Int): DataFrame = {
     require(nBins > 1 && binWidth > 0, "psi needs nBins > 1 and a positive binWidth")
     val kCols = keys.map(col)
-    def binOf = least(
-      greatest(floor((col(valueCol) - lit(lo)) / lit(binWidth)).cast("long"), lit(0L)),
-      lit(nBins - 1L))
-    def cells(df: DataFrame, out: String) = df
-      .filter(col(valueCol).isNotNull)
-      .groupBy(kCols :+ binOf.as("__bin"): _*)
-      .agg(count(lit(1)).as(out))
-    def totals(df: DataFrame, out: String) = df
-      .filter(col(valueCol).isNotNull)
-      .groupBy(kCols: _*)
-      .agg(count(lit(1)).as(out))
+    // scaffold keys come from the RAW frames, so a key whose every value is
+    // NULL still gets a (degenerate, uniform-vs-uniform) PSI row
     val scaffold = base.select(kCols: _*).union(cur.select(kCols: _*)).distinct()
-      .select(kCols :+ explode(sequence(lit(0L), lit(nBins - 1L))).as("__bin"): _*)
+      .select(kCols :+ explode(sequence(lit(0L), lit(nBins - 1L))).as("bin"): _*)
+    psiCore(
+      scaffold,
+      Incremental.histPartials(base, keys, valueCol, lo, binWidth, nBins),
+      Incremental.histPartials(cur, keys, valueCol, lo, binWidth, nBins),
+      keys, nBins)
+  }
+
+  /** [[psi]] closed from MAINTAINED histogram state instead of raw rows —
+    * the continuous drift monitor: keep one [[Incremental.histPartials]]
+    * state per side (merged across micro-batches with
+    * [[Incremental.histMerge]] — integer counts over a fixed bin universe,
+    * so batch boundaries provably cannot move the result), then close PSI
+    * from the two states at any point without re-scanning history.
+    * Bit-identical to [[psi]] over the same rows whenever every key has at
+    * least one non-NULL value (a key observed only as NULLs has no state
+    * rows for a state-based monitor to see — the one contract difference).
+    */
+  def psiFromHists(
+      baseHist: DataFrame,
+      curHist: DataFrame,
+      keys: Seq[String],
+      nBins: Int): DataFrame = {
+    require(nBins > 1, "psiFromHists needs nBins > 1")
+    val kCols = keys.map(col)
+    val scaffold = baseHist.select(kCols: _*).union(curHist.select(kCols: _*)).distinct()
+      .select(kCols :+ explode(sequence(lit(0L), lit(nBins - 1L))).as("bin"): _*)
+    psiCore(scaffold, baseHist, curHist, keys, nBins)
+  }
+
+  /** Shared PSI closing math over (keys, bin, cnt) histogram frames; see
+    * [[psi]] for the formula, smoothing and determinism contract.
+    */
+  private def psiCore(
+      scaffold: DataFrame,
+      baseHist: DataFrame,
+      curHist: DataFrame,
+      keys: Seq[String],
+      nBins: Int): DataFrame = {
+    val kCols = keys.map(col)
+    val cb = baseHist.withColumnRenamed("cnt", "__cb")
+    val cc = curHist.withColumnRenamed("cnt", "__cc")
+    val tb = baseHist.groupBy(kCols: _*).agg(sum(col("cnt")).as("n_base"))
+    val tc = curHist.groupBy(kCols: _*).agg(sum(col("cnt")).as("n_cur"))
     val joined = scaffold
-      .join(broadcast(cells(base, "__cb")), keys :+ "__bin", "left")
-      .join(broadcast(cells(cur, "__cc")), keys :+ "__bin", "left")
-      .join(broadcast(totals(base, "n_base")), keys, "left")
-      .join(broadcast(totals(cur, "n_cur")), keys, "left")
+      .join(broadcast(cb), keys :+ "bin", "left")
+      .join(broadcast(cc), keys :+ "bin", "left")
+      .join(broadcast(tb), keys, "left")
+      .join(broadcast(tc), keys, "left")
       .na.fill(0L, Seq("__cb", "__cc", "n_base", "n_cur"))
     val p = (col("__cb") + 1L).cast("double") / (col("n_base") + nBins).cast("double")
     val q = (col("__cc") + 1L).cast("double") / (col("n_cur") + nBins).cast("double")

@@ -75,6 +75,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch hist state closes a streaming PSI drift monitor, batch-parity") {
+    // continuous drift monitoring: the baseline histogram is fitted once,
+    // the live side's histogram state accretes per micro-batch, and PSI is
+    // closed from the two STATES at any point — bit-identical to the batch
+    // Stats.psi over the same rows (integer counts over a fixed bin
+    // universe; the closing math is the shared psiCore)
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.{Incremental, Stats}
+    val (lo, width, nBins) = (0.0, 10.0, 10)
+    val baseRows = (1 to 90).map(i => (i % 2, (i % 10) * 9.5))
+    val liveRows = (1 to 120).map(i => (i % 2, ((i % 10) + 3) * 8.0))
+    val baseHist = Incremental.histPartials(
+      baseRows.toDF("k", "v"), Seq("k"), "v", lo, width, nBins).localCheckpoint(true)
+    val input = MemoryStream[(Int, Double)]
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    val q = input.toDF().toDF("k", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val p = Incremental.histPartials(batch, Seq("k"), "v", lo, width, nBins)
+          .localCheckpoint(true)
+        state = Some(state.fold(p)(s =>
+          Incremental.histMerge(s, p, Seq("k")).localCheckpoint(true)))
+      }
+      .start()
+    try {
+      liveRows.grouped(40).foreach { chunk => input.addData(chunk); q.processAllAvailable() }
+      val streamed = Stats.psiFromHists(baseHist, state.get, Seq("k"), nBins)
+        .orderBy("k").collect().toSeq
+      val direct = Stats.psi(
+        baseRows.toDF("k", "v"), liveRows.toDF("k", "v"), Seq("k"), "v", lo, width, nBins)
+        .orderBy("k").collect().toSeq
+      assert(streamed == direct && streamed.size == 2)
+      // the planted +3-bin shift must register as a real drift signal
+      assert(streamed.forall(_.getDouble(3) > 0.1))
+    } finally q.stop()
+  }
+
   test("asofEnrich: events resolve to the latest at-or-before ref once the watermark passes") {
     import Streaming.{AsofIn, AsofOut}
     implicit val sqlCtx = spark.sqlContext
