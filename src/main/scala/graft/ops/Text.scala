@@ -377,6 +377,49 @@ object Text {
     learned.toSeq.toDF("merge_rank", "pair", "merged", "pair_count")
   }
 
+  /** BPE ENCODE — [[bpeMerges]]' transform step, closing the tokenizer
+    * fit→apply loop (the m4 scaler pattern): fit `rounds` merge rules on
+    * the corpus, apply them to every document, and report the token-budget
+    * numbers a training pipeline actually consumes — symbol count under
+    * the learned tokenizer and chars-per-token compression.
+    *
+    * Application is a PURE PROJECTION: each doc becomes a symbol string
+    * (characters interspersed with spaces; words joined by a ' | ' guard
+    * symbol that no learned rule can ever match across, since rules are
+    * fitted on word-internal adjacencies), then the merge rules apply in
+    * rank order via the same doubled-space literal-replace recipe as the
+    * fit — one codegen'd expression chain, no shuffle, ingest-line-rate at
+    * 100 TB. The fitted rules are a collected plan-time table (six rows).
+    */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{replace => sreplace}
+    val rules = bpeMerges(df, textCol, rounds)
+      .orderBy("merge_rank")
+      .select("pair", "merged")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val toks = tokens(col(textCol))
+    val sym0 = concat_ws(" | ",
+      transform(toks, w => trim(regexp_replace(w, lit("(.)"), lit("$1 ")))))
+    val symFinal = rules.foldLeft(sym0) { case (s, (pair, merged)) =>
+      val doubled = concat(lit(" "), sreplace(s, lit(" "), lit("  ")), lit(" "))
+      val applied = sreplace(
+        doubled,
+        lit(" " + pair.replace(" ", "  ") + " "),
+        lit(" " + merged + " "))
+      trim(sreplace(applied, lit("  "), lit(" ")))
+    }
+    val nWords = size(toks).cast("long")
+    val nTokens = (size(split(symFinal, " ")).cast("long") - (nWords - 1L)).as("n_bpe_tokens")
+    df.select(
+      col(idCol),
+      length(sreplace(col(textCol), lit(" "), lit(""))).cast("long").as("n_chars"),
+      nWords.as("n_words"),
+      nTokens)
+      .withColumn(
+        "chars_per_token",
+        col("n_chars").cast("double") / col("n_bpe_tokens").cast("double"))
+  }
+
   /** Sequence packing — assign documents to fixed-capacity token packs
     * (context windows), the concat-and-chunk layout LLM training shards
     * use: within each shard, docs are laid end-to-end in id order and a

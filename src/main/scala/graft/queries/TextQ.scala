@@ -65,6 +65,12 @@ object TextQ {
                    CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS frac_pos
                  FROM cb0 GROUP BY 1)"""
 
+  /** Rounds for the registered BPE fit/encode pair — MUST be declared
+    * before `defs` (the oracle strings are built eagerly at object init;
+    * a forward val reference would silently read 0).
+    */
+  private val bpeRounds = 6
+
   val defs: Seq[QDef] = Seq(
     QDef(
       "t1_token_stats",
@@ -970,30 +976,70 @@ object TextQ {
       // exactly as BPE defines, identically in both engines)
       (s, d) => Text.bpeMerges(t(s, d, "documents"), "text", 6),
       Some {
-        val rounds = 6
-        // sN = symbol state after N merges; pN/tN = round-N pair counts
-        // and the argmax rule, CTEs unrolled per round
-        val roundCtes = (1 to rounds).map { r =>
-          s"""p$r AS (SELECT toks[i] || ' ' || toks[i+1] AS pair, CAST(sum(freq) AS BIGINT) AS cnt
-                FROM (SELECT string_split(sym, ' ') AS toks, freq FROM s${r - 1}),
-                     unnest(generate_series(1, len(toks) - 1)) AS u(i)
-                GROUP BY 1),
-              t$r AS (SELECT pair, replace(pair, ' ', '') AS merged, cnt
-                      FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
-              s$r AS (SELECT trim(replace(replace(' ' || replace(sym, ' ', '  ') || ' ',
-                               ' ' || replace(t$r.pair, ' ', '  ') || ' ',
-                               ' ' || t$r.merged || ' '), '  ', ' ')) AS sym, freq
-                      FROM s${r - 1}, t$r)"""
-        }.mkString(",\n")
-        val unions = (1 to rounds).map(r =>
+        val unions = (1 to bpeRounds).map(r =>
           s"SELECT CAST($r AS BIGINT) AS merge_rank, pair, merged, cnt AS pair_count FROM t$r")
           .mkString(" UNION ALL ")
-        s"""WITH wv AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM
-                (SELECT unnest(string_split(trim(text), ' ')) AS word FROM documents)
-                GROUP BY 1),
-            s0 AS (SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym, freq FROM wv),
-            $roundCtes
+        s"""WITH ${bpeFitSql(bpeRounds)}
             $unions"""
+      }),
+
+    QDef(
+      "t19_bpe_encode",
+      // tokenizer fit -> APPLY (the m4 scaler pattern for tokenization):
+      // encode every doc under the 6 learned merges and report the
+      // token-budget numbers — symbol count + chars-per-token compression
+      (s, d) => Text.bpeEncode(t(s, d, "documents"), "doc_id", "text", bpeRounds),
+      Some {
+        // e_r = per-doc symbol strings after rule r; word boundaries are a
+        // ' | ' guard symbol no word-internal rule can match across
+        val encCtes = (1 to bpeRounds).map { r =>
+          s"""e$r AS (SELECT doc_id, trim(replace(replace(' ' || replace(sym, ' ', '  ') || ' ',
+                   ' ' || replace(t$r.pair, ' ', '  ') || ' ',
+                   ' ' || t$r.merged || ' '), '  ', ' ')) AS sym
+               FROM e${r - 1}, t$r)"""
+        }.mkString(",\n")
+        val nTok = s"""CAST(len(string_split(e.sym, ' ')) AS BIGINT)
+                       - (CAST(len(string_split(trim(d.text), ' ')) AS BIGINT) - 1)"""
+        s"""WITH ${bpeFitSql(bpeRounds)},
+            e0 AS (SELECT doc_id, array_to_string(
+                     list_transform(string_split(trim(text), ' '),
+                       w -> trim(regexp_replace(w, '(.)', '\\1 ', 'g'))), ' | ') AS sym
+                   FROM documents),
+            $encCtes
+            SELECT d.doc_id,
+              CAST(length(replace(d.text, ' ', '')) AS BIGINT) AS n_chars,
+              CAST(len(string_split(trim(d.text), ' ')) AS BIGINT) AS n_words,
+              $nTok AS n_bpe_tokens,
+              CAST(length(replace(d.text, ' ', '')) AS DOUBLE) / CAST($nTok AS DOUBLE)
+                AS chars_per_token
+            FROM documents d JOIN e$bpeRounds e ON e.doc_id = d.doc_id"""
       })
   )
+
+  /** Oracle CTE chain for the BPE FIT, shared by t18 (reads the tN rule
+    * rows) and t19 (chains the rules onto the doc encode): word-type
+    * histogram `wv`, initial symbol state `s0`, then per round r the pair
+    * counts `pR`, the argmax rule `tR`, and the merged state `sR` — the
+    * exact twin of [[graft.ops.Text.bpeMerges]] (doubled-space literal
+    * replace, cnt DESC / pair ASC tie-break).
+    */
+  private def bpeFitSql(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""p$r AS (SELECT toks[i] || ' ' || toks[i+1] AS pair, CAST(sum(freq) AS BIGINT) AS cnt
+            FROM (SELECT string_split(sym, ' ') AS toks, freq FROM s${r - 1}),
+                 unnest(generate_series(1, len(toks) - 1)) AS u(i)
+            GROUP BY 1),
+          t$r AS (SELECT pair, replace(pair, ' ', '') AS merged, cnt
+                  FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
+          s$r AS (SELECT trim(replace(replace(' ' || replace(sym, ' ', '  ') || ' ',
+                           ' ' || replace(t$r.pair, ' ', '  ') || ' ',
+                           ' ' || t$r.merged || ' '), '  ', ' ')) AS sym, freq
+                  FROM s${r - 1}, t$r)"""
+    }.mkString(",\n")
+    s"""wv AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM
+            (SELECT unnest(string_split(trim(text), ' ')) AS word FROM documents)
+            GROUP BY 1),
+        s0 AS (SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym, freq FROM wv),
+        $roundCtes"""
+  }
 }

@@ -277,6 +277,19 @@ class DedupTextSpec extends SparkSpec {
       (4L, "low er", "lower", 1L)))
   }
 
+  test("bpeEncode counts symbols under the learned merges, words isolated") {
+    val corpus = Seq((1L, "low low lower")).toDF("doc_id", "text")
+    // rounds=2 learns (l o) and (lo w): "low" -> 1 symbol, "lower" -> low e r
+    val enc2 = Text.bpeEncode(corpus, "doc_id", "text", 2)
+      .select("doc_id", "n_chars", "n_words", "n_bpe_tokens", "chars_per_token")
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(enc2 == ((1L, 11L, 3L, 5L, 11.0 / 5.0)))
+    // rounds=4 additionally learns (e r) and (low er): every word 1 symbol
+    val enc4 = Text.bpeEncode(corpus, "doc_id", "text", 4)
+      .select("n_bpe_tokens").as[Long].head()
+    assert(enc4 == 3L)
+  }
+
   test("bpeMerges merges overlapping repeats greedily left-to-right") {
     val corpus = Seq((1L, "aaaa")).toDF("doc_id", "text")
     val rules = Text.bpeMerges(corpus, "text", 3)
