@@ -41,6 +41,10 @@ graft.ops.Caches.releaseAll()
 timed("topGramShare(k=2)") { force(graft.ops.Text.topGramShare(docs, "doc_id", "text", 2)) }
 graft.ops.Caches.releaseAll()
 
+// 3b. bpeEncode: fit 6 rules then encode all 300k docs (pure projection)
+timed("bpeEncode(6 rules)") { force(graft.ops.Text.bpeEncode(docs, "doc_id", "text", 6)) }
+graft.ops.Caches.releaseAll()
+
 // 4. PSI: 10M-row event-shaped frame, 5 keys, 20 bins; base/cur by id
 //    parity with a planted +40 shift so the drift is visible
 val ev = spark.range(10000000L).select(expr("concat('t', id % 5)").as("event_type"), expr("CAST(pmod(xxhash64(id), 600) AS DOUBLE) + CASE WHEN id % 2 = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST(40.0 AS DOUBLE) END").as("value"), col("id")).persist()
