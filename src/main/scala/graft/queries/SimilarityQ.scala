@@ -470,7 +470,50 @@ object SimilarityQ {
       // baseline — quantifies the compound loss (coarse routing miss +
       // ADC code approximation) the sim_ivfpq_topk comment only describes
       (s, d) => recallOf(exactTopk(s, d), ivfpqTopk(s, d)),
-      Some(recallSql(ivfpqSql)))
+      Some(recallSql(ivfpqSql))),
+
+    QDef(
+      "sim_hard_negatives",
+      // hard-negative mining for contrastive training: per query vector,
+      // the top-3 most-similar candidates with a DIFFERENT label — the
+      // near-the-margin negatives a contrastive/embedding trainer wants.
+      // Same broadcast-queries/stream-corpus shape as the exact baseline
+      // (the label inequality rides the join condition, so same-label
+      // candidates die in-stage, before any ranking state)
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"), col("label"))
+          .withColumn("n2", Vectors.norm2Exact(col("embedding")))
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+            col("n2").as("qn2"), col("label").as("qlabel"))
+        val c = e.select(col("vec_id"), col("embedding").as("ce"), col("n2").as("cn2"), col("label"))
+        c.join(broadcast(q), col("vec_id") =!= col("query_id") && col("label") =!= col("qlabel"))
+          .withColumn("cos",
+            Vectors.cosineFrom(Vectors.dotExact(col("qe"), col("ce")), col("qn2"), col("cn2")))
+          .withColumn(
+            "rnk",
+            row_number().over(
+              Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id")))
+              .cast("long"))
+          .filter(col("rnk") <= 3)
+          .select("query_id", "qlabel", "rnk", "vec_id", "label", "cos")
+      },
+      Some(s"""WITH $normSql,
+           q AS (SELECT vec_id AS query_id, embedding AS qe, label AS qlabel
+                 FROM embeddings WHERE vec_id < 5),
+           d AS (SELECT q.query_id, q.qlabel, c.vec_id, c.label,
+                   ${Vectors.sqlDotExact("q.qe", "c.embedding", "i.i")} AS dot
+                 FROM q JOIN embeddings c
+                   ON c.vec_id <> q.query_id AND c.label <> q.qlabel,
+                      unnest(generate_series(1, 64)) AS i(i)
+                 GROUP BY 1, 2, 3, 4),
+           s AS (SELECT d.query_id, d.qlabel, d.vec_id, d.label,
+                   d.dot / nullif(sqrt(nq.n2) * sqrt(nc.n2), CAST(0.0 AS DOUBLE)) AS cos
+                 FROM d JOIN n nq ON nq.vec_id = d.query_id JOIN n nc ON nc.vec_id = d.vec_id)
+           SELECT query_id, qlabel, rnk, vec_id, label, cos FROM
+             (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, vec_id) AS rnk FROM s) WHERE rnk <= 3"""))
   )
 
   /** The `sim_ivfpq_topk` builder (see its QDef comment), factored for
