@@ -1013,7 +1013,40 @@ object TextQ {
               CAST(length(replace(d.text, ' ', '')) AS DOUBLE) / CAST($nTok AS DOUBLE)
                 AS chars_per_token
             FROM documents d JOIN e$bpeRounds e ON e.doc_id = d.doc_id"""
-      })
+      }),
+
+    QDef(
+      "t20_langmix_entropy",
+      // code-switching / mixed-language detection: Shannon entropy of the
+      // per-language vote distribution from t3's profile matcher — a
+      // monolingual doc concentrates its votes (entropy near 0), a
+      // code-switched or boilerplate-stitched doc spreads them. Same
+      // entropy recipe as t15 (MathLn terms, one negated trunc-9 sum);
+      // docs with zero profile-token hits are absent by t3's contract
+      (s, d) => {
+        import graft.functions.MathLn
+        val sc = Text.languageScores(t(s, d, "documents"), "doc_id", "text", "lang", 20)
+        val terms = sc
+          .withColumn("t", sum("score").over(Window.partitionBy("doc_id")))
+          .withColumn("p", col("score").cast("double") / col("t").cast("double"))
+          .withColumn("h_term", col("p") * MathLn(col("p")))
+        terms.groupBy("doc_id").agg(
+          count(lit(1)).as("n_langs"),
+          (-Exact.dsumTrunc9(col("h_term"))).as("lang_entropy"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS token FROM documents),
+           cnts AS (SELECT lang, token, count(*) AS cnt FROM tok GROUP BY 1, 2),
+           prof AS (SELECT lang AS profile_lang, token FROM
+                     (SELECT lang, token,
+                        row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rnk
+                      FROM cnts) WHERE rnk <= 20),
+           sc AS (SELECT t.doc_id, p.profile_lang, CAST(count(*) AS BIGINT) AS score
+                  FROM tok t JOIN prof p ON t.token = p.token GROUP BY 1, 2),
+           tt AS (SELECT doc_id, score, sum(score) OVER (PARTITION BY doc_id) AS t FROM sc),
+           p2 AS (SELECT doc_id, CAST(score AS DOUBLE) / CAST(t AS DOUBLE) AS p FROM tt)
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_langs,
+             -${graft.ops.Exact.sqlDsumTrunc9("p * ln(p)")} AS lang_entropy
+           FROM p2 GROUP BY 1"""))
   )
 
   /** Oracle CTE chain for the BPE FIT, shared by t18 (reads the tN rule
