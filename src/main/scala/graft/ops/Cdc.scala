@@ -37,4 +37,31 @@ object Cdc {
       .filter(col("__rn") === 1)
       .drop("__rn", "__pri")
   }
+
+  /** Slowly-changing-dimension type-2 history: every change row becomes a
+    * VERSION with a validity interval — `valid_from` = its own `tsCol`,
+    * `valid_to` = the next version's `tsCol` (NULL while current),
+    * half-open [from, to) so the intervals tile the timeline exactly.
+    * `order` must extend `tsCol` to a total order per key (same-instant
+    * ties); `version` numbers versions 1..n per key and `is_current` ∈
+    * {0,1} marks the open row — the columns an as-of join ([[graft.ops.Joins]])
+    * or a point-in-time training-data reconstruction filters on.
+    *
+    * Scale shape: ONE window shuffle on `keys` — lead() and row_number()
+    * share the same (keys, order) window frame, so Catalyst evaluates both
+    * in a single Window operator over one sort, and per-key partitions
+    * process in parallel (the key space is the shard space).
+    */
+  def scd2(
+      changes: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    changes
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("is_current", col("valid_to").isNull.cast("long"))
+  }
 }

@@ -512,26 +512,104 @@ object Dedup {
   }
 
   /** SimHash over the distinct-token set: each token votes ±1 on `bits` bit
-    * positions taken from the first 4 hex chars of its md5; the fingerprint
-    * sets bit i iff the vote sum is positive. Integer arithmetic only.
+    * positions taken from the leading ⌈bits/4⌉ hex chars of its md5; the
+    * fingerprint sets bit i iff the vote sum is positive. Integer
+    * arithmetic only (bit extraction is BIGINT `DIV`, never a double
+    * division — beyond 2^53 a double quotient would corrupt low bits).
+    * Capped at 60 bits so the fingerprint stays a positive BIGINT in both
+    * engines (DuckDB's `1 << 63` would overflow to negative).
     */
   def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
-    require(bits <= 16, "simhash bits derive from 4 md5 hex chars")
-    // first 16 bits of md5(token), parsed hex-char-by-hex-char with the same
+    require(bits >= 1 && bits <= 60, "simhash bits must stay a positive BIGINT")
+    val nChars = (bits + 3) / 4
+    // leading hex chars of md5(token), parsed char-by-char with the same
     // instr arithmetic DuckDB's strpos reproduces (no engine-specific hash)
     val hexDigit = (p: Int) => s"(instr('0123456789abcdef', substr(md, $p, 1)) - 1)"
     val tok = Text.tokenSet(df, idCol, textCol).withColumn("md", md5(col("token")))
     val h = tok.withColumn(
       "h",
-      expr(s"${hexDigit(1)} * 4096 + ${hexDigit(2)} * 256 + ${hexDigit(3)} * 16 + ${hexDigit(4)}"))
+      expr((1 to nChars)
+        .map(p => s"CAST(${hexDigit(p)} AS BIGINT) * ${1L << (4 * (nChars - p))}")
+        .mkString(" + ")))
     val votes = (0 until bits).map { i =>
-      sum(((col("h") / lit(1 << i)).cast("long") % 2) * 2 - 1).as(s"s_$i")
+      sum((expr(s"h DIV ${1L << i}") % 2) * 2 - 1).as(s"s_$i")
     }
     val voted = h.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
     val fp = (0 until bits)
       .map(i => when(col(s"s_$i") > 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ + _)
     voted.select(col(idCol), fp.as("simhash"))
+  }
+
+  /** Manku-style SimHash near-duplicate detection (the WWW'07 web-crawl
+    * dedup shape): a document is a near-dup iff some EARLIER document's
+    * fingerprint lies within `maxHamming` bits of its own; the report is
+    * per-document — `neardup_of` = the smallest such earlier id (NULL when
+    * none), `is_neardup` ∈ {0,1} — so output stays LINEAR in the corpus
+    * even when a fingerprint cluster has millions of members (a pair list
+    * would be quadratic in cluster size; probed: the sf0.1 corpus has a
+    * 1582-doc identical-fingerprint cluster).
+    *
+    * Candidate generation is the banded table-split: `bands` slices of
+    * `bits/bands` fingerprint bits each; two fingerprints within
+    * `maxHamming < bands` bits MUST agree on some whole band (pigeonhole),
+    * so the band equi-join is EXACT — no recall loss, unlike MinHash LSH.
+    *
+    * Scale shape: identical fingerprints collapse FIRST (one groupBy), so
+    * hot true-dup clusters enter the band join as a single row; the join
+    * then runs between DISTINCT fingerprints over a 2^(bits/bands)-value
+    * band space, and each surviving partner set closes to one `min` per
+    * fingerprint before docs are re-joined (doc side shuffles once on the
+    * fingerprint). With the 60/4 default each band carries 15 bits — at
+    * corpora where distinct fingerprints approach 2^15 per band bucket,
+    * raise `bits` (two md5 halves) before raising `bands`.
+    */
+  def simhashNearDups(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      bits: Int = 60,
+      bands: Int = 4,
+      maxHamming: Int = 3): DataFrame = {
+    require(bands > maxHamming, "pigeonhole exactness needs maxHamming < bands")
+    require(bits % bands == 0, "bands must slice the fingerprint evenly")
+    val bandBits = bits / bands
+    val sim = Caches.trackPersist(simhash(df, idCol, textCol, bits))
+    val fps = Caches.trackPersist(
+      sim.groupBy("simhash").agg(min(col(idCol)).as("fp_min")))
+    val bandRows = fps.select(
+      col("simhash"),
+      col("fp_min"),
+      explode(array((0 until bands).map { b =>
+        struct(
+          lit(b).as("band"),
+          (shiftright(col("simhash"), b * bandBits) % lit(1L << bandBits)).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("simhash"), col("fp_min"), col("bb.band"), col("bb.bucket"))
+    val partners = bandRows.as("a")
+      .join(
+        bandRows.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.simhash") =!= col("b.simhash"))
+      .select(
+        col("a.simhash").as("simhash"),
+        col("b.simhash").as("g"),
+        col("b.fp_min").as("g_min"))
+      .distinct()
+      .filter(bit_count(col("simhash").bitwiseXOR(col("g"))) <= maxHamming)
+      .groupBy("simhash")
+      .agg(min("g_min").as("partner_min"))
+    sim.join(fps, "simhash")
+      .join(partners, Seq("simhash"), "left")
+      // least() skips NULL in both engines — here that IS the semantics
+      // (min of the surviving earlier-candidate set, NULL when empty)
+      .withColumn(
+        "neardup_of",
+        least(
+          when(col("fp_min") < col(idCol), col("fp_min")),
+          when(col("partner_min") < col(idCol), col("partner_min"))))
+      .withColumn("is_neardup", col("neardup_of").isNotNull.cast("long"))
+      .select(col(idCol), col("simhash"), col("neardup_of"), col("is_neardup"))
   }
 
   /** Token-block dedup profile (the fixed-width analog of CCNet's

@@ -540,4 +540,65 @@ object Text {
     gc.crossJoin(broadcast(stats))
       .select(col(idCol), col("dl"), score.as("bm25_score"))
   }
+
+  /** Zipf rank-frequency fit: the OLS slope/intercept of ln(freq) on
+    * ln(rank) over the corpus vocabulary — the one-number corpus-health
+    * readout (natural text sits near slope −1; boilerplate floods and
+    * template spam flatten the head, OCR noise fattens the tail).
+    *
+    * Determinism: ranks and counts are exact integers under a total order
+    * (count desc, token asc); both engines take correctly-rounded ln of
+    * IDENTICAL integers ([[graft.functions.MathLn]] — never the builtin
+    * StrictMath log), the per-row products are single IEEE ops, the four
+    * moment sums go through [[Exact.dsumTrunc9]] (order-independent), and
+    * the closing slope/intercept arithmetic is one fixed expression tree.
+    *
+    * Scale shape: the token count is ONE map-side-combined groupBy; the
+    * global rank is computed WITHOUT a single-partition window — ranks =
+    * (types with a greater count) + (row_number among my count's ties):
+    * the only unpartitioned window runs over DISTINCT COUNT VALUES
+    * (O(√corpus) rows by Zipf itself), and the tie-break window is
+    * partitioned by count, so every stage stays parallel at any vocabulary
+    * size. The closing OLS is one scalar aggregation.
+    */
+  def zipfFit(df: DataFrame, textCol: String): DataFrame = {
+    val tc = df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    // exact global rank in two parallel pieces: distinct-count cumulative
+    // offsets (tiny frame) + per-count tie ranks (partitioned window)
+    val offsets = tc.groupBy("cnt").agg(count(lit(1)).as("m"))
+      .withColumn(
+        "before",
+        coalesce(
+          sum("m").over(
+            Window.orderBy(col("cnt").desc)
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("cnt", "before")
+    val ranked = tc
+      .join(broadcast(offsets), "cnt")
+      .withColumn(
+        "rank",
+        col("before") + row_number().over(
+          Window.partitionBy("cnt").orderBy("token")).cast("long"))
+    val x = graft.functions.MathLn(col("rank").cast("double"))
+    val y = graft.functions.MathLn(col("cnt").cast("double"))
+    val sums = ranked
+      .select(
+        x.as("x"), y.as("y"),
+        (x * y).as("xy"), (x * x).as("xx"))
+      .agg(
+        count(lit(1)).as("n_types"),
+        Exact.dsumTrunc9(col("x")).as("sx"),
+        Exact.dsumTrunc9(col("y")).as("sy"),
+        Exact.dsumTrunc9(col("xy")).as("sxy"),
+        Exact.dsumTrunc9(col("xx")).as("sxx"))
+    val n = col("n_types").cast("double")
+    val slope = (n * col("sxy") - col("sx") * col("sy")) /
+      (n * col("sxx") - col("sx") * col("sx"))
+    sums.select(
+      col("n_types"),
+      slope.as("zipf_slope"),
+      ((col("sy") - slope * col("sx")) / n).as("zipf_intercept"))
+  }
 }

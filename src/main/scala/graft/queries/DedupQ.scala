@@ -571,6 +571,41 @@ object DedupQ {
       }),
 
     QDef(
+      "d17_simhash_neardup",
+      // Manku-style (WWW'07) simhash dedup at 60 bits / hamming <= 3:
+      // per-doc "smallest EARLIER doc within 3 bits" — linear output even
+      // through identical-fingerprint clusters (the banded candidate join
+      // is EXACT by pigeonhole: 3 flips cannot touch all 4 bands). The
+      // oracle brute-forces the same relation; candidate generation is the
+      // Spark side's scale concern, not a semantics choice.
+      (s, d) => Dedup.simhashNearDups(t(s, d, "documents"), "doc_id", "text", 60, 4, 3),
+      Some {
+        val hexDigit = (p: Int) =>
+          s"(instr('0123456789abcdef', substr(md5(token), $p, 1)) - 1)"
+        val hExpr = (1 to 15)
+          .map(p => s"CAST(${hexDigit(p)} AS BIGINT) * ${1L << (4 * (15 - p))}")
+          .mkString(" + ")
+        val votes = (0 until 60)
+          .map(i => s"sum(((h // ${1L << i}) % 2) * 2 - 1) AS s_$i")
+          .mkString(", ")
+        val fp = (0 until 60)
+          .map(i => s"(CASE WHEN s_$i > 0 THEN ${1L << i} ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH tok AS (SELECT DISTINCT doc_id, token FROM
+              (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token FROM documents)),
+            h AS (SELECT doc_id, $hExpr AS h FROM tok),
+            v AS (SELECT doc_id, $votes FROM h GROUP BY 1),
+            sim AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM v)
+            SELECT a.doc_id, a.simhash,
+              min(b.doc_id) AS neardup_of,
+              CAST(min(b.doc_id) IS NOT NULL AS BIGINT) AS is_neardup
+            FROM sim a LEFT JOIN sim b
+              ON b.doc_id < a.doc_id
+              AND bit_count(xor(a.simhash, b.simhash)) <= 3
+            GROUP BY 1, 2"""
+      }),
+
+    QDef(
       "d10_block_dedup",
       // fixed-width token-block dedup profile (paragraph-hash dedup for
       // corpora without paragraph structure): non-overlapping 8-token

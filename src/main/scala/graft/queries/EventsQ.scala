@@ -303,6 +303,56 @@ object EventsQ {
                 CAST(count(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS n_parsed,
                 CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
                 max(CAST(props->>'k' AS BIGINT)) AS max_k
-              FROM events GROUP BY 1"""))
+              FROM events GROUP BY 1""")),
+
+    QDef(
+      "cdc_scd2",
+      // SCD type-2 history: every per-user event becomes a version row with
+      // a half-open [valid_from, valid_to) interval, version counter, and
+      // is_current flag — the point-in-time reconstruction table an as-of
+      // join or a training-snapshot rebuild filters on. One window shuffle
+      // on user_id (lead + row_number share the frame; see Cdc.scd2)
+      (s, d) =>
+        Cdc.scd2(
+          events(s, d).select("user_id", "ts_us", "event_id", "value"),
+          Seq("user_id"), "ts_us", Seq(col("ts_us"), col("event_id")))
+          .select(
+            col("user_id"), col("event_id"), col("value"),
+            col("valid_from").as("valid_from_us"),
+            col("valid_to").as("valid_to_us"),
+            col("version"), col("is_current")),
+      Some(s"""WITH ev AS ($evSql)
+               SELECT user_id, event_id, value,
+                 ts_us AS valid_from_us,
+                 lead(ts_us) OVER w AS valid_to_us,
+                 CAST(row_number() OVER w AS BIGINT) AS version,
+                 CAST(lead(ts_us) OVER w IS NULL AS BIGINT) AS is_current
+               FROM ev
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)""")),
+
+    QDef(
+      "w18_cohort_retention",
+      // cohort retention: users grouped by first-activity day; cell
+      // (cohort_day, offset_days) counts distinct users still active that
+      // many days later — the engagement decay table. Both the first-seen
+      // aggregation and the events-to-cohort equi-join shuffle on user_id
+      // (one exchange, reused), then the cell rollup is bounded by
+      // days x offsets, not by events
+      (s, d) => {
+        val e2 = events(s, d)
+          .select(col("user_id"), expr(s"ts_us DIV $usPerDay").as("day"))
+        val cohort = e2.groupBy("user_id").agg(min("day").as("cohort_day"))
+        e2.join(cohort, "user_id")
+          .groupBy(
+            col("cohort_day"),
+            (col("day") - col("cohort_day")).as("offset_days"))
+          .agg(countDistinct("user_id").as("n_users"))
+      },
+      Some(s"""WITH ev AS ($evSql),
+               e2 AS (SELECT user_id, ts_us // $usPerDay AS day FROM ev),
+               c AS (SELECT user_id, min(day) AS cohort_day FROM e2 GROUP BY 1)
+               SELECT cohort_day, day - cohort_day AS offset_days,
+                 CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+               FROM e2 JOIN c USING (user_id) GROUP BY 1, 2"""))
   )
 }

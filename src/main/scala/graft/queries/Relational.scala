@@ -329,6 +329,31 @@ object Relational {
                     / (sqrt(CAST(n_rows AS DOUBLE) * sxx - sx * sx)
                        * sqrt(CAST(n_rows AS DOUBLE) * syy - sy * sy))
                 END AS pearson_r
-              FROM s"""))
+              FROM s""")),
+
+    QDef(
+      "p18_unpivot",
+      // wide-to-long melt: the four lineitem measure columns unpivoted to
+      // (metric, value) rows — Spark's native unpivot plans as an Expand
+      // (row replication IN-STAGE off the scan: no shuffle, no join, stays
+      // inside whole-stage codegen); values are raw doubles untouched, so
+      // the compare is bit-exact
+      (s, d) =>
+        t(s, d, "lineitem")
+          .unpivot(
+            Array(col("l_orderkey"), col("l_linenumber")),
+            Array(
+              col("l_quantity"), col("l_extendedprice"),
+              col("l_discount"), col("l_tax")),
+            "metric",
+            "value"),
+      Some {
+        val arms = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+          .map(c =>
+            s"""SELECT l_orderkey, l_linenumber, '$c' AS metric, $c AS value
+                FROM lineitem""")
+          .mkString("\nUNION ALL\n")
+        arms
+      })
   )
 }

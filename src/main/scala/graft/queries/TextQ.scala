@@ -1046,7 +1046,47 @@ object TextQ {
            p2 AS (SELECT doc_id, CAST(score AS DOUBLE) / CAST(t AS DOUBLE) AS p FROM tt)
            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_langs,
              -${graft.ops.Exact.sqlDsumTrunc9("p * ln(p)")} AS lang_entropy
-           FROM p2 GROUP BY 1"""))
+           FROM p2 GROUP BY 1""")),
+
+    QDef(
+      "t21_zipf_slope",
+      // corpus-health readout: OLS slope/intercept of ln(freq) on ln(rank)
+      // over the vocabulary (natural text ~ -1; template spam flattens the
+      // head, OCR noise fattens the tail). Ranks are exact integers under
+      // (count DESC, token ASC); ln is the correctly-rounded MathLn; moment
+      // sums are order-independent trunc-9 decimals; the closing
+      // slope/intercept is one fixed expression tree — see Text.zipfFit for
+      // why the global rank needs no single-partition window
+      (s, d) => Text.zipfFit(t(s, d, "documents"), "text"),
+      Some {
+        val lnSums =
+          s"""${graft.ops.Exact.sqlDsumTrunc9("x")} AS sx,
+              ${graft.ops.Exact.sqlDsumTrunc9("y")} AS sy,
+              ${graft.ops.Exact.sqlDsumTrunc9("x * y")} AS sxy,
+              ${graft.ops.Exact.sqlDsumTrunc9("x * x")} AS sxx"""
+        s"""WITH tc AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM
+              (SELECT unnest(string_split(trim(text), ' ')) AS token FROM documents)
+              GROUP BY 1),
+            off AS (SELECT cnt,
+                      CAST(coalesce(sum(m) OVER (ORDER BY cnt DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                        AS before
+                    FROM (SELECT cnt, count(*) AS m FROM tc GROUP BY 1)),
+            r AS (SELECT t.cnt,
+                    o.before + row_number() OVER (PARTITION BY t.cnt ORDER BY t.token)
+                      AS rank
+                  FROM tc t JOIN off o USING (cnt)),
+            m AS (SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
+                  FROM r),
+            s AS (SELECT CAST(count(*) AS BIGINT) AS n_types, $lnSums FROM m)
+            SELECT n_types,
+              (CAST(n_types AS DOUBLE) * sxy - sx * sy)
+                / (CAST(n_types AS DOUBLE) * sxx - sx * sx) AS zipf_slope,
+              (sy - (CAST(n_types AS DOUBLE) * sxy - sx * sy)
+                / (CAST(n_types AS DOUBLE) * sxx - sx * sx) * sx)
+                / CAST(n_types AS DOUBLE) AS zipf_intercept
+            FROM s"""
+      })
   )
 
   /** Oracle CTE chain for the BPE FIT, shared by t18 (reads the tN rule

@@ -301,4 +301,48 @@ class DedupTextSpec extends SparkSpec {
       (1L, "a a", "aa", 3L),
       (2L, "aa aa", "aaaa", 1L)))
   }
+
+  test("simhash at 60 bits: positive BIGINT range, equal token sets → equal fp") {
+    val fps = Dedup.simhash(docs, "doc_id", "text", 60)
+      .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+    assert(fps.values.forall(fp => fp >= 0L && fp < (1L << 60)))
+    assert(fps(1L) == fps(4L)) // identical text
+    assert(fps(1L) != fps(3L)) // disjoint vocabulary
+  }
+
+  test("simhashNearDups: min earlier doc within the radius; first occurrence stays clean") {
+    val out = Dedup.simhashNearDups(docs, "doc_id", "text", 60, 4, 3)
+      .select("doc_id", "neardup_of", "is_neardup")
+      .as[(Long, Option[Long], Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // doc 4 is an exact dup of doc 1 (hamming 0) → earlier partner 1
+    assert(out(4L) == ((Some(1L), 1L)))
+    // doc 1 is the first occurrence → clean
+    assert(out(1L) == ((None, 0L)))
+    // doc 3 shares no vocabulary → clean
+    assert(out(3L) == ((None, 0L)))
+  }
+
+  test("simhashNearDups banded candidates equal the brute-force relation (pigeonhole)") {
+    // wider corpus: shifted near-dup variants + distinct docs
+    val corpus = (1L to 20L).map { i =>
+      val base = "alpha beta gamma delta epsilon zeta eta theta"
+      val text =
+        if (i % 3 == 0) base // identical cluster
+        else if (i % 3 == 1) base + s" extra$i" // near variants
+        else s"unrelated text number $i with its own words entirely"
+      (i, text)
+    }.toDF("doc_id", "text")
+    val fps = Dedup.simhash(corpus, "doc_id", "text", 60)
+      .select("doc_id", "simhash").as[(Long, Long)].collect().sortBy(_._1)
+    val brute = fps.map { case (id, fp) =>
+      val earlier = fps.filter { case (b, bfp) =>
+        b < id && java.lang.Long.bitCount(fp ^ bfp) <= 3
+      }.map(_._1)
+      id -> (if (earlier.isEmpty) None else Some(earlier.min))
+    }.toMap
+    val banded = Dedup.simhashNearDups(corpus, "doc_id", "text", 60, 4, 3)
+      .select("doc_id", "neardup_of").as[(Long, Option[Long])].collect().toMap
+    assert(banded == brute)
+  }
 }

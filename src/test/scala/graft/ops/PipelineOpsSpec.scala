@@ -29,6 +29,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out == "update")
   }
 
+  test("Cdc.scd2: half-open intervals tile the timeline, one open current row per key") {
+    val changes = Seq(
+      (1L, 10L, 100L, "a"), (1L, 20L, 101L, "b"), (1L, 30L, 102L, "c"),
+      (2L, 5L, 200L, "x"),
+      // same-instant tie on key 3: event_id extends the order
+      (3L, 7L, 301L, "t1"), (3L, 7L, 302L, "t2"))
+      .toDF("k", "ts", "eid", "v")
+    val out = Cdc.scd2(changes, Seq("k"), "ts", Seq(col("ts"), col("eid")))
+      .select("k", "eid", "valid_from", "valid_to", "version", "is_current")
+      .as[(Long, Long, Long, Option[Long], Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 100L, 10L, Some(20L), 1L, 0L),
+      (1L, 101L, 20L, Some(30L), 2L, 0L),
+      (1L, 102L, 30L, None, 3L, 1L),
+      (2L, 200L, 5L, None, 1L, 1L),
+      (3L, 301L, 7L, Some(7L), 1L, 0L),
+      (3L, 302L, 7L, None, 2L, 1L)))
+  }
+
   test("Funnel.steps: strict in-order matching, stalls keep later steps NULL") {
     // u1 completes A->B->C; u2 has B before A (stalls at A... B after? no B
     // after its A) -> only step1; u3 never does A -> 0 steps

@@ -153,4 +153,24 @@ class PlanAuditSpec extends SparkSpec {
     val exchanges = "Exchange".r.findAllIn(p).size
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$p")
   }
+
+  test("unpivot plans as an in-stage Expand: no exchange, no join") {
+    val df = (0L until 50L).map(i => (i, i * 1.0, i * 2.0)).toDF("id", "a", "b")
+    val p = plan(df.unpivot(
+      Array(col("id")), Array(col("a"), col("b")), "metric", "value"))
+    assert(p.contains("Expand"), s"no Expand:\n$p")
+    assert(!p.contains("Exchange") && !p.contains("Join"), s"melt should be narrow:\n$p")
+  }
+
+  test("zipfFit: no unpartitioned window — the only global sort is over distinct counts") {
+    val df = (0L until 60L).map(i => (i, s"tok${i % 7} tok${i % 3} filler$i"))
+      .toDF("doc_id", "text")
+    val p = plan(Text.zipfFit(df, "text"))
+    // the tie-rank window must be partitioned by cnt (parallel); the
+    // distinct-count offsets frame is the only place a global order exists
+    // and it is vocabulary-distinct-count sized, not vocabulary sized
+    assert(
+      "windowspecdefinition\\(cnt#".r.findFirstIn(p).isDefined,
+      s"tie-rank window lost its cnt partitioning:\n$p")
+  }
 }

@@ -77,4 +77,24 @@ class TextBm25Spec extends SparkSpec {
       .as[(Long, Long, String)].collect().head
     assert(out == ((1L, 1L, "cc")))
   }
+
+  test("zipfFit: closed-form OLS over exact (rank, count) pairs, ties ranked by token") {
+    // counts: a=4, b=2, c=2, d=1 → ranks a=1, b=2, c=3 (tie broken by
+    // token asc), d=4
+    val df = Seq((1L, "a a a a b b"), (2L, "c c d")).toDF("doc_id", "text")
+    val out = Text.zipfFit(df, "text")
+      .select("n_types", "zipf_slope", "zipf_intercept")
+      .as[(Long, Double, Double)].head()
+    val pts = Seq((1L, 4L), (2L, 2L), (3L, 2L), (4L, 1L))
+      .map { case (r, c) => (math.log(r.toDouble), math.log(c.toDouble)) }
+    val n = pts.size.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val (sxy, sxx) = (pts.map(p => p._1 * p._2).sum, pts.map(p => p._1 * p._1).sum)
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val icept = (sy - slope * sx) / n
+    assert(out._1 == 4L)
+    // trunc-9 quantization bounds the sum error at 4e-9; 1e-6 is 250x margin
+    assert(math.abs(out._2 - slope) < 1e-6)
+    assert(math.abs(out._3 - icept) < 1e-6)
+  }
 }
