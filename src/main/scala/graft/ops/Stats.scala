@@ -160,12 +160,18 @@ object Stats {
       df: DataFrame,
       keys: Seq[String],
       valueCol: String,
-      threshold: Double): DataFrame = {
-    val stats = df.groupBy(keys.map(col): _*)
+      threshold: Double,
+      broadcastStats: Boolean = false): DataFrame = {
+    val stats0 = df.groupBy(keys.map(col): _*)
       .agg(
         Exact.dmean(col(valueCol)).as("__mu"),
         Exact.dstddev(col(valueCol)).as("__sd"))
       .filter(col("__sd") > 0)
+    // an aggregated frame has no size stats, so the planner assumes huge
+    // and shuffle-joins the raw side; when the key space is bounded (a
+    // seasonal calendar grid, a small type dimension) the caller passes
+    // broadcastStats = true and the probe stays map-side
+    val stats = if (broadcastStats) broadcast(stats0) else stats0
     df.join(stats, keys)
       .withColumn("z", (col(valueCol) - col("__mu")) / col("__sd"))
       .filter(abs(col("z")) > threshold)

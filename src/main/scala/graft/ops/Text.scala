@@ -601,4 +601,59 @@ object Text {
       slope.as("zipf_slope"),
       ((col("sy") - slope * col("sx")) / n).as("zipf_intercept"))
   }
+
+  /** Pointwise mutual information of adjacent token pairs — the collocation
+    * miner (phrase detection à la word2vec's phrase pass): bigrams whose
+    * joint frequency beats the independence prediction of their unigram
+    * frequencies. `pmi = ln(c_xy/Nb) − ln(c_x/Nu) − ln(c_y/Nu)` over counts
+    * from one corpus pass; `minCount` floors c_xy (PMI's low-count bias is
+    * notorious), and the emitted top-`k` carries the total
+    * `(pmi desc, w1, w2)` tie-break order every ranked output here does.
+    *
+    * Determinism: every count is an exact BIGINT; each division is a single
+    * IEEE op on two exactly-representable integers; each log is
+    * [[graft.functions.MathLn]] (libm parity with DuckDB); the three-term
+    * combination is one fixed left-assoc dag. No overflow regime: the
+    * integer products a single-ln form would need (`c_xy·Nu²`) are avoided
+    * entirely, so the op survives any corpus size int64 counts survive.
+    *
+    * Scale shape: one explode pass builds the bigram bag; bigram counts are
+    * ONE map-side-combined groupBy (the only corpus-sized shuffle); unigram
+    * counts and the two scalar totals are sub-linear (vocabulary-sized /
+    * one-row) and broadcast — the planner sees no stats on aggregated
+    * frames and would otherwise shuffle-join (the `unigramLogProb` lesson).
+    * The closing top-k is a TakeOrderedAndProject over the bigram-type
+    * frame: partial per-partition heaps, no global sort.
+    */
+  def pmiCollocations(
+      df: DataFrame,
+      textCol: String,
+      minCount: Int,
+      k: Int): DataFrame = {
+    val toks = tokens(col(textCol))
+    val bg = df
+      .filter(size(toks) >= 2)
+      .select(explode(shingles(toks, 2)).as("bigram"))
+      .select(
+        substring_index(col("bigram"), " ", 1).as("w1"),
+        substring_index(col("bigram"), " ", -1).as("w2"))
+    val uni = df.select(explode(toks).as("w"))
+    val bgCounts = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+    val uniCounts = uni.groupBy("w").agg(count(lit(1)).as("c_w"))
+    val totals = bgCounts.agg(sum("c_xy").as("__nb"))
+      .crossJoin(uniCounts.agg(sum("c_w").as("__nu")))
+    val ln = graft.functions.MathLn
+    bgCounts
+      .filter(col("c_xy") >= minCount)
+      .join(broadcast(uniCounts.withColumnRenamed("w", "w1").withColumnRenamed("c_w", "c_x")), "w1")
+      .join(broadcast(uniCounts.withColumnRenamed("w", "w2").withColumnRenamed("c_w", "c_y")), "w2")
+      .crossJoin(broadcast(totals))
+      .select(
+        col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+        (ln(col("c_xy").cast("double") / col("__nb").cast("double")) -
+          ln(col("c_x").cast("double") / col("__nu").cast("double")) -
+          ln(col("c_y").cast("double") / col("__nu").cast("double"))).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
 }

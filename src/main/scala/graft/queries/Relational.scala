@@ -354,6 +354,103 @@ object Relational {
                 FROM lineitem""")
           .mkString("\nUNION ALL\n")
         arms
-      })
+      }),
+
+    QDef(
+      "j8_star_revenue",
+      // the TPC-H Q5 shape: local-supplier revenue per nation — the classic
+      // multi-join star probe. Two fact-fact shuffles (lineitem⋈orders on
+      // orderkey, then ⋈customer on custkey); supplier/nation/region are
+      // dimensions and broadcast (supplier joins on (suppkey, nationkey) so
+      // the customer-nation = supplier-nation residual rides the hash key).
+      // Date predicate is integer epoch-µs vs a literal, pushed to the
+      // orders scan; revenue is the tie-free trunc-4 product sum.
+      (s, d) => {
+        val yearLoUs = 852076800000000L // 1997-01-01T00:00:00Z
+        val yearHiUs = 883612800000000L // 1998-01-01T00:00:00Z
+        val ord = t(s, d, "orders")
+          .withColumn("o_us", unix_micros(col("o_orderdate").cast("timestamp")))
+          .filter(col("o_us") >= yearLoUs && col("o_us") < yearHiUs)
+          .select("o_orderkey", "o_custkey")
+        val cust = t(s, d, "customer").select("c_custkey", "c_nationkey")
+        val supp = t(s, d, "supplier").select("s_suppkey", "s_nationkey")
+        val nat = t(s, d, "nation").select("n_nationkey", "n_name", "n_regionkey")
+        val reg = t(s, d, "region").filter(col("r_name") === "ASIA").select("r_regionkey")
+        t(s, d, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(
+            broadcast(supp),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(
+            Exact.dsumTrunc4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      Some(s"""SELECT n_name,
+               ${Exact.sqlDsumTrunc4("l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)")}
+                 AS revenue,
+               CAST(count(*) AS BIGINT) AS n_items
+               FROM lineitem
+               JOIN orders ON l_orderkey = o_orderkey
+                 AND epoch_us(o_orderdate) >= 852076800000000
+                 AND epoch_us(o_orderdate) < 883612800000000
+               JOIN customer ON o_custkey = c_custkey
+               JOIN supplier ON l_suppkey = s_suppkey
+                 AND c_nationkey = s_nationkey
+               JOIN nation ON s_nationkey = n_nationkey
+               JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+               GROUP BY 1""")),
+
+    QDef(
+      "dq_validate",
+      // Deequ-style pre-promotion constraint suite over orders: four
+      // scan-expressible checks fold into ONE single-pass aggregate
+      // (completeness, uniqueness-via-count_distinct, range, domain) plus
+      // ONE broadcast anti-join for referential integrity against customer
+      // — 2 jobs total regardless of constraint count, all-integer report
+      // (see ops/Quality). The 250k price ceiling is a deliberately-failing
+      // demonstration threshold so the report exercises both verdicts.
+      (s, d) =>
+        Quality.validate(
+          t(s, d, "orders"),
+          Seq(
+            Quality.Check(
+              "complete_o_custkey",
+              Quality.failing(col("o_custkey").isNotNull)),
+            Quality.Check(
+              "unique_o_orderkey",
+              count(lit(1)) - countDistinct(col("o_orderkey"))),
+            Quality.Check(
+              "range_o_totalprice_le_250k",
+              Quality.failing(col("o_totalprice") > 0 && col("o_totalprice") <= 250000.0)),
+            Quality.Check(
+              "domain_o_orderstatus",
+              Quality.failing(col("o_orderstatus").isin("O", "F", "P")))),
+          "o_custkey", t(s, d, "customer"), "c_custkey",
+          "ref_o_custkey_in_customer"),
+      Some("""WITH m AS (SELECT
+                CAST(count(*) AS BIGINT) AS total,
+                CAST(count(*) FILTER (WHERE NOT coalesce(o_custkey IS NOT NULL, false)) AS BIGINT) AS v0,
+                CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS v1,
+                CAST(count(*) FILTER (WHERE NOT coalesce(o_totalprice > 0 AND o_totalprice <= 250000.0, false)) AS BIGINT) AS v2,
+                CAST(count(*) FILTER (WHERE NOT coalesce(o_orderstatus IN ('O','F','P'), false)) AS BIGINT) AS v3
+                FROM orders),
+              ri AS (SELECT CAST(count(*) AS BIGINT) AS vri FROM orders o
+                     WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                       WHERE c.c_custkey = o.o_custkey))
+              SELECT c."constraint", c.violations, m.total,
+                c.violations = 0 AS passed
+              FROM m, ri, LATERAL (VALUES
+                ('complete_o_custkey', v0),
+                ('unique_o_orderkey', v1),
+                ('range_o_totalprice_le_250k', v2),
+                ('domain_o_orderstatus', v3),
+                ('ref_o_custkey_in_customer', vri)) AS c("constraint", violations)"""))
   )
 }

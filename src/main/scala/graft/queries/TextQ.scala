@@ -1086,7 +1086,35 @@ object TextQ {
                 / (CAST(n_types AS DOUBLE) * sxx - sx * sx) * sx)
                 / CAST(n_types AS DOUBLE) AS zipf_intercept
             FROM s"""
-      })
+      }),
+
+    QDef(
+      "t22_pmi_topk",
+      // collocation mining (word2vec's phrase-detection pass): top-25
+      // adjacent pairs by pointwise mutual information, joint count floored
+      // at 5 against PMI's low-count bias. Three MathLn terms over exact
+      // BIGINT count ratios in one fixed left-assoc dag — no BIGINT-product
+      // overflow regime (see Text.pmiCollocations); ranked output carries
+      // the (pmi DESC, w1, w2) total order
+      (s, d) => Text.pmiCollocations(t(s, d, "documents"), "text", 5, 25),
+      Some("""WITH tk AS (SELECT string_split(trim(text), ' ') AS toks
+                          FROM documents),
+              bg AS (SELECT toks[i] AS w1, toks[i+1] AS w2
+                     FROM tk, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+                     WHERE len(toks) >= 2),
+              cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
+                     FROM bg GROUP BY 1, 2),
+              uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c_w FROM
+                        (SELECT unnest(toks) AS w FROM tk) GROUP BY 1),
+              tot AS (SELECT (SELECT CAST(sum(c_xy) AS BIGINT) FROM cb) AS nb,
+                             (SELECT CAST(sum(c_w) AS BIGINT) FROM uni) AS nu)
+              SELECT w1, w2, c_xy, x.c_w AS c_x, y.c_w AS c_y,
+                ln(CAST(c_xy AS DOUBLE) / CAST(nb AS DOUBLE))
+                  - ln(CAST(x.c_w AS DOUBLE) / CAST(nu AS DOUBLE))
+                  - ln(CAST(y.c_w AS DOUBLE) / CAST(nu AS DOUBLE)) AS pmi
+              FROM cb JOIN uni x ON x.w = cb.w1 JOIN uni y ON y.w = cb.w2, tot
+              WHERE c_xy >= 5
+              ORDER BY pmi DESC, w1, w2 LIMIT 25"""))
   )
 
   /** Oracle CTE chain for the BPE FIT, shared by t18 (reads the tN rule

@@ -689,6 +689,33 @@ object TimeSeries {
                SELECT (ts_us // $usPerDay + 3) % 7 AS dow, event_type,
                  CAST(count(*) AS BIGINT) AS n,
                  ${Exact.sqlDmean("value")} AS mean_value
-               FROM ev GROUP BY 1, 2"""))
+               FROM ev GROUP BY 1, 2""")),
+
+    QDef(
+      "w19_seasonal_anomaly",
+      // seasonal-profile anomaly screening: a16's z-score against the
+      // (event_type × hour-of-day) seasonal cell instead of the whole-series
+      // mean — the diurnal-baseline monitor that catches "3am traffic at
+      // 3pm levels" which a global z never sees. Hour-of-day is pure
+      // epoch-µs integer arithmetic (w15's convention: no engine date
+      // functions, no timezone rules); the fitted cell grid is bounded
+      // (types × 24), so the stats side broadcasts and the probe never
+      // shuffles the event stream.
+      (s, d) =>
+        Stats.zOutliers(
+          events(s, d)
+            .withColumn("hod", expr(s"(ts_us % $usPerDay) DIV $usPerHour"))
+            .select("event_type", "hod", "event_id", "value"),
+          Seq("event_type", "hod"), "value", 3.0, broadcastStats = true)
+          .select("event_type", "hod", "event_id", "value", "z"),
+      Some(s"""WITH ev AS ($evSql),
+               h AS (SELECT event_type, (ts_us % $usPerDay) // $usPerHour AS hod,
+                       event_id, value FROM ev),
+               st AS (SELECT event_type, hod, ${Exact.sqlDmean("value")} AS mu,
+                        ${Exact.sqlDstddev("value")} AS sd
+                      FROM h GROUP BY 1, 2)
+               SELECT h.event_type, h.hod, event_id, value, (value - mu) / sd AS z
+               FROM h JOIN st USING (event_type, hod)
+               WHERE sd > 0 AND abs((value - mu) / sd) > CAST(3.0 AS DOUBLE)"""))
   )
 }

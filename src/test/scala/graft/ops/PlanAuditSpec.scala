@@ -173,4 +173,31 @@ class PlanAuditSpec extends SparkSpec {
       "windowspecdefinition\\(cnt#".r.findFirstIn(p).isDefined,
       s"tie-rank window lost its cnt partitioning:\n$p")
   }
+
+  test("pmiCollocations: vocab/totals broadcast, top-k is TakeOrdered (no global sort)") {
+    val df = (0L until 40L).map(i => (i, s"alpha beta tok${i % 4} gamma delta"))
+      .toDF("doc_id", "text")
+    val p = plan(Text.pmiCollocations(df, "text", 2, 10))
+    val bcasts = "BroadcastHashJoin|BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bcasts >= 3, s"expected unigram x2 + totals broadcast, got $bcasts:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k fell back to a global sort:\n$p")
+  }
+
+  test("Quality.validate: all scan checks fold into ONE pass of the audited table") {
+    val df = (0L until 50L).map(i => (i, i % 10, i * 1.0)).toDF("id", "fk", "price")
+    val parent = (0L until 10L).toDF("pk")
+    val p = plan(Quality.validate(
+      df,
+      Seq(
+        Quality.Check("c1", Quality.failing(col("price") > 0)),
+        Quality.Check("c2", count(lit(1)) - countDistinct(col("id"))),
+        Quality.Check("c3", Quality.failing(col("fk") < 100))),
+      "fk", parent, "pk", "ri"))
+    // the child appears exactly twice in the physical plan: the fused
+    // scan-metric aggregate and the RI anti-join probe — never once per
+    // constraint
+    val scans = "LocalTableScan|Scan ExistingRDD".r.findAllIn(p).size
+    assert(scans <= 4, s"constraint suite re-scans the audited table:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"parent keys not broadcast:\n$p")
+  }
 }
