@@ -116,4 +116,58 @@ object Graph {
     }
     ranks
   }
+
+  /** Exact triangle census over an UNDIRECTED distinct pair list
+    * (`aCol < bCol`, one row per edge — [[graft.ops.Dedup.jaccardPairs]]'
+    * output shape): one summary row with the edge count, wedge count
+    * (Σ d(d−1)/2 — straight off the degree table, never materialized as
+    * rows), triangle count, and the global clustering coefficient
+    * 3T/wedges (NULL when the graph has no wedge). Triangles measure how
+    * clique-like the near-dup neighborhoods are — transitive duplication
+    * (a~b, b~c ⇒ a~c) shows up as clustering near 1, drift chains near 0.
+    *
+    * Scale shape — the standard orientation bound: each edge is directed
+    * from its (degree, id)-smaller endpoint, which makes the edge DAG's
+    * out-degree O(√m) for ANY degree distribution, so the wedge self-join
+    * enumerates Σ outdeg² = O(m^1.5) candidates instead of the Σ d²
+    * blow-up a hub key would cause on the raw edge list (the same
+    * hot-key argument as the banded-LSH candidate bound). Inside a
+    * triangle the orientation DAG has exactly one node with out-degree 2,
+    * so the wedge→closing-edge join counts each triangle exactly once —
+    * no /3 correction, no dedup pass. All-integer arithmetic; the one
+    * closing division is a single IEEE op both engines share.
+    */
+  def triangles(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // the edge list is consumed four times (degrees, orientation, census) and
+    // upstream it is typically an expensive dedup-pair pipeline — persist it
+    // once or every reuse replays the whole chain (measured on g2 at sf0.1:
+    // 18.5 s / 157 stages unpersisted vs 5.9 s cold-session persisted)
+    val e0 = Caches.trackPersist(
+      pairs.select(col(aCol).cast("long").as("ea"), col(bCol).cast("long").as("eb")))
+    val deg = e0.select(col("ea").as("v")).union(e0.select(col("eb").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val withDeg = e0
+      .join(deg.select(col("v").as("ea"), col("d").as("da")), "ea")
+      .join(deg.select(col("v").as("eb"), col("d").as("db")), "eb")
+    val o = withDeg.select(
+      when(col("da") < col("db") || (col("da") === col("db") && col("ea") < col("eb")),
+        col("ea")).otherwise(col("eb")).as("u"),
+      when(col("da") < col("db") || (col("da") === col("db") && col("ea") < col("eb")),
+        col("eb")).otherwise(col("ea")).as("v"))
+    val oP = Caches.trackPersist(o)
+    val wedges = oP.as("e1")
+      .join(oP.as("e2"), col("e1.u") === col("e2.u") && col("e1.v") =!= col("e2.v"))
+      .select(col("e1.v").as("x"), col("e2.v").as("y"))
+    val tri = wedges
+      .join(oP.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val nEdges = e0.agg(count(lit(1)).as("n_edges"))
+    val nWedges = deg.agg(sum(expr("d * (d - 1) DIV 2")).as("n_wedges"))
+    nEdges.crossJoin(nWedges).crossJoin(tri)
+      .select(
+        col("n_edges"), col("n_wedges"), col("n_triangles"),
+        when(col("n_wedges") > 0,
+          (lit(3L) * col("n_triangles")).cast("double") / col("n_wedges").cast("double"))
+          .as("clustering"))
+  }
 }

@@ -215,6 +215,51 @@ object Stats {
           lit(1.0) - col("__sse") / (col("__syy") - col("__sy") * col("__sy") / n)).as("r2")): _*)
   }
 
+  /** Seasonal-naive forecast evaluation — the skill-score readout that
+    * decides whether a seasonal profile is worth deploying: fit per-
+    * (key, season-cell) means and a per-key climatology mean on the rows
+    * where `trainFlag` is true, forecast every test row from its cell,
+    * and report per key `n_test`, the seasonal MAE, the climatology MAE,
+    * and `skill = 1 − mae_seasonal / mae_climatology` (positive = the
+    * seasonal structure predicts; NULL when the climatology MAE is 0 —
+    * a constant test signal has nothing to beat). Test rows whose cell
+    * was never seen in training are absent by contract (inner join).
+    *
+    * Determinism: both fitted means are [[Exact.dmean]]; each residual is
+    * one IEEE subtract of deterministic doubles; |err| sums go through
+    * [[Exact.dsumTrunc9]]; the closing ratios are a fixed dag. Scale:
+    * both fitted tables are bounded (keys × cells / keys) and broadcast —
+    * the test stream never shuffles for the join; one groupBy closes the
+    * metrics.
+    */
+  def seasonalSkill(
+      df: DataFrame,
+      keyCol: String,
+      cellCol: String,
+      valueCol: String,
+      trainFlag: String): DataFrame = {
+    val train = df.filter(col(trainFlag))
+    val cells = train.groupBy(col(keyCol), col(cellCol))
+      .agg(Exact.dmean(col(valueCol)).as("__cell_mean"))
+    val clim = train.groupBy(col(keyCol))
+      .agg(Exact.dmean(col(valueCol)).as("__clim_mean"))
+    val n = col("n_test").cast("double")
+    df.filter(!col(trainFlag))
+      .join(broadcast(cells), Seq(keyCol, cellCol))
+      .join(broadcast(clim), Seq(keyCol))
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_test"),
+        Exact.dsumTrunc9(abs(col(valueCol) - col("__cell_mean"))).as("__saes"),
+        Exact.dsumTrunc9(abs(col(valueCol) - col("__clim_mean"))).as("__saec"))
+      .select(
+        col(keyCol), col("n_test"),
+        (col("__saes") / n).as("mae_seasonal"),
+        (col("__saec") / n).as("mae_climatology"),
+        when(col("__saec") > 0.0,
+          lit(1.0) - (col("__saes") / n) / (col("__saec") / n)).as("skill"))
+  }
+
   /** Exact-integer ROC AUC — the Mann-Whitney formulation with
     * average-rank tie handling: over distinct score values,
     * `2·Σ_pos avgRank = Σ pos_s · (2·below_s + cnt_s + 1)` keeps every

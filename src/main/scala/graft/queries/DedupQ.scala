@@ -674,6 +674,50 @@ object DedupQ {
       }),
 
     QDef(
+      "g2_triangles",
+      // triangle census of the same Jaccard >= 0.5 pair graph g1 ranks:
+      // clique-likeness of the near-dup neighborhoods (transitive
+      // duplication => clustering near 1, drift chains near 0). Each edge
+      // directed from its (degree, id)-smaller endpoint, so the wedge
+      // self-join is O(m^1.5) for any degree distribution and each
+      // triangle closes exactly once (the orientation DAG's one
+      // out-degree-2 node) — see Graph.triangles
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Graph.triangles(
+          Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5, maxShingleDf = shCapDf)
+            .select("a_id", "b_id"),
+          "a_id", "b_id")
+      },
+      Some(s"""WITH $shCappedSql,
+            sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+            pp AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS shared
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+            e0 AS (SELECT a_id AS ea, b_id AS eb FROM pp
+                   JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+                   WHERE CAST(shared AS DOUBLE) / CAST(sa.n + sb.n - shared AS DOUBLE)
+                         >= CAST(0.5 AS DOUBLE)),
+            deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM
+                      (SELECT ea AS v FROM e0 UNION ALL SELECT eb FROM e0) GROUP BY 1),
+            o AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND ea < eb)
+                            THEN ea ELSE eb END AS u,
+                         CASE WHEN da.d < db.d OR (da.d = db.d AND ea < eb)
+                            THEN eb ELSE ea END AS v
+                  FROM e0 JOIN deg da ON da.v = ea JOIN deg db ON db.v = eb),
+            w AS (SELECT e1.v AS x, e2.v AS y FROM o e1 JOIN o e2
+                  ON e1.u = e2.u AND e1.v <> e2.v),
+            tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM w
+                    WHERE EXISTS (SELECT 1 FROM o WHERE o.u = w.x AND o.v = w.y)),
+            ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e0),
+            nw AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg)
+            SELECT n_edges, n_wedges, n_triangles,
+              CASE WHEN n_wedges > 0 THEN
+                CAST(3 * n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE) END
+                AS clustering
+            FROM ne, nw, tri""")),
+
+    QDef(
       "d11_bloom_decontaminate",
       // d9's contamination scan behind a 2^20-bit bloom prefilter: the
       // benchmark's 7-gram keys compact into ONE broadcast map of bit-or'd

@@ -716,6 +716,50 @@ object TimeSeries {
                       FROM h GROUP BY 1, 2)
                SELECT h.event_type, h.hod, event_id, value, (value - mu) / sd AS z
                FROM h JOIN st USING (event_type, hod)
-               WHERE sd > 0 AND abs((value - mu) / sd) > CAST(3.0 AS DOUBLE)"""))
+               WHERE sd > 0 AND abs((value - mu) / sd) > CAST(3.0 AS DOUBLE)""")),
+
+    QDef(
+      "w20_seasonal_forecast",
+      // forecast-skill readout for w19's seasonal profile: fit per-
+      // (event_type x hour-of-day) means on EVEN epoch-days, forecast the
+      // ODD-day rows from their cell, score vs the per-type climatology —
+      // skill > 0 means the diurnal structure actually predicts. The
+      // day-parity split is deterministic integer arithmetic (never
+      // rand()); both fitted tables are bounded and broadcast; exact
+      // decimal means, trunc-9 |err| sums, one fixed closing dag
+      // (Stats.seasonalSkill). The synthetic events value is hour-
+      // independent, so the registered run reads skill ~ -4e-4 per type —
+      // the metric's honest null case (profile ~ climatology), which is
+      // exactly what the readout is for.
+      (s, d) =>
+        Stats.seasonalSkill(
+          events(s, d)
+            .withColumn("hod", expr(s"(ts_us % $usPerDay) DIV $usPerHour"))
+            .withColumn("is_train", expr(s"(ts_us DIV $usPerDay) % 2 = 0"))
+            .select("event_type", "hod", "value", "is_train"),
+          "event_type", "hod", "value", "is_train"),
+      Some(s"""WITH ev AS ($evSql),
+               h AS (SELECT event_type, (ts_us % $usPerDay) // $usPerHour AS hod,
+                       value, (ts_us // $usPerDay) % 2 = 0 AS is_train FROM ev),
+               cells AS (SELECT event_type, hod, ${Exact.sqlDmean("value")} AS cm
+                         FROM h WHERE is_train GROUP BY 1, 2),
+               clim AS (SELECT event_type, ${Exact.sqlDmean("value")} AS km
+                        FROM h WHERE is_train GROUP BY 1),
+               j AS (SELECT h.event_type, h.value, cells.cm, clim.km
+                     FROM h JOIN cells ON cells.event_type = h.event_type
+                       AND cells.hod = h.hod
+                     JOIN clim ON clim.event_type = h.event_type
+                     WHERE NOT is_train),
+               a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_test,
+                       ${Exact.sqlDsumTrunc9("abs(value - cm)")} AS saes,
+                       ${Exact.sqlDsumTrunc9("abs(value - km)")} AS saec
+                     FROM j GROUP BY 1)
+               SELECT event_type, n_test,
+                 saes / CAST(n_test AS DOUBLE) AS mae_seasonal,
+                 saec / CAST(n_test AS DOUBLE) AS mae_climatology,
+                 CASE WHEN saec > CAST(0.0 AS DOUBLE) THEN
+                   CAST(1.0 AS DOUBLE) - (saes / CAST(n_test AS DOUBLE))
+                     / (saec / CAST(n_test AS DOUBLE)) END AS skill
+               FROM a"""))
   )
 }

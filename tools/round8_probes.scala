@@ -50,5 +50,30 @@ graft.ops.Caches.releaseAll()
 val ev = spark.range(10000000L).select(expr("concat('t', id % 5)").as("event_type"), expr("CAST(pmod(xxhash64(id), 600) AS DOUBLE) + CASE WHEN id % 2 = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST(40.0 AS DOUBLE) END").as("value"), col("id")).persist()
 println("ev=" + ev.count())
 timed("psi(10M rows, 20 bins)") { graft.ops.Stats.psi(ev.filter(col("id") % 2 === 0), ev.filter(col("id") % 2 =!= 0), Seq("event_type"), "value", 0.0, 30.0, 20).orderBy("event_type").collect().foreach(r => println("  " + r)) }
+graft.ops.Caches.releaseAll()
+
+// 5. Quality.validate: the one-pass constraint fold vs the naive
+//    one-scan-per-constraint suite, 200M-row child / 1M-key parent.
+//    Both produce the identical all-integer report; the fused form is
+//    2 jobs (scan-metrics agg + RI anti-join) for ANY constraint count.
+val child = spark.range(200000000L).select(
+  col("id"),
+  expr("CASE WHEN id % 1000000 = 7 THEN NULL ELSE pmod(xxhash64(id), 1100000) END").as("fk"),
+  expr("CAST(pmod(xxhash64(id * 7), 500000) AS DOUBLE) / CAST(100.0 AS DOUBLE)").as("price"),
+  expr("CASE pmod(xxhash64(id * 13), 3) WHEN 0 THEN 'O' WHEN 1 THEN 'F' ELSE 'P' END").as("status"))
+val parentKeys = spark.range(1000000L).toDF("pk")
+val dqChecks = Seq(
+  graft.ops.Quality.Check("complete_fk", graft.ops.Quality.failing(col("fk").isNotNull)),
+  graft.ops.Quality.Check("unique_id", count(lit(1)) - countDistinct(col("id"))),
+  graft.ops.Quality.Check("range_price", graft.ops.Quality.failing(col("price") > 0 && col("price") <= 2500.0)),
+  graft.ops.Quality.Check("domain_status", graft.ops.Quality.failing(col("status").isin("O", "F", "P"))))
+val fused = timed("dq fused (1 scan + RI)") {
+  graft.ops.Quality.validate(child, dqChecks, "fk", parentKeys, "pk", "ri_fk").collect().sortBy(_.getString(0)) }
+val naive = timed("dq naive (scan/constraint)") {
+  val per = dqChecks.map(c => child.agg(count(lit(1)).as("total"), c.violations.cast("long").as("v")).collect()(0))
+  val ri = child.join(broadcast(parentKeys.select(col("pk").as("fk"))), Seq("fk"), "left_anti").agg(count(lit(1))).collect()(0).getLong(0)
+  (dqChecks.map(_.name).zip(per.map(_.getLong(1))) :+ ("ri_fk", ri)).sortBy(_._1) }
+fused.foreach(r => println("  " + r))
+require(fused.map(r => (r.getString(0), r.getLong(1))).sameElements(naive.map(t => (t._1, t._2))), "fused != naive")
 
 System.exit(0)
