@@ -409,13 +409,15 @@ object Relational {
 
     QDef(
       "dq_validate",
-      // Deequ-style pre-promotion constraint suite over orders: four
-      // scan-expressible checks fold into ONE single-pass aggregate
-      // (completeness, uniqueness-via-count_distinct, range, domain) plus
-      // ONE broadcast anti-join for referential integrity against customer
-      // — 2 jobs total regardless of constraint count, all-integer report
-      // (see ops/Quality). The 250k price ceiling is a deliberately-failing
-      // demonstration threshold so the report exercises both verdicts.
+      // Deequ-style pre-promotion constraint suite over orders: the three
+      // row-local checks (completeness, range, domain) fold into ONE
+      // keyless single-pass aggregate; uniqueness runs as its own pruned
+      // distinct aggregate (kept out of the shared pass so no metric rides
+      // a full-cardinality grouping — regime probes in ops/Quality); RI
+      // against customer is ONE broadcast anti-join. 3 jobs total
+      // regardless of row-local constraint count, all-integer report. The
+      // 250k price ceiling is a deliberately-failing demonstration
+      // threshold so the report exercises both verdicts.
       (s, d) =>
         Quality.validate(
           t(s, d, "orders"),
@@ -424,14 +426,12 @@ object Relational {
               "complete_o_custkey",
               Quality.failing(col("o_custkey").isNotNull)),
             Quality.Check(
-              "unique_o_orderkey",
-              count(lit(1)) - countDistinct(col("o_orderkey"))),
-            Quality.Check(
               "range_o_totalprice_le_250k",
               Quality.failing(col("o_totalprice") > 0 && col("o_totalprice") <= 250000.0)),
             Quality.Check(
               "domain_o_orderstatus",
               Quality.failing(col("o_orderstatus").isin("O", "F", "P")))),
+          Some(("unique_o_orderkey", "o_orderkey")),
           "o_custkey", t(s, d, "customer"), "c_custkey",
           "ref_o_custkey_in_customer"),
       Some("""WITH m AS (SELECT

@@ -183,21 +183,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"top-k fell back to a global sort:\n$p")
   }
 
-  test("Quality.validate: all scan checks fold into ONE pass of the audited table") {
+  test("Quality.validate: row-local checks fold into ONE pass; no Expand anywhere") {
     val df = (0L until 50L).map(i => (i, i % 10, i * 1.0)).toDF("id", "fk", "price")
     val parent = (0L until 10L).toDF("pk")
     val p = plan(Quality.validate(
       df,
       Seq(
         Quality.Check("c1", Quality.failing(col("price") > 0)),
-        Quality.Check("c2", count(lit(1)) - countDistinct(col("id"))),
+        Quality.Check("c2", Quality.failing(col("id") >= 0)),
         Quality.Check("c3", Quality.failing(col("fk") < 100))),
+      Some(("u", "id")),
       "fk", parent, "pk", "ri"))
-    // the child appears exactly twice in the physical plan: the fused
-    // scan-metric aggregate and the RI anti-join probe — never once per
-    // constraint
+    // the child appears exactly three times: the fused row-local aggregate,
+    // the pruned uniqueness distinct, the RI anti-join probe — never once
+    // per constraint
     val scans = "LocalTableScan|Scan ExistingRDD".r.findAllIn(p).size
-    assert(scans <= 4, s"constraint suite re-scans the audited table:\n$p")
+    assert(scans <= 5, s"constraint suite re-scans the audited table:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"parent keys not broadcast:\n$p")
+    // design pin: the distinct aggregate stays out of the shared metric
+    // pass (fused, one-distinct planning would key the partials by the
+    // distinct column and carry every CASE metric through the
+    // full-cardinality grouping — regime notes in ops/Quality)
+    val fusedDistinct = p.linesIterator.exists(l =>
+      l.contains("distinct") && l.contains("CASE WHEN"))
+    assert(!fusedDistinct, s"distinct fused into the shared metric pass:\n$p")
   }
 }

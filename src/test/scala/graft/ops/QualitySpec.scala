@@ -16,9 +16,9 @@ class QualitySpec extends SparkSpec {
       df,
       Seq(
         Quality.Check("complete_fk", Quality.failing(col("fk").isNotNull)),
-        Quality.Check("unique_id", count(lit(1)) - countDistinct(col("id"))),
         Quality.Check("range_price", Quality.failing(col("price") > 0 && col("price") <= 100.0)),
         Quality.Check("domain_status", Quality.failing(col("status").isin("A", "B")))),
+      Some(("unique_id", "id")),
       "fk", parent, "pk", "ref_fk")
       .as[(String, Long, Long, Boolean)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
@@ -54,6 +54,7 @@ class QualitySpec extends SparkSpec {
     val out = Quality.validate(
       Seq((Some(1L), 1L)).toDF("fk", "id"),
       Seq(Quality.Check("complete_fk", Quality.failing(col("fk").isNotNull))),
+      None,
       "fk", Seq(1L).toDF("pk"), "pk", "ref_fk")
     assert(out.columns.toSeq == Seq("constraint", "violations", "total", "passed"))
     assert(out.count() == 2)

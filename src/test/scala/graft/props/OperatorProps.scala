@@ -374,4 +374,39 @@ object OperatorProps extends Properties("graft.ops") {
         .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
       Prop(got == refBpe(words, rounds)) :| s"words=$words got=$got expected=${refBpe(words, rounds)}"
     }
+
+  /** Brute-force triangle count: every 3-subset of nodes with all 3 edges. */
+  private def refTriangles(edges: Set[(Long, Long)]): Long = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val has = (a: Long, b: Long) => edges.contains((math.min(a, b), math.max(a, b)))
+    nodes.combinations(3).count { case Seq(a, b, c) => has(a, b) && has(a, c) && has(b, c) }
+  }
+
+  property("triangles equals the brute-force census on random graphs") =
+    Prop.forAll(
+      Gen.choose(2, 12),
+      Gen.listOf(Gen.zip(Gen.choose(1L, 12L), Gen.choose(1L, 12L)))) { (n, raw) =>
+      val edges = raw.map { case (a, b) => (math.min(a % n + 1, b % n + 1), math.max(a % n + 1, b % n + 1)) }
+        .filter { case (a, b) => a != b }.toSet
+      val expected = refTriangles(edges)
+      val df = edges.toSeq.toDF("a", "b")
+      val got = Graph.triangles(df, "a", "b").select("n_triangles").as[Long].head()
+      Caches.releaseAll()
+      Prop(got == expected) :| s"edges=$edges got=$got expected=$expected"
+    }
+
+  property("seasonalSkill: perfect per-cell constants give mae_seasonal 0 and skill 1 when cells differ") =
+    Prop.forAll(
+      Gen.choose(2, 6),
+      Gen.choose(1, 5)) { (nCells, repeats) =>
+      // cell c has constant value 10*c in both halves: the cell fit is exact;
+      // the climatology errs unless all cells share a value (nCells >= 2 and
+      // distinct values here, so mae_climatology > 0 and skill = 1)
+      val rows = for {
+        c <- 0 until nCells; r <- 0 until repeats; train <- Seq(true, false)
+      } yield ("k", c.toLong, 10.0 * c, train)
+      val out = Stats.seasonalSkill(rows.toDF("k", "cell", "v", "train"), "k", "cell", "v", "train")
+        .as[(String, Long, Double, Double, Option[Double])].head()
+      Prop(out._3 == 0.0 && out._4 > 0.0 && out._5 == Some(1.0)) :| s"out=$out"
+    }
 }
