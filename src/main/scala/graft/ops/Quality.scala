@@ -53,6 +53,25 @@ object Quality {
   def failing(pred: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L))
 
+  /** The fused row-local metric pass as a standalone one-row frame
+    * (`total`, then one violation count per check, in declaration order).
+    * This is also the per-micro-batch partial for CONTINUOUS constraint
+    * monitoring: every value is an integer count, so merging batches is
+    * elementwise addition — associative, exact, and the merged totals are
+    * bit-equal to validating the concatenated batches from scratch
+    * (`StreamingSpec` drives it through `foreachBatch`). The other two
+    * constraint kinds keep their batch shapes in a stream too: uniqueness
+    * against history is [[Dedup.exactDedupStream]]'s fingerprint state,
+    * and RI probes the (slowly-changing) parent as a broadcast join per
+    * batch.
+    */
+  def scanCounts(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    val aggCols = count(lit(1)).cast("long").as("total") +:
+      checks.map(c => c.violations.cast("long").as(c.name))
+    df.agg(aggCols.head, aggCols.tail: _*)
+      .na.fill(0L) // empty batch: sums are NULL, a monitor wants 0s
+  }
+
   /** Run the row-local `checks` in one pass over `df`, a uniqueness check
     * on `uniqueCol` as its own pruned distinct aggregate, and one
     * referential-integrity check (`childKey` ⊆ `parent[parentKey]`) as a

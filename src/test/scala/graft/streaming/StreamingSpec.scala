@@ -40,6 +40,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch + Quality.scanCounts maintain a constraint monitor over a stream") {
+    // continuous data-quality monitoring: each micro-batch contributes its
+    // one-row integer violation counts; elementwise addition maintains the
+    // running report, bit-equal to validating all rows from scratch —
+    // ingest-time quality gates and batch audits cannot diverge
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Quality
+    val checks = Seq(
+      Quality.Check("null_v", Quality.failing(col("v").isNotNull)),
+      Quality.Check("range_v", Quality.failing(col("v") <= 50.0)))
+    val input = MemoryStream[(Int, Option[Double])]
+    val df = input.toDF().toDF("k", "v")
+    var state: Map[String, Long] = Map.empty
+    val q = df.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val row = Quality.scanCounts(batch, checks).collect()(0)
+        val counts = row.schema.fieldNames.map(f => f -> row.getAs[Long](f)).toMap
+        state = counts.map { case (k, v) => k -> (state.getOrElse(k, 0L) + v) }
+      }
+      .start()
+    try {
+      val rows = (1 to 90).map(i =>
+        (i % 4, if (i % 9 == 0) None else Some(i * 1.0)))
+      rows.grouped(30).foreach { chunk => input.addData(chunk); q.processAllAvailable() }
+      val direct = Quality.scanCounts(rows.toDF("k", "v"), checks).collect()(0)
+      val expected = direct.schema.fieldNames.map(f => f -> direct.getAs[Long](f)).toMap
+      assert(state == expected)
+      assert(state("total") == 90L && state("null_v") == 10L)
+      // nulls fail the range predicate too (null-safe violation contract):
+      // 35 non-null values in 51..90 (40 minus the 5 multiples of 9) + 10 nulls
+      assert(state("range_v") == 45L)
+    } finally q.stop()
+  }
+
   test("foreachBatch + Incremental histPartials maintain quantile state over a stream") {
     // the quantile leg of the same IVM composition: each micro-batch
     // contributes its fixed-bin histogram state; after N batches the merged
