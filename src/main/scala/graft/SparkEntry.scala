@@ -14,7 +14,7 @@ object SparkEntry {
   private val all: Seq[QDef] =
     Relational.defs ++ TimeSeries.defs ++ Scalers.defs ++
       DedupQ.defs ++ TextQ.defs ++ SimilarityQ.defs ++ MlQ.defs ++
-      EventsQ.defs
+      EventsQ.defs ++ CurationQ.defs
 
   require(all.map(_.name).distinct.size == all.size, "duplicate query names")
 

@@ -710,6 +710,98 @@ object Stats {
     psiCore(scaffold, baseHist, curHist, keys, nBins)
   }
 
+  /** CUSUM changepoint localization per key: the index maximizing the
+    * centered cumulative-sum deviation — where the series' mean most
+    * plausibly shifted (the max-|CUSUM| estimator behind Page's test and
+    * binary-segmentation changepoint detection; [[psi]] says THAT a
+    * distribution drifted between two snapshots, this says WHEN within
+    * one ordered series).
+    *
+    * Exact integer arithmetic end to end: each value is quantized to
+    * truncated scale-4 fixed point (the [[Exact.dsumTrunc4]] per-row
+    * transform — tie-free in both engines), the running prefix sum S_i is
+    * a BIGINT window sum (integer addition is associative, so even an
+    * engine that folds the frame through a segment tree gets the same
+    * bits), and the deviation is kept in the division-free form
+    * D_i = n·S_i − i·S_n (= n·1e4 · (S_i/1e4 − (i/n)·S_n/1e4), i.e. the
+    * centered CUSUM scaled by n·1e4). D accumulates as DECIMAL(38,0)
+    * (HUGEINT in the oracle) so n² magnitudes never overflow; the argmax
+    * row per key is selected on the exact decimal |D| with an
+    * earliest-index tiebreak, and only then does ONE double division
+    * close the reported statistic |D| / (n · 1e4) back into value units.
+    *
+    * Scale shape: a naive per-key running sum would funnel each key's
+    * ENTIRE series through one window task — at web scale a hot key is
+    * billions of rows. This runs the classic two-phase distributed scan
+    * instead, keyed by `chunk` (any caller expression that is
+    * non-decreasing along `orderCols`, e.g. a day bucket of the
+    * timestamp): within-chunk running sums and row numbers in parallel
+    * windows over (keys, chunk); per-chunk totals aggregated and turned
+    * into chunk OFFSETS by a window over the sub-linear chunk table; the
+    * global S_i / i are offset + local. The argmax gets the same
+    * treatment (per-chunk champion, then a pick over the ≤#chunks
+    * champions), so no stage anywhere sorts a whole key in one task —
+    * parallelism is keys × chunks. Integer arithmetic makes the chunked
+    * and direct forms bit-identical (spec-pinned). NULL values are
+    * excluded before indexing (they carry no deviation signal and would
+    * desync i between engines).
+    */
+  def cusumChangepoint(
+      df: DataFrame,
+      keys: Seq[String],
+      orderCols: Seq[Column],
+      valueCol: String,
+      chunk: Column = lit(0L),
+      carry: Seq[String] = Seq.empty): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val kCols = keys.map(col)
+    val v = col(valueCol)
+    val m = floor(abs(v) * lit(10000.0d))
+    val q = df.filter(v.isNotNull)
+      .withColumn("__vq", when(v < 0, -m).otherwise(m).cast("long"))
+      .withColumn("__chk", chunk)
+    // phase 1: local scans per (key, chunk) — parallel across chunks
+    val wLoc = Window.partitionBy(kCols :+ col("__chk"): _*).orderBy(orderCols: _*)
+    val local = q
+      .withColumn("__li", row_number().over(wLoc).cast("long"))
+      .withColumn("__ls",
+        sum(col("__vq")).over(wLoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // phase 2: chunk totals → exclusive offsets (the chunk table is
+    // sub-linear: one row per (key, chunk))
+    val totals = q.groupBy(kCols :+ col("__chk"): _*)
+      .agg(sum(col("__vq")).as("__ct"), count(lit(1)).as("__cc"))
+    val wChk = Window.partitionBy(kCols: _*).orderBy(col("__chk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = totals
+      .withColumn("__so", coalesce(sum(col("__ct")).over(wChk), lit(0L)))
+      .withColumn("__co", coalesce(sum(col("__cc")).over(wChk), lit(0L)))
+      .select(kCols ++ Seq(col("__chk"), col("__so"), col("__co")): _*)
+    val perKey = totals.groupBy(kCols: _*)
+      .agg(sum(col("__ct")).as("__sn"), sum(col("__cc")).as("__n"))
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    val scored = local
+      .join(offs, keys :+ "__chk")
+      .join(broadcast(perKey), keys)
+      .withColumn("__i", col("__co") + col("__li"))
+      .withColumn("__s", col("__so") + col("__ls"))
+      .withColumn("__d", dec(col("__n")) * dec(col("__s")) - dec(col("__i")) * dec(col("__sn")))
+    // argmax, two-phase as well: chunk champions, then the chunk-table pick
+    val wTopLoc = Window.partitionBy(kCols :+ col("__chk"): _*)
+      .orderBy(abs(col("__d")).desc, col("__i"))
+    val wTop = Window.partitionBy(kCols: _*).orderBy(abs(col("__d")).desc, col("__i"))
+    scored
+      .withColumn("__rnl", row_number().over(wTopLoc))
+      .filter(col("__rnl") === 1)
+      .withColumn("__rn", row_number().over(wTop))
+      .filter(col("__rn") === 1)
+      .select(
+        kCols ++ carry.map(col) ++ Seq(
+          col("__n").as("n"),
+          col("__i").as("cp_idx"),
+          (abs(col("__d")).cast("double") / (col("__n").cast("double") * lit(10000.0d)))
+            .as("cusum_stat")): _*)
+  }
+
   /** Shared PSI closing math over (keys, bin, cnt) histogram frames; see
     * [[psi]] for the formula, smoothing and determinism contract.
     */

@@ -1,0 +1,66 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Corpus-curation queries over `documents` that pick or pair WHOLE rows
+  * rather than scoring them: the Pareto frontier (multi-objective keep
+  * set) and blocked fuzzy record linkage (entity resolution) — both
+  * engine-exact (integer outputs only).
+  */
+object CurationQ {
+  import Q._
+
+  val defs: Seq[QDef] = Seq(
+    QDef(
+      "o6_skyline",
+      // multi-objective curation: the documents on the lexical-density
+      // Pareto frontier — MAXIMIZE distinct-token count, MINIMIZE length
+      // (minimize enters skyline2d as the negated axis). No other doc is
+      // at least as type-rich AND at least as short with one strict edge;
+      // the anti-correlated axes give a real frontier (a same-direction
+      // pair collapses to ~1 dominating doc). Runs the two-stage
+      // distributed skyline (local prune per doc_id%32 bucket, global
+      // prune over the survivors) so no stage funnels the corpus through
+      // one task; the oracle runs the direct single-window form —
+      // identical by dominance transitivity (Pareto.skyline2d scaladoc)
+      (s, d) => {
+        val docs = t(s, d, "documents").select(
+          col("doc_id"),
+          col("n_chars"),
+          size(array_distinct(split(trim(col("text")), " "))).cast("long").as("n_types"),
+          (-col("n_chars")).as("neg_chars"))
+        Pareto.skyline2d(docs, "n_types", "neg_chars", pmod(col("doc_id"), lit(32)))
+          .select("doc_id", "n_chars", "n_types")
+      },
+      Some("""WITH p AS (SELECT doc_id, n_chars,
+                  CAST(length(list_distinct(string_split(trim(text), ' '))) AS BIGINT) AS n_types,
+                  -n_chars AS neg_chars
+                FROM documents),
+              w AS (SELECT doc_id, n_chars, n_types, neg_chars,
+                  max(neg_chars) OVER (ORDER BY n_types DESC
+                    RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS y_gt,
+                  max(neg_chars) OVER (PARTITION BY n_types) AS y_eq
+                FROM p)
+              SELECT doc_id, n_chars, n_types FROM w
+              WHERE (y_gt IS NULL OR y_gt < neg_chars) AND y_eq = neg_chars""")),
+
+    QDef(
+      "er_blocked_pairs",
+      // entity resolution: candidate duplicate pairs from 16-char-prefix
+      // blocking, scored by levenshtein over the 40-char title prefix and
+      // kept at <= 12 edits. Oversized blocks (> 100 members) are purged
+      // before pairing — the standard ER guard that keeps the per-block
+      // quadratic bounded at scale (Linkage.blockedPairs scaladoc); the
+      // census rides the self-join's own shuffle key. All-integer output
+      (s, d) => Linkage.blockedPairs(t(s, d, "documents"), "doc_id", "text"),
+      Some("""WITH k0 AS (SELECT doc_id, substr(text, 1, 16) AS blk,
+                   substr(text, 1, 40) AS title FROM documents),
+              keep AS (SELECT blk FROM k0 GROUP BY blk HAVING count(*) <= 100),
+              k AS (SELECT k0.* FROM k0 JOIN keep USING (blk))
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
+              FROM k a JOIN k b ON a.blk = b.blk AND a.doc_id < b.doc_id
+              WHERE levenshtein(a.title, b.title) <= 12"""))
+  )
+}

@@ -331,6 +331,122 @@ object EventsQ {
                WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)""")),
 
     QDef(
+      "w21_cusum",
+      // changepoint localization: per event_type, the event index where the
+      // centered CUSUM deviation peaks — WHEN the value stream's mean
+      // shifted (m17_psi's drift verdict, localized in time). Division-free
+      // integer/decimal form throughout, one closing double division; see
+      // Stats.cusumChangepoint for the determinism argument
+      (s, d) =>
+        Stats.cusumChangepoint(
+          events(s, d).select("event_type", "ts_us", "event_id", "value"),
+          Seq("event_type"), Seq(col("ts_us"), col("event_id")), "value",
+          chunk = expr(s"ts_us DIV $usPerDay"),
+          carry = Seq("ts_us"))
+          .select(
+            col("event_type"), col("n"),
+            col("ts_us").as("cp_ts_us"), col("cp_idx"), col("cusum_stat")),
+      Some(s"""WITH ev AS ($evSql),
+               q AS (SELECT event_type, ts_us, event_id,
+                       CAST(CASE WHEN value < 0
+                         THEN -floor(abs(value) * CAST(10000 AS DOUBLE))
+                         ELSE floor(abs(value) * CAST(10000 AS DOUBLE)) END
+                         AS BIGINT) AS vq
+                     FROM ev WHERE value IS NOT NULL),
+               r AS (SELECT event_type, ts_us, vq,
+                       CAST(row_number() OVER w AS BIGINT) AS i,
+                       sum(vq) OVER (PARTITION BY event_type ORDER BY ts_us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+                       sum(vq) OVER (PARTITION BY event_type) AS sn,
+                       CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+                     FROM q
+                     WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id)),
+               dd AS (SELECT event_type, ts_us, i, n,
+                        CAST(n AS HUGEINT) * CAST(s AS HUGEINT)
+                          - CAST(i AS HUGEINT) * CAST(sn AS HUGEINT) AS d
+                      FROM r),
+               top AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                         ORDER BY abs(d) DESC, i) AS rn FROM dd)
+               SELECT event_type, n, ts_us AS cp_ts_us, i AS cp_idx,
+                 CAST(abs(d) AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(10000 AS DOUBLE)) AS cusum_stat
+               FROM top WHERE rn = 1""")),
+
+    QDef(
+      "w22_ohlc",
+      // OHLC candlestick downsampling per (event_type, day): open/close =
+      // the exact first/last values in (ts, event_id) order, high/low =
+      // max/min — the financial-series bucketing every tick store ships
+      // (InfluxDB/Timescale first+last+min+max). Two row_number directions
+      // share one (type, day) exchange, then a single hash agg closes all
+      // five measures; open/close/high/low are row VALUES (no arithmetic),
+      // so the result is engine-exact by construction
+      (s, d) => {
+        val ev = events(s, d).filter(col("value").isNotNull)
+          .select(col("event_type"), col("ts_us"), col("event_id"), col("value"))
+          .withColumn("bucket_us", Windows.tumbleMs(col("ts_us"), usPerDay))
+        val wp = Window.partitionBy("event_type", "bucket_us")
+        val asc = wp.orderBy(col("ts_us"), col("event_id"))
+        val desc = wp.orderBy(col("ts_us").desc, col("event_id").desc)
+        ev.withColumn("rna", row_number().over(asc))
+          .withColumn("rnd", row_number().over(desc))
+          .groupBy("event_type", "bucket_us")
+          .agg(
+            count(lit(1)).as("n"),
+            max(when(col("rna") === 1, col("value"))).as("open"),
+            max(col("value")).as("high"),
+            min(col("value")).as("low"),
+            max(when(col("rnd") === 1, col("value"))).as("close"))
+      },
+      Some(s"""WITH ev AS ($evSql),
+               q AS (SELECT event_type, ts_us - ts_us % $usPerDay AS bucket_us,
+                       ts_us, event_id, value
+                     FROM ev WHERE value IS NOT NULL),
+               r AS (SELECT *,
+                       row_number() OVER (PARTITION BY event_type, bucket_us
+                         ORDER BY ts_us, event_id) AS rna,
+                       row_number() OVER (PARTITION BY event_type, bucket_us
+                         ORDER BY ts_us DESC, event_id DESC) AS rnd
+                     FROM q)
+               SELECT event_type, bucket_us, CAST(count(*) AS BIGINT) AS n,
+                 max(CASE WHEN rna = 1 THEN value END) AS open,
+                 max(value) AS high, min(value) AS low,
+                 max(CASE WHEN rnd = 1 THEN value END) AS close
+               FROM r GROUP BY 1, 2""")),
+
+    QDef(
+      "w23_transitions",
+      // first-order Markov transition matrix over per-user event streams:
+      // lag(event_type) in (ts, event_id) order, transition counts, and
+      // row-normalized probabilities — the behavioral model behind
+      // next-action prediction and funnel-drop diagnosis (funnel_steps
+      // checks ONE prescribed path; this measures all of them). Counts are
+      // integers; p is one BIGINT/BIGINT double division per output row.
+      // One user_id window shuffle + a (prev, next)-bounded agg — the
+      // output is |event_type|², independent of the event count
+      (s, d) => {
+        val ev = events(s, d).select("user_id", "ts_us", "event_id", "event_type")
+        val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+        val tr = ev.withColumn("prev_type", lag("event_type", 1).over(w))
+          .filter(col("prev_type").isNotNull)
+        tr.groupBy(col("prev_type"), col("event_type").as("next_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("p",
+            col("n").cast("double") /
+              sum(col("n")).over(Window.partitionBy("prev_type")).cast("double"))
+      },
+      Some(s"""WITH ev AS ($evSql),
+               t AS (SELECT event_type, lag(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts_us, event_id) AS prev_type FROM ev),
+               c AS (SELECT prev_type, event_type AS next_type,
+                       CAST(count(*) AS BIGINT) AS n
+                     FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+               SELECT prev_type, next_type, n,
+                 CAST(n AS DOUBLE)
+                   / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+               FROM c""")),
+
+    QDef(
       "w18_cohort_retention",
       // cohort retention: users grouped by first-activity day; cell
       // (cohort_day, offset_days) counts distinct users still active that

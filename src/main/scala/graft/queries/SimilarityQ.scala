@@ -29,7 +29,7 @@ object SimilarityQ {
     * the `sim_cosine_topk` builder, factored so `sim_ivf_recall` /
     * `sim_ivfpq_recall` consume the identical pipeline.
     */
-  private def exactTopk(s: org.apache.spark.sql.SparkSession, d: String) = {
+  private def exactTopk(s: org.apache.spark.sql.SparkSession, d: String, k: Int = 3) = {
     val e = withNorm(t(s, d, "embeddings"))
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("n2").as("qn2"))
@@ -44,11 +44,11 @@ object SimilarityQ {
         "rnk",
         row_number().over(Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id")))
           .cast("long"))
-      .filter(col("rnk") <= 3)
+      .filter(col("rnk") <= k)
       .select("query_id", "rnk", "vec_id", "cos")
   }
 
-  private val exactSql =
+  private def exactSqlK(k: Int) =
     s"""WITH $normSql,
         q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
         d AS (SELECT q.query_id, c.vec_id,
@@ -60,7 +60,9 @@ object SimilarityQ {
               FROM d JOIN n nq ON nq.vec_id = d.query_id JOIN n nc ON nc.vec_id = d.vec_id)
         SELECT query_id, rnk, vec_id, cos FROM
           (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
-           FROM s) WHERE rnk <= 3"""
+           FROM s) WHERE rnk <= $k"""
+
+  private val exactSql = exactSqlK(3)
 
   /** The `sim_ivf_topk` builder (see its QDef comment), factored for the
     * recall audit.
@@ -513,7 +515,85 @@ object SimilarityQ {
                  FROM d JOIN n nq ON nq.vec_id = d.query_id JOIN n nc ON nc.vec_id = d.vec_id)
            SELECT query_id, qlabel, rnk, vec_id, label, cos FROM
              (SELECT *, row_number() OVER (PARTITION BY query_id
-                ORDER BY cos DESC, vec_id) AS rnk FROM s) WHERE rnk <= 3"""))
+                ORDER BY cos DESC, vec_id) AS rnk FROM s) WHERE rnk <= 3""")),
+
+    QDef(
+      "sim_rrf_fusion",
+      // hybrid retrieval: reciprocal-rank fusion of a DENSE ranker (exact
+      // cosine over embeddings) and a SPARSE ranker (distinct-token Jaccard
+      // over the matching documents — vec_id ≡ doc_id by the testdata's
+      // parallel-table convention) into one top-10 per query, the
+      // Elasticsearch/Vespa/pgvector hybrid-search shape. Each system
+      // contributes its top-20; rrf = Σ 1/(60 + rank) over the systems that
+      // ranked the item (k=60, the constant from the original RRF paper).
+      // Determinism: ranks are integers off two already-hash-green ranking
+      // pipelines; each RRF term is one IEEE division and the two-term sum
+      // is a fixed left-assoc dag — no aggregation order anywhere. Scale:
+      // query sides broadcast, the corpus streams (dense) / shuffles once
+      // on token (sparse); the fused join touches only 2×20 rows per query
+      (s, d) => {
+        val dense = exactTopk(s, d, k = 20)
+          .select(col("query_id"), col("vec_id").as("item_id"), col("rnk").as("rd"))
+        val toks = t(s, d, "documents").select(
+          col("doc_id"),
+          explode(array_distinct(split(trim(col("text")), " "))).as("token"))
+        val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+        val qt = toks.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("query_id"), col("token"))
+        val qsz = sizes.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("query_id"), col("nt").as("nq"))
+        val shared = toks.join(broadcast(qt), "token")
+          .filter(col("doc_id") =!= col("query_id"))
+          .groupBy("query_id", "doc_id").agg(count(lit(1)).as("shared"))
+        val sparse = shared.join(sizes, "doc_id").join(broadcast(qsz), "query_id")
+          .withColumn("jac",
+            col("shared").cast("double") /
+              (col("nq") + col("nt") - col("shared")).cast("double"))
+          .withColumn("rs", row_number().over(
+            Window.partitionBy("query_id").orderBy(col("jac").desc, col("doc_id")))
+            .cast("long"))
+          .filter(col("rs") <= 20)
+          .select(col("query_id"), col("doc_id").as("item_id"), col("rs"))
+        def rrfTerm(r: org.apache.spark.sql.Column) =
+          coalesce(lit(1.0d) / (lit(60.0d) + r.cast("double")), lit(0.0d))
+        dense.join(sparse, Seq("query_id", "item_id"), "full_outer")
+          .withColumn("rrf_score", rrfTerm(col("rd")) + rrfTerm(col("rs")))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy("query_id").orderBy(col("rrf_score").desc, col("item_id")))
+            .cast("long"))
+          .filter(col("rnk") <= 10)
+          .select("query_id", "rnk", "item_id", "rrf_score", "rd", "rs")
+      },
+      Some(s"""WITH dense AS (${exactSqlK(20)}),
+            tok AS (SELECT doc_id, unnest(list_distinct(string_split(trim(text), ' '))) AS token
+                    FROM documents),
+            sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nt FROM tok GROUP BY 1),
+            qt AS (SELECT doc_id AS query_id, token FROM tok WHERE doc_id < 5),
+            sh AS (SELECT q.query_id, t.doc_id, CAST(count(*) AS BIGINT) AS shared
+                   FROM tok t JOIN qt q ON q.token = t.token AND t.doc_id <> q.query_id
+                   GROUP BY 1, 2),
+            jac AS (SELECT sh.query_id, sh.doc_id,
+                      CAST(shared AS DOUBLE)
+                        / CAST(nq.nt + nc.nt - shared AS DOUBLE) AS jac
+                    FROM sh JOIN sz nc ON nc.doc_id = sh.doc_id
+                         JOIN sz nq ON nq.doc_id = sh.query_id),
+            sparse AS (SELECT query_id, doc_id AS item_id, CAST(rs AS BIGINT) AS rs FROM (
+                         SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+                           ORDER BY jac DESC, doc_id) AS rs FROM jac) WHERE rs <= 20),
+            f AS (SELECT coalesce(d.query_id, s.query_id) AS query_id,
+                    coalesce(d.vec_id, s.item_id) AS item_id, d.rnk AS rd, s.rs
+                  FROM dense d FULL OUTER JOIN sparse s
+                    ON s.query_id = d.query_id AND s.item_id = d.vec_id),
+            g AS (SELECT query_id, item_id, rd, rs,
+                    coalesce(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(rd AS DOUBLE)),
+                      CAST(0.0 AS DOUBLE))
+                    + coalesce(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(rs AS DOUBLE)),
+                      CAST(0.0 AS DOUBLE)) AS rrf_score
+                  FROM f)
+            SELECT query_id, rnk, item_id, rrf_score, rd, rs FROM (
+              SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY rrf_score DESC, item_id) AS BIGINT) AS rnk FROM g)
+            WHERE rnk <= 10"""))
   )
 
   /** The `sim_ivfpq_topk` builder (see its QDef comment), factored for

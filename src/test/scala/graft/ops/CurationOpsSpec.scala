@@ -1,0 +1,133 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Pins the round-8 curation operators: the distributed 2-D skyline
+  * ([[Pareto.skyline2d]]), blocked fuzzy record linkage
+  * ([[Linkage.blockedPairs]]), and the CUSUM changepoint localizer
+  * ([[Stats.cusumChangepoint]]).
+  */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- skyline ----
+
+  private def bruteSkyline(pts: Seq[(Long, Long, Long)]): Set[(Long, Long, Long)] =
+    pts.filterNot { case (_, x, y) =>
+      pts.exists { case (_, x2, y2) => x2 >= x && y2 >= y && (x2 > x || y2 > y) }
+    }.toSet
+
+  test("skyline2d matches brute-force dominance on random points") {
+    val rng = new Random(42)
+    val pts = (0L until 300L).map(i => (i, rng.nextInt(40).toLong, rng.nextInt(40).toLong))
+    val df = pts.toDF("id", "x", "y")
+    val got = Pareto.skyline2d(df, "x", "y", pmod(col("id"), lit(7)))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == bruteSkyline(pts))
+  }
+
+  test("skyline2d is bucketing-invariant (incl. the single-bucket oracle form)") {
+    val rng = new Random(7)
+    val pts = (0L until 200L).map(i => (i, rng.nextInt(25).toLong, rng.nextInt(25).toLong))
+    val df = pts.toDF("id", "x", "y")
+    val direct = Pareto.skyline2d(df, "x", "y", lit(0)).as[(Long, Long, Long)].collect().toSet
+    for (b <- Seq(2, 5, 32)) {
+      val got = Pareto.skyline2d(df, "x", "y", pmod(col("id"), lit(b)))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == direct, s"buckets=$b")
+    }
+  }
+
+  test("skyline2d keeps exact-tie points, drops singly-dominated ones") {
+    val df = Seq(
+      (1L, 5L, 5L), (2L, 5L, 5L), // exact ties: both survive
+      (3L, 5L, 4L), // same x, worse y: dominated
+      (4L, 4L, 5L), // same y, worse x: dominated
+      (5L, 6L, 1L) // incomparable corner: survives
+    ).toDF("id", "x", "y")
+    val got = Pareto.skyline2d(df, "x", "y", pmod(col("id"), lit(2)))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 5L, 5L), (2L, 5L, 5L), (5L, 6L, 1L)))
+  }
+
+  // ---- blocked linkage ----
+
+  test("blockedPairs finds in-block near matches, misses cross-block ones by design") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // block "alpha beta gamma"
+      (2L, "alpha beta gamma delXa epsilon"), // 1 substitution from doc 1 in the title
+      (3L, "alpha beta gamma zzzzzzzzzzzzzzzzzzzzzzzzzz"), // same block, far title
+      (4L, "omega beta gamma delta epsilon") // near doc 1 but different block
+    ).toDF("doc_id", "text")
+    val got = Linkage.blockedPairs(docs, "doc_id", "text", blockLen = 16, titleLen = 30, maxDist = 5)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.map(p => (p._1, p._2)) == Set((1L, 2L)))
+    assert(got.head._3 == 1L)
+  }
+
+  test("blockedPairs purges oversized blocks entirely") {
+    val hot = (0L until 12L).map(i => (i, s"same same same same padded $i"))
+    val cold = Seq((100L, "cold block text aaa"), (101L, "cold block text aab"))
+    val docs = (hot ++ cold).toDF("doc_id", "text")
+    val got = Linkage.blockedPairs(docs, "doc_id", "text",
+      blockLen = 16, titleLen = 30, maxDist = 10, maxBlock = 10)
+      .as[(Long, Long, Long)].collect().toSet
+    // the 12-member hot block is purged; only the cold pair survives
+    assert(got.map(p => (p._1, p._2)) == Set((100L, 101L)))
+  }
+
+  // ---- CUSUM changepoint ----
+
+  private def series(vals: Seq[Double], key: String = "k") =
+    vals.zipWithIndex.map { case (v, i) => (key, i.toLong, v) }.toDF("k", "i", "v")
+
+  test("cusumChangepoint localizes a planted mean shift") {
+    val df = series(Seq.fill(20)(0.0) ++ Seq.fill(20)(10.0))
+    val got = Stats.cusumChangepoint(df, Seq("k"), Seq(col("i")), "v", carry = Seq("i"))
+      .as[(String, Long, Long, Long, Double)].collect()
+    // columns: k, i(carry), n, cp_idx, cusum_stat
+    assert(got.length == 1)
+    val (_, iAt, n, cpIdx, stat) = got.head
+    assert(n == 40L && cpIdx == 20L && iAt == 19L)
+    // centered CUSUM at the shift: |0 - (20/40)*200| = 100
+    assert(stat == 100.0)
+  }
+
+  test("cusumChangepoint: constant series ties break to the earliest index") {
+    val got = Stats.cusumChangepoint(series(Seq.fill(10)(3.5)), Seq("k"), Seq(col("i")), "v")
+      .as[(String, Long, Long, Double)].collect()
+    assert(got.head == (("k", 10L, 1L, 0.0)))
+  }
+
+  test("cusumChangepoint: chunked two-phase scan equals the direct single-window form") {
+    val rng = new Random(23)
+    val rows = (0 until 400).flatMap { i =>
+      Seq(("a", i.toLong, rng.nextGaussian() * 3 + (if (i > 250) 1.5 else 0.0)),
+        ("b", i.toLong, rng.nextGaussian()))
+    }
+    val df = rows.toDF("k", "i", "v")
+    def run(chunk: org.apache.spark.sql.Column) =
+      Stats.cusumChangepoint(df, Seq("k"), Seq(col("i")), "v", chunk = chunk, carry = Seq("i"))
+        .as[(String, Long, Long, Long, Double)].collect().toSet
+    val direct = run(lit(0L))
+    // chunk widths incl. one that doesn't divide the length evenly
+    for (w <- Seq(16L, 50L, 170L)) assert(run(expr(s"i DIV $w")) == direct, s"chunk width $w")
+  }
+
+  test("cusumChangepoint is partition-invariant and NULL-excluding") {
+    val rng = new Random(11)
+    val base = (0 until 500).map(i =>
+      ("k", i.toLong, if (i % 17 == 0) null else java.lang.Double.valueOf(rng.nextGaussian() + (if (i > 300) 2.0 else 0.0))))
+    val df = base.toDF("k", "i", "v")
+    def run(parts: Int) =
+      Stats.cusumChangepoint(df.repartition(parts), Seq("k"), Seq(col("i")), "v", carry = Seq("i"))
+        .as[(String, Long, Long, Long, Double)].collect().toSet
+    val r1 = run(1)
+    assert(r1 == run(13))
+    // NULL rows don't index: n counts only the non-null rows
+    assert(r1.head._3 == base.count(_._3 != null))
+  }
+}
