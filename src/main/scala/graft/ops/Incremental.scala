@@ -117,6 +117,57 @@ object Incremental {
       .groupBy((keys :+ "bin").map(col): _*)
       .agg(sum(col("cnt")).as("cnt"))
 
+  /** Incremental OHLC state: per group, (count, earliest-row struct,
+    * latest-row struct, high, low) — the candlestick aggregate
+    * (`w22_ohlc`) as a commutative monoid, so a tick store can roll
+    * candles forward per ingest batch without re-reading the day. The
+    * open/close carriers are whole (ts, id, value) structs ordered
+    * lexicographically on the total (ts, id) key: min/max of a struct is
+    * associative, so merge order and batch boundaries provably cannot
+    * change which row wins — and the closed open/close/high/low are raw
+    * row VALUES (no arithmetic), hence engine-exact like [[histPartials]]
+    * (the `ivm_ohlc_merge` oracle is the direct from-scratch
+    * candlestick). NULL values are excluded, matching every aggregate
+    * here. State is one row per group; partials map-side combine.
+    */
+  def ohlcPartials(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      idCol: String,
+      valueCol: String): DataFrame = {
+    val row = struct(col(tsCol), col(idCol), col(valueCol).as("v"))
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        min(row).as("f"),
+        max(row).as("l"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"))
+  }
+
+  /** Merge two OHLC state tables (associative/commutative). */
+  def ohlcMerge(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        sum(col("n")).as("n"),
+        min(col("f")).as("f"),
+        max(col("l")).as("l"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"))
+
+  /** Close OHLC state into (n, open, high, low, close) per group. */
+  def ohlcFinalize(parts: DataFrame): DataFrame =
+    parts.select(
+      parts.columns.filterNot(Set("f", "l", "high", "low", "n")).map(col).toSeq ++ Seq(
+        col("n"),
+        col("f.v").as("open"),
+        col("high"),
+        col("low"),
+        col("l.v").as("close")): _*)
+
   /** Close histogram state into per-group quantiles: for each q ∈ `qs`
     * (0 < q ≤ 1), locate the first bin whose cumulative count reaches
     * t = q·n and interpolate linearly inside it —

@@ -415,6 +415,44 @@ object EventsQ {
                FROM r GROUP BY 1, 2""")),
 
     QDef(
+      "ivm_ohlc_merge",
+      // incremental candlestick maintenance: per-(event_type, day) OHLC
+      // state from the historical side and the new batch, merged and
+      // closed — w22_ohlc as a mergeable monoid (Incremental.ohlcPartials
+      // scaladoc), bit-identical to the from-scratch candlestick because
+      // open/close ride total-ordered (ts, id, value) structs and every
+      // output is a raw row value. The oracle IS the direct w22 form
+      (s, d) => {
+        val ev = events(s, d)
+          .select("event_type", "ts_us", "event_id", "value")
+          .withColumn("bucket_us", Windows.tumbleMs(col("ts_us"), usPerDay))
+        val keys = Seq("event_type", "bucket_us")
+        val merged = Incremental.ohlcMerge(
+          Incremental.ohlcPartials(
+            ev.filter(col("ts_us") < cutoffUs), keys, "ts_us", "event_id", "value"),
+          Incremental.ohlcPartials(
+            ev.filter(col("ts_us") >= cutoffUs), keys, "ts_us", "event_id", "value"),
+          keys)
+        Incremental.ohlcFinalize(merged)
+          .select("event_type", "bucket_us", "n", "open", "high", "low", "close")
+      },
+      Some(s"""WITH ev AS ($evSql),
+               q AS (SELECT event_type, ts_us - ts_us % $usPerDay AS bucket_us,
+                       ts_us, event_id, value
+                     FROM ev WHERE value IS NOT NULL),
+               r AS (SELECT *,
+                       row_number() OVER (PARTITION BY event_type, bucket_us
+                         ORDER BY ts_us, event_id) AS rna,
+                       row_number() OVER (PARTITION BY event_type, bucket_us
+                         ORDER BY ts_us DESC, event_id DESC) AS rnd
+                     FROM q)
+               SELECT event_type, bucket_us, CAST(count(*) AS BIGINT) AS n,
+                 max(CASE WHEN rna = 1 THEN value END) AS open,
+                 max(value) AS high, min(value) AS low,
+                 max(CASE WHEN rnd = 1 THEN value END) AS close
+               FROM r GROUP BY 1, 2""")),
+
+    QDef(
       "w23_transitions",
       // first-order Markov transition matrix over per-user event streams:
       // lag(event_type) in (ts, event_id) order, transition counts, and

@@ -117,6 +117,28 @@ class CurationOpsSpec extends SparkSpec {
     for (w <- Seq(16L, 50L, 170L)) assert(run(expr(s"i DIV $w")) == direct, s"chunk width $w")
   }
 
+  test("ohlc state is a monoid: merged batch partials equal the from-scratch aggregate") {
+    val rng = new Random(31)
+    val rows = (0 until 600).map { i =>
+      (s"k${i % 3}", i.toLong * 10 + rng.nextInt(5), i.toLong, rng.nextGaussian() * 50)
+    }
+    val df = rows.toDF("k", "ts", "id", "v")
+    val keys = Seq("k")
+    def fin(parts: org.apache.spark.sql.DataFrame) =
+      Incremental.ohlcFinalize(parts)
+        .select("k", "n", "open", "high", "low", "close")
+        .as[(String, Long, Double, Double, Double, Double)].collect().toSet
+    val scratch = fin(Incremental.ohlcPartials(df, keys, "ts", "id", "v"))
+    for (cuts <- Seq(Seq(200), Seq(17, 401))) {
+      val bounds = (0 +: cuts) :+ 600
+      val batches = bounds.sliding(2).map { case Seq(a, b) =>
+        Incremental.ohlcPartials(rows.slice(a, b).toDF("k", "ts", "id", "v"), keys, "ts", "id", "v")
+      }.toSeq
+      val merged = batches.reduce(Incremental.ohlcMerge(_, _, keys))
+      assert(fin(merged) == scratch, s"cuts=$cuts")
+    }
+  }
+
   test("cusumChangepoint is partition-invariant and NULL-excluding") {
     val rng = new Random(11)
     val base = (0 until 500).map(i =>

@@ -40,6 +40,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch + Incremental ohlcPartials maintain candlesticks over a stream") {
+    // rolling candles forward per ingest batch: the open/close carriers are
+    // total-ordered (ts, id, value) structs, so the maintained OHLC table
+    // after N batches is BIT-identical to the from-scratch candlestick —
+    // even when a later batch delivers the row that becomes the true open
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Incremental
+    val input = MemoryStream[(String, Long, Long, Double)]
+    val df = input.toDF().toDF("k", "ts", "id", "v")
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    val q = df.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val p = Incremental.ohlcPartials(batch, Seq("k"), "ts", "id", "v").localCheckpoint(true)
+        state = Some(state.fold(p)(s =>
+          Incremental.ohlcMerge(s, p, Seq("k")).localCheckpoint(true)))
+      }
+      .start()
+    try {
+      val rng = new scala.util.Random(47)
+      // out-of-order arrival: shuffle so early timestamps land in late batches
+      val rows = rng.shuffle(
+        (0 until 120).map(i => (s"k${i % 3}", i.toLong * 10, i.toLong, rng.nextGaussian() * 9)))
+      rows.grouped(40).foreach { chunk => input.addData(chunk); q.processAllAvailable() }
+      val maintained = Incremental.ohlcFinalize(state.get)
+        .select("k", "n", "open", "high", "low", "close").orderBy("k").collect().toSeq
+      val direct = Incremental.ohlcFinalize(
+        Incremental.ohlcPartials(rows.toDF("k", "ts", "id", "v"), Seq("k"), "ts", "id", "v"))
+        .select("k", "n", "open", "high", "low", "close").orderBy("k").collect().toSeq
+      assert(maintained == direct)
+    } finally q.stop()
+  }
+
   test("foreachBatch + Quality.scanCounts maintain a constraint monitor over a stream") {
     // continuous data-quality monitoring: each micro-batch contributes its
     // one-row integer violation counts; elementwise addition maintains the
