@@ -646,6 +646,55 @@ object Stats {
       .drop("__sx", "__sy", "__sxy", "__sxx", "__syy")
   }
 
+  /** Two-sample Welch z evaluation of an A/B split per key — the
+    * experimentation readout (is arm A's mean value different from arm
+    * B's, in units of standard error):
+    *
+    *   z = (mean_a − mean_b) / sqrt(va/na + vb/nb)
+    *
+    * with each arm's sample variance from exact moment sums. `arm` is any
+    * deterministic boolean assignment expression (hash-bucket the unit id
+    * — never rand(), or retries resample the experiment). Both arms
+    * aggregate in ONE pass via conditional aggregates — one shuffle of
+    * ≤ keys·cells, no join, no second scan.
+    *
+    * Determinism ([[corrCovar]]'s recipe): raw sums through [[Exact.dsum]],
+    * squares through tie-free [[Exact.dsumTrunc4]], then one fixed IEEE
+    * dag per output (means, variances, z) identical in the oracle; sqrt
+    * is correctly rounded in both engines. Degenerate groups (an arm with
+    * n ≤ 1, or zero pooled variance) yield NULL z rather than NaN.
+    */
+  def abWelchZ(
+      df: DataFrame,
+      keys: Seq[String],
+      arm: Column,
+      valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val a = when(arm, v)
+    val b = when(!arm, v)
+    val agg = df.groupBy(keys.map(col): _*)
+      .agg(
+        count(a).as("n_a"),
+        count(b).as("n_b"),
+        Exact.dsum(a).as("__sa"),
+        Exact.dsum(b).as("__sb"),
+        Exact.dsumTrunc4(when(arm, v * v)).as("__sa2"),
+        Exact.dsumTrunc4(when(!arm, v * v)).as("__sb2"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val ma = col("__sa") / na
+    val mb = col("__sb") / nb
+    val va = (na * col("__sa2") - col("__sa") * col("__sa")) / (na * (na - lit(1.0d)))
+    val vb = (nb * col("__sb2") - col("__sb") * col("__sb")) / (nb * (nb - lit(1.0d)))
+    val se2 = va / na + vb / nb
+    agg
+      .withColumn("mean_a", ma)
+      .withColumn("mean_b", mb)
+      .withColumn("z",
+        when(col("n_a") > 1 && col("n_b") > 1 && se2 > 0, (ma - mb) / sqrt(se2)))
+      .drop("__sa", "__sb", "__sa2", "__sb2")
+  }
+
   /** Population stability index between a BASE and a CURRENT distribution
     * of `valueCol`, per key — the standard drift monitor a continuously
     * ingested pipeline runs between the historical snapshot and each new

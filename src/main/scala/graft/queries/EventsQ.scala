@@ -415,6 +415,44 @@ object EventsQ {
                FROM r GROUP BY 1, 2""")),
 
     QDef(
+      "m18_ab_ztest",
+      // experimentation evaluation: Welch two-sample z of the value mean,
+      // arm = user_id parity (a deterministic hash-bucket assignment —
+      // never rand()), per event_type. Both arms in ONE conditional-agg
+      // pass; exact moment sums close through a fixed IEEE dag (see
+      // Stats.abWelchZ). The parity split carries no real treatment, so
+      // the registered z's are a calibration check (|z| small) as well
+      (s, d) =>
+        Stats.abWelchZ(
+          events(s, d).select("event_type", "user_id", "value"),
+          Seq("event_type"), pmod(col("user_id"), lit(2L)) === 0, "value")
+          .select("event_type", "n_a", "n_b", "mean_a", "mean_b", "z"),
+      Some {
+        val ca = "CASE WHEN user_id % 2 = 0 THEN value END"
+        val cb = "CASE WHEN user_id % 2 <> 0 THEN value END"
+        val sa2 = Exact.sqlDsumTrunc4(s"CASE WHEN user_id % 2 = 0 THEN value * value END")
+        val sb2 = Exact.sqlDsumTrunc4(s"CASE WHEN user_id % 2 <> 0 THEN value * value END")
+        val na = "CAST(n_a AS DOUBLE)"; val nb = "CAST(n_b AS DOUBLE)"
+        val ma = s"(sa / $na)"; val mb = s"(sb / $nb)"
+        val va = s"(($na * sa2 - sa * sa) / ($na * ($na - 1.0)))"
+        val vb = s"(($nb * sb2 - sb * sb) / ($nb * ($nb - 1.0)))"
+        val se2 = s"($va / $na + $vb / $nb)"
+        s"""WITH ev AS ($evSql),
+            g AS (SELECT event_type,
+                    CAST(count($ca) AS BIGINT) AS n_a,
+                    CAST(count($cb) AS BIGINT) AS n_b,
+                    ${Exact.sqlDsum(ca)} AS sa,
+                    ${Exact.sqlDsum(cb)} AS sb,
+                    $sa2 AS sa2,
+                    $sb2 AS sb2
+                  FROM ev GROUP BY 1)
+            SELECT event_type, n_a, n_b, $ma AS mean_a, $mb AS mean_b,
+              CASE WHEN n_a > 1 AND n_b > 1 AND $se2 > 0
+                THEN ($ma - $mb) / sqrt($se2) END AS z
+            FROM g"""
+      }),
+
+    QDef(
       "ivm_ohlc_merge",
       // incremental candlestick maintenance: per-(event_type, day) OHLC
       // state from the historical side and the new batch, merged and

@@ -117,6 +117,22 @@ class CurationOpsSpec extends SparkSpec {
     for (w <- Seq(16L, 50L, 170L)) assert(run(expr(s"i DIV $w")) == direct, s"chunk width $w")
   }
 
+  test("abWelchZ closed form and degenerate-arm NULL guard") {
+    val df = Seq(
+      ("t", 0L, 1.0), ("t", 2L, 2.0), ("t", 4L, 3.0), // arm A: mean 2, var 1
+      ("t", 1L, 2.0), ("t", 3L, 4.0), // arm B: mean 3, var 2
+      ("u", 0L, 5.0), ("u", 1L, 1.0), ("u", 3L, 2.0) // arm A has n=1 -> z NULL
+    ).toDF("k", "uid", "v")
+    val got = Stats.abWelchZ(df, Seq("k"), pmod(col("uid"), lit(2L)) === 0, "v")
+      .select("k", "n_a", "n_b", "mean_a", "mean_b", "z")
+      .as[(String, Long, Long, Double, Double, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    val t = got("t")
+    assert((t._2, t._3, t._4, t._5) == ((3L, 2L, 2.0, 3.0)))
+    assert(t._6.get == (2.0 - 3.0) / math.sqrt(1.0 / 3 + 2.0 / 2))
+    assert(got("u")._6.isEmpty)
+  }
+
   test("ohlc state is a monoid: merged batch partials equal the from-scratch aggregate") {
     val rng = new Random(31)
     val rows = (0 until 600).map { i =>

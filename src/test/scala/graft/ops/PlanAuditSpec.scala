@@ -183,6 +183,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"top-k fell back to a global sort:\n$p")
   }
 
+  test("skyline2d stage 1 windows partition on the bucket — no full-input global window") {
+    val df = (0L until 50L).map(i => (i, i % 11, i % 7)).toDF("id", "x", "y")
+    val p = plan(graft.ops.Pareto.skyline2d(df, "x", "y", pmod(col("id"), lit(8))))
+    // both stage-1 window specs carry the bucket; the only bucket-free
+    // windows are stage 2, fed by the pruned local frontiers
+    assert("windowspecdefinition\\([^)]*__bkt".r.findFirstIn(p).isDefined,
+      s"stage-1 window not bucket-partitioned:\n$p")
+  }
+
+  test("cusumChangepoint windows partition on (keys, chunk); offsets ride the chunk table") {
+    val df = (0L until 100L).map(i => ("k", i, i / 10.0)).toDF("k", "i", "v")
+    val p = plan(graft.ops.Stats.cusumChangepoint(
+      df, Seq("k"), Seq(col("i")), "v", chunk = expr("i DIV 10")))
+    assert("windowspecdefinition\\([^)]*__chk".r.findFirstIn(p).isDefined,
+      s"phase-1 window not chunk-partitioned:\n$p")
+  }
+
+  test("abWelchZ is one conditional-agg pass: single exchange, no join") {
+    val df = (0L until 100L).map(i => ("k", i, i / 3.0)).toDF("k", "uid", "v")
+    val p = plan(graft.ops.Stats.abWelchZ(df, Seq("k"), pmod(col("uid"), lit(2L)) === 0, "v"))
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$p")
+  }
+
   test("Quality.validate: row-local checks fold into ONE pass; no Expand anywhere") {
     val df = (0L until 50L).map(i => (i, i % 10, i * 1.0)).toDF("id", "fk", "price")
     val parent = (0L until 10L).toDF("pk")

@@ -409,4 +409,18 @@ object OperatorProps extends Properties("graft.ops") {
         .as[(String, Long, Double, Double, Option[Double])].head()
       Prop(out._3 == 0.0 && out._4 > 0.0 && out._5 == Some(1.0)) :| s"out=$out"
     }
+
+  property("skyline2d: an antichain that covers every input point, any bucketing") =
+    Prop.forAll(
+      Gen.listOfN(40, Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 15L))).suchThat(_.nonEmpty),
+      Gen.choose(1, 8)) { (ps, b) =>
+      val df = ps.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }.toDF("id", "x", "y")
+      val sky = Pareto.skyline2d(df, "x", "y", pmod(col("id"), lit(b)))
+        .as[(Long, Long, Long)].collect().map(r => (r._2, r._3))
+      def dom(a: (Long, Long), c: (Long, Long)) =
+        a._1 >= c._1 && a._2 >= c._2 && (a._1 > c._1 || a._2 > c._2)
+      val antichain = sky.forall(s => !sky.exists(t => dom(t, s)))
+      val covers = ps.forall(p => sky.exists(s => s == p || dom(s, p)))
+      Prop(antichain && covers) :| s"buckets=$b skyline=${sky.toList}"
+    }
 }
