@@ -125,4 +125,64 @@ object Segments {
     bounds.select(
       (keyCols.map(col) :+ explode(sequence(first, last, lit(stepMs))).as(gridCol)): _*)
   }
+
+  /** Sweep-line peak concurrency per key: the maximum number of intervals
+    * alive at once, and the earliest instant it is reached — "peak
+    * concurrent sessions/viewers/connections", the classic +1/−1 scatter
+    * + running sum that a self-join-per-overlap would compute
+    * quadratically.
+    *
+    * Each interval [start, end] scatters a (+1 @ start) and a (−1 @ end)
+    * delta; deltas order by (ts, delta DESC, tiebreak...) — +1 before −1
+    * at the same instant, so closed intervals touching at a point COUNT
+    * as concurrent (the inclusive convention; the caller's `tiebreak`
+    * must make the order total or peak_ts loses cross-engine
+    * determinism). The running sum is [[Windows.chunkedScan]] — the
+    * two-phase distributed scan, so a key with billions of intervals
+    * never sorts through one task — and the argmax is two-phased the same
+    * way (chunk champions, then the sub-linear pick; max-concurrency
+    * first, earliest index as tiebreak). Output: keys, `peak` (BIGINT),
+    * `peak_ts` (the `startCol`-typed instant the peak is first reached).
+    * All arithmetic integral — engine-exact. Interval bounds must be
+    * integral (`chunkWidth` buckets the scan by `ts DIV chunkWidth`).
+    */
+  def peakConcurrency(
+      intervals: DataFrame,
+      keys: Seq[String],
+      startCol: String,
+      endCol: String,
+      chunkWidth: Long,
+      tiebreak: Seq[Column] = Seq.empty): DataFrame = {
+    require(chunkWidth > 0, "chunkWidth must be positive")
+    val chunk = expr(s"__ts DIV $chunkWidth")
+    val kCols = keys.map(col)
+    val carryT = tiebreak.zipWithIndex.map { case (c, i) => c.as(s"__tb$i") }
+    val tbCols = tiebreak.indices.map(i => col(s"__tb$i"))
+    def side(tsCol: String, delta: Long) =
+      intervals.select(
+        kCols ++ Seq(col(tsCol).as("__ts"), lit(delta).as("__delta")) ++ carryT: _*)
+    val deltas = side(startCol, 1L).unionByName(side(endCol, -1L))
+    val ord = Seq(col("__ts"), col("__delta").desc) ++ tbCols
+    val scanned = Segments.scanForPeak(deltas, keys, ord, chunk)
+    val wTopLoc = Window.partitionBy(kCols :+ col("__chk"): _*)
+      .orderBy(col("__s").desc, col("__i"))
+    val wTop = Window.partitionBy(kCols: _*).orderBy(col("__s").desc, col("__i"))
+    scanned
+      .withColumn("__rnl", row_number().over(wTopLoc))
+      .filter(col("__rnl") === 1)
+      .withColumn("__rn", row_number().over(wTop))
+      .filter(col("__rn") === 1)
+      .select(kCols ++ Seq(col("__s").as("peak"), col("__ts").as("peak_ts")): _*)
+  }
+
+  /** [[Windows.chunkedScan]] plus the re-derived chunk column the
+    * two-phase argmax partitions on.
+    */
+  private def scanForPeak(
+      deltas: DataFrame,
+      keys: Seq[String],
+      ord: Seq[Column],
+      chunk: Column): DataFrame =
+    Windows.chunkedScan(deltas, keys, ord, "__delta", chunk)
+      .withColumn("__chk", chunk)
 }

@@ -808,31 +808,12 @@ object Stats {
     val m = floor(abs(v) * lit(10000.0d))
     val q = df.filter(v.isNotNull)
       .withColumn("__vq", when(v < 0, -m).otherwise(m).cast("long"))
-      .withColumn("__chk", chunk)
-    // phase 1: local scans per (key, chunk) — parallel across chunks
-    val wLoc = Window.partitionBy(kCols :+ col("__chk"): _*).orderBy(orderCols: _*)
-    val local = q
-      .withColumn("__li", row_number().over(wLoc).cast("long"))
-      .withColumn("__ls",
-        sum(col("__vq")).over(wLoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    // phase 2: chunk totals → exclusive offsets (the chunk table is
-    // sub-linear: one row per (key, chunk))
-    val totals = q.groupBy(kCols :+ col("__chk"): _*)
-      .agg(sum(col("__vq")).as("__ct"), count(lit(1)).as("__cc"))
-    val wChk = Window.partitionBy(kCols: _*).orderBy(col("__chk"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = totals
-      .withColumn("__so", coalesce(sum(col("__ct")).over(wChk), lit(0L)))
-      .withColumn("__co", coalesce(sum(col("__cc")).over(wChk), lit(0L)))
-      .select(kCols ++ Seq(col("__chk"), col("__so"), col("__co")): _*)
-    val perKey = totals.groupBy(kCols: _*)
-      .agg(sum(col("__ct")).as("__sn"), sum(col("__cc")).as("__n"))
     val dec = (c: Column) => c.cast(DecimalType(38, 0))
-    val scored = local
-      .join(offs, keys :+ "__chk")
-      .join(broadcast(perKey), keys)
-      .withColumn("__i", col("__co") + col("__li"))
-      .withColumn("__s", col("__so") + col("__ls"))
+    val scored = Windows
+      .chunkedScan(q, keys, orderCols, "__vq", chunk,
+        idxOut = "__i", sumOut = "__s", cntOut = "__n", totOut = "__sn")
+      // re-derive the chunk for the two-phase argmax (chunkedScan drops it)
+      .withColumn("__chk", chunk)
       .withColumn("__d", dec(col("__n")) * dec(col("__s")) - dec(col("__i")) * dec(col("__sn")))
     // argmax, two-phase as well: chunk champions, then the chunk-table pick
     val wTopLoc = Window.partitionBy(kCols :+ col("__chk"): _*)

@@ -20,6 +20,62 @@ import org.apache.spark.sql.functions._
   */
 object Windows {
 
+  /** Chunked two-phase global prefix scan — the distributed form of
+    * `sum(x) OVER (PARTITION BY keys ORDER BY ... ROWS UNBOUNDED
+    * PRECEDING)` plus `row_number()`, for BIGINT deltas. A naive per-key
+    * running window funnels each key's ENTIRE series through one task; at
+    * web scale a hot key is billions of rows. This runs the classic
+    * two-phase scan instead, keyed by `chunk` (any caller expression
+    * non-decreasing along `orderCols`, e.g. a day bucket of the
+    * timestamp): within-chunk running sums and row numbers in parallel
+    * windows over (keys, chunk); per-chunk totals aggregated and turned
+    * into exclusive OFFSETS by a window over the sub-linear chunk table;
+    * global index/sum = offset + local. Parallelism is keys × chunks, and
+    * integer addition is associative, so the result is bit-identical to
+    * the direct single-window form for every chunking (spec-pinned via
+    * [[graft.ops.Stats.cusumChangepoint]] and `peakConcurrency`).
+    *
+    * Adds to each input row: `idxOut` (1-based global row index within
+    * the key), `sumOut` (inclusive global running sum of `deltaCol`),
+    * `cntOut`/`totOut` (per-key row count and delta total — free off the
+    * chunk table, broadcast back). Rows where `deltaCol` is NULL must be
+    * filtered by the caller first.
+    */
+  def chunkedScan(
+      df: DataFrame,
+      keys: Seq[String],
+      orderCols: Seq[Column],
+      deltaCol: String,
+      chunk: Column,
+      idxOut: String = "__i",
+      sumOut: String = "__s",
+      cntOut: String = "__n",
+      totOut: String = "__tot"): DataFrame = {
+    val kCols = keys.map(col)
+    val q = df.withColumn("__chk", chunk)
+    val wLoc = Window.partitionBy(kCols :+ col("__chk"): _*).orderBy(orderCols: _*)
+    val local = q
+      .withColumn("__li", row_number().over(wLoc).cast("long"))
+      .withColumn("__ls",
+        sum(col(deltaCol)).over(wLoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val totals = q.groupBy(kCols :+ col("__chk"): _*)
+      .agg(sum(col(deltaCol)).as("__ct"), count(lit(1)).as("__cc"))
+    val wChk = Window.partitionBy(kCols: _*).orderBy(col("__chk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = totals
+      .withColumn("__so", coalesce(sum(col("__ct")).over(wChk), lit(0L)))
+      .withColumn("__co", coalesce(sum(col("__cc")).over(wChk), lit(0L)))
+      .select(kCols ++ Seq(col("__chk"), col("__so"), col("__co")): _*)
+    val perKey = totals.groupBy(kCols: _*)
+      .agg(sum(col("__ct")).as(totOut), sum(col("__cc")).as(cntOut))
+    local
+      .join(offs, keys :+ "__chk")
+      .join(broadcast(perKey), keys)
+      .withColumn(idxOut, col("__co") + col("__li"))
+      .withColumn(sumOut, col("__so") + col("__ls"))
+      .drop("__chk", "__li", "__ls", "__so", "__co")
+  }
+
   /** W1: tumbling bucket id in integer milliseconds:
     * `bucket = floor(ts_ms / step) * step` — the exact arithmetic of
     * ref `load_data.py:122-123` (`int(x*1000) // step * step`), kept in

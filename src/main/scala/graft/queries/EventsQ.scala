@@ -415,6 +415,55 @@ object EventsQ {
                FROM r GROUP BY 1, 2""")),
 
     QDef(
+      "w24_concurrency",
+      // sweep-line peak concurrency: per event_type, the most sessions of
+      // that type alive at once and the first instant it happens ("peak
+      // concurrent viewers") — intervals are w11's 30-min gap sessions per
+      // (user, type), the +1/−1 scatter replaces a quadratic
+      // overlap-self-join, and the running sum/argmax are the chunked
+      // two-phase scan (Segments.peakConcurrency — no per-key single-task
+      // sort; day-bucket chunks). Touching intervals count as concurrent
+      (s, d) => {
+        val sess = Segments.gapSessions(
+          events(s, d), Seq("user_id", "event_type"), "ts_us", 30L * 60L * 1000000L,
+          order = Seq(col("ts_us"), col("event_id")))
+          .groupBy("user_id", "event_type", "session_idx")
+          .agg(min("ts_us").as("start_us"), max("ts_us").as("end_us"))
+        Segments.peakConcurrency(sess, Seq("event_type"), "start_us", "end_us",
+          chunkWidth = usPerDay,
+          tiebreak = Seq(col("user_id"), col("session_idx")))
+      },
+      Some(s"""WITH ev AS ($evSql),
+               b AS (SELECT user_id, event_type, event_id, ts_us,
+                       CASE WHEN lag(ts_us) OVER w IS NULL
+                              OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS chg
+                     FROM ev WINDOW w AS (PARTITION BY user_id, event_type
+                       ORDER BY ts_us, event_id)),
+               sx AS (SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id, event_type
+                        ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+                        AS session_idx
+                      FROM b),
+               sess AS (SELECT user_id, event_type, session_idx,
+                          min(ts_us) AS start_us, max(ts_us) AS end_us
+                        FROM sx GROUP BY 1, 2, 3),
+               d AS (SELECT event_type, user_id, session_idx, start_us AS ts,
+                       CAST(1 AS BIGINT) AS delta FROM sess
+                     UNION ALL
+                     SELECT event_type, user_id, session_idx, end_us AS ts,
+                       CAST(-1 AS BIGINT) AS delta FROM sess),
+               r AS (SELECT event_type, ts,
+                       CAST(sum(delta) OVER (PARTITION BY event_type
+                         ORDER BY ts, delta DESC, user_id, session_idx
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s,
+                       row_number() OVER (PARTITION BY event_type
+                         ORDER BY ts, delta DESC, user_id, session_idx) AS i
+                     FROM d)
+               SELECT event_type, s AS peak, ts AS peak_ts FROM (
+                 SELECT *, row_number() OVER (PARTITION BY event_type
+                   ORDER BY s DESC, i) AS rn FROM r)
+               WHERE rn = 1""")),
+
+    QDef(
       "m18_ab_ztest",
       // experimentation evaluation: Welch two-sample z of the value mean,
       // arm = user_id parity (a deterministic hash-bucket assignment —

@@ -117,6 +117,28 @@ class CurationOpsSpec extends SparkSpec {
     for (w <- Seq(16L, 50L, 170L)) assert(run(expr(s"i DIV $w")) == direct, s"chunk width $w")
   }
 
+  test("peakConcurrency equals brute force on random intervals, any chunk width") {
+    val rng = new Random(67)
+    val iv = (0 until 300).map { i =>
+      val s = rng.nextInt(500).toLong
+      ("k" + (i % 2), i.toLong, s, s + rng.nextInt(80).toLong)
+    }
+    val df = iv.toDF("k", "id", "start", "end")
+    def brute(k: String): (Long, Long) = {
+      val ivs = iv.filter(_._1 == k)
+      val alive = ivs.map(_._3).distinct.sorted
+        .map(t => (t, ivs.count(v => v._3 <= t && t <= v._4).toLong))
+      val peak = alive.map(_._2).max
+      (peak, alive.filter(_._2 == peak).map(_._1).min)
+    }
+    for (w <- Seq(1L, 37L, 1000L)) {
+      val got = Segments.peakConcurrency(df, Seq("k"), "start", "end",
+        chunkWidth = w, tiebreak = Seq(col("id")))
+        .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got("k0") == brute("k0") && got("k1") == brute("k1"), s"chunkWidth=$w")
+    }
+  }
+
   test("abWelchZ closed form and degenerate-arm NULL guard") {
     val df = Seq(
       ("t", 0L, 1.0), ("t", 2L, 2.0), ("t", 4L, 3.0), // arm A: mean 2, var 1
