@@ -170,4 +170,43 @@ object Graph {
           (lit(3L) * col("n_triangles")).cast("double") / col("n_wedges").cast("double"))
           .as("clustering"))
   }
+
+  /** Fixed-round k-core peeling: nodes of the `rounds`-times-peeled graph
+    * whose degree is still ≥ k, with that degree — the dense-cluster
+    * extractor over the near-dup pair graph (a k-core is a maximal
+    * subgraph where everyone has ≥ k in-core neighbors: template
+    * boilerplate families and mirror farms show up as cores; chains and
+    * stars don't).
+    *
+    * FIXED rounds, not run-to-convergence: peeling is monotone (each
+    * round only removes nodes) and idempotent at the fixed point, so
+    * extra rounds are no-ops and both engines running the same `rounds`
+    * agree bit-for-bit whether or not the peel has converged — the same
+    * move as the unrolled PageRank chain, chosen so the oracle needs no
+    * plan-time convergence scalar. A diameter-ish `rounds` (default 8)
+    * converges real dup graphs; the semantic is "the rounds-peeled
+    * approximation from above" by contract.
+    *
+    * Scale shape: per round one degree groupBy + two semi-joins on the
+    * node id — everything shuffles on v, nothing quadratic, and the edge
+    * frame shrinks monotonically; `localCheckpoint` per round bounds the
+    * nested-plan growth exactly as [[pagerankScaled]]'s hygiene does.
+    */
+  def kcore(pairs: DataFrame, aCol: String, bCol: String, k: Int, rounds: Int = 8): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"bad kcore config: k=$k rounds=$rounds")
+    var e = Caches.trackPersist(
+      pairs.select(col(aCol).cast("long").as("ea"), col(bCol).cast("long").as("eb")))
+    def degrees(edges: DataFrame) =
+      edges.select(col("ea").as("v")).union(edges.select(col("eb").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+    for (_ <- 1 to rounds) {
+      val keep = degrees(e).filter(col("d") >= k).select("v")
+      e = e
+        .join(keep.withColumnRenamed("v", "ea"), Seq("ea"), "left_semi")
+        .join(keep.withColumnRenamed("v", "eb"), Seq("eb"), "left_semi")
+        .localCheckpoint(true)
+    }
+    degrees(e).filter(col("d") >= k)
+      .select(col("v"), col("d").as("core_degree"))
+  }
 }

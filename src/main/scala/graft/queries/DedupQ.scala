@@ -718,6 +718,48 @@ object DedupQ {
             FROM ne, nw, tri""")),
 
     QDef(
+      "g3_kcore",
+      // dense-cluster extraction in the same Jaccard >= 0.5 pair graph:
+      // the 8-round 2-core peel — nodes that keep >= 2 in-core neighbors
+      // after chains, pendants and stars peel away (template/boilerplate
+      // families survive, drift chains don't). Fixed rounds so the oracle
+      // unrolls the identical peel with no convergence scalar; idempotent
+      // at the fixed point (Graph.kcore scaladoc)
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Graph.kcore(
+          Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5, maxShingleDf = shCapDf)
+            .select("a_id", "b_id"),
+          "a_id", "b_id", k = 2, rounds = 8)
+          .withColumnRenamed("v", "doc_id")
+      },
+      Some {
+        val peel = (1 to 8).map { i =>
+          // MATERIALIZED: each round references its predecessor three
+          // times; inlined CTEs would expand 3^rounds copies of the base
+          // scan (observed: DuckDB "too many open files" at 8 rounds)
+          s"""d${i - 1} AS MATERIALIZED (SELECT v, CAST(count(*) AS BIGINT) AS d FROM
+                (SELECT ea AS v FROM e${i - 1} UNION ALL SELECT eb FROM e${i - 1}) GROUP BY 1),
+              k${i - 1} AS MATERIALIZED (SELECT v FROM d${i - 1} WHERE d >= 2),
+              e$i AS MATERIALIZED (SELECT e.ea, e.eb FROM e${i - 1} e
+                      JOIN k${i - 1} a ON a.v = e.ea JOIN k${i - 1} b ON b.v = e.eb)"""
+        }.mkString(",\n")
+        s"""WITH $shCappedSql,
+            sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+            pp AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS shared
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+            e0 AS MATERIALIZED (SELECT a_id AS ea, b_id AS eb FROM pp
+                   JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+                   WHERE CAST(shared AS DOUBLE) / CAST(sa.n + sb.n - shared AS DOUBLE)
+                         >= CAST(0.5 AS DOUBLE)),
+            $peel,
+            dfin AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM
+              (SELECT ea AS v FROM e8 UNION ALL SELECT eb FROM e8) GROUP BY 1)
+            SELECT v AS doc_id, d AS core_degree FROM dfin WHERE d >= 2"""
+      }),
+
+    QDef(
       "d11_bloom_decontaminate",
       // d9's contamination scan behind a 2^20-bit bloom prefilter: the
       // benchmark's 7-gram keys compact into ONE broadcast map of bit-or'd

@@ -67,7 +67,7 @@ object SimilarityQ {
   /** The `sim_ivf_topk` builder (see its QDef comment), factored for the
     * recall audit.
     */
-  private def ivfTopk(s: org.apache.spark.sql.SparkSession, d: String) = {
+  private def ivfTopk(s: org.apache.spark.sql.SparkSession, d: String, k: Int = 3) = {
     val e = withNorm(t(s, d, "embeddings"))
     val ranked = graft.ops.Caches.trackPersist(
       graft.ml.IvfQuantizer.fitRanked(e, "vec_id", "embedding", "n2", 8, 2, sampleEvery = 4))
@@ -86,11 +86,11 @@ object SimilarityQ {
         "rnk",
         row_number().over(Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id")))
           .cast("long"))
-      .filter(col("rnk") <= 3)
+      .filter(col("rnk") <= k)
       .select("query_id", "cell", "rnk", "vec_id", "cos")
   }
 
-  private val ivfSql =
+  private def ivfSqlK(k: Int) =
     s"""WITH $normSql,
         ${graft.ml.IvfQuantizer.lloydSql(8, 2, 64, sampleEvery = 4)},
         q AS (SELECT cr.vec_id AS query_id, cr.cell, e.embedding AS qe
@@ -108,7 +108,9 @@ object SimilarityQ {
               FROM d JOIN n nq ON nq.vec_id = d.query_id JOIN n nc ON nc.vec_id = d.vec_id)
         SELECT query_id, cell, rnk, vec_id, cos FROM
           (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
-           FROM s) WHERE rnk <= 3"""
+           FROM s) WHERE rnk <= $k"""
+
+  private val ivfSql = ivfSqlK(3)
 
   /** Recall@3 audit: join an approximate top-3 result against the exact
     * [[exactTopk]] top-3, one hit-count + ratio row per query vector and a
@@ -593,7 +595,67 @@ object SimilarityQ {
             SELECT query_id, rnk, item_id, rrf_score, rd, rs FROM (
               SELECT *, CAST(row_number() OVER (PARTITION BY query_id
                 ORDER BY rrf_score DESC, item_id) AS BIGINT) AS rnk FROM g)
-            WHERE rnk <= 10"""))
+            WHERE rnk <= 10""")),
+
+    QDef(
+      "sim_ivf_ndcg",
+      // rank-WEIGHTED audit of the routed IVF search: nDCG@10 vs the exact
+      // cosine ranking — recall@k counts hits anywhere in the window, nDCG
+      // also charges for putting them in the wrong ORDER (graded relevance
+      // 11−exact_rank, discount 1/log2(rank+1)). Every discount is MathLn
+      // of an exact small integer over ln 2 (libm-equal), per-query term
+      // sums go through order-independent dsumTrunc9, nDCG closes with one
+      // division, and the corpus mean sums scale-9-TRUNCATED per-query
+      // values as integers (the m13_macro_auc mean recipe) — hash-green
+      // like the recall audits it complements
+      (s, d) => {
+        val ex = exactTopk(s, d, k = 10)
+          .select(col("query_id"), col("vec_id"), col("rnk").as("erk"))
+        val ap = ivfTopk(s, d, k = 10)
+          .select(col("query_id"), col("vec_id"), col("rnk").as("ark"))
+        val ln2 = graft.functions.MathLn(lit(2.0d))
+        def disc(r: org.apache.spark.sql.Column) =
+          graft.functions.MathLn((r + 1).cast("double")) / ln2
+        val dcg = ap.join(ex, Seq("query_id", "vec_id"), "left")
+          .withColumn("term",
+            coalesce(lit(11L) - col("erk"), lit(0L)).cast("double") / disc(col("ark")))
+          .groupBy("query_id").agg(Exact.dsumTrunc9(col("term")).as("dcg"))
+        val idcg = ex
+          .withColumn("term", (lit(11L) - col("erk")).cast("double") / disc(col("erk")))
+          .groupBy("query_id").agg(Exact.dsumTrunc9(col("term")).as("idcg"))
+        val per = dcg.join(idcg, "query_id")
+          .select(col("query_id"), (col("dcg") / col("idcg")).as("ndcg"))
+        val corpus = per.groupBy()
+          .agg((sum(floor(col("ndcg") * lit(1.0e9d)).cast("long")).cast("double")
+            / (lit(1.0e9d) * count(lit(1)).cast("double"))).as("ndcg"))
+          .select(lit(-1L).as("query_id"), col("ndcg"))
+        per.unionByName(corpus)
+      },
+      Some(s"""WITH exact AS (${exactSqlK(10)}),
+            approx AS (${ivfSqlK(10)}),
+            j AS (SELECT a.query_id, a.vec_id, a.rnk AS ark, e.rnk AS erk
+                  FROM approx a LEFT JOIN exact e
+                    ON e.query_id = a.query_id AND e.vec_id = a.vec_id),
+            terms AS (SELECT query_id,
+                CAST(coalesce(11 - erk, 0) AS DOUBLE)
+                  / (ln(CAST(ark + 1 AS DOUBLE)) / ln(CAST(2.0 AS DOUBLE))) AS term
+              FROM j),
+            dcg AS (SELECT query_id, ${Exact.sqlDsumTrunc9("term")} AS dcg
+                    FROM terms GROUP BY 1),
+            iterms AS (SELECT query_id,
+                CAST(11 - rnk AS DOUBLE)
+                  / (ln(CAST(rnk + 1 AS DOUBLE)) / ln(CAST(2.0 AS DOUBLE))) AS term
+              FROM exact),
+            idcg AS (SELECT query_id, ${Exact.sqlDsumTrunc9("term")} AS idcg
+                     FROM iterms GROUP BY 1),
+            per AS (SELECT d.query_id, d.dcg / i.idcg AS ndcg
+                    FROM dcg d JOIN idcg i USING (query_id))
+            SELECT query_id, ndcg FROM per
+            UNION ALL
+            SELECT CAST(-1 AS BIGINT) AS query_id,
+              CAST(sum(CAST(floor(ndcg * CAST(1000000000 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+                / (CAST(1000000000 AS DOUBLE) * CAST(count(*) AS DOUBLE)) AS ndcg
+            FROM per"""))
   )
 
   /** The `sim_ivfpq_topk` builder (see its QDef comment), factored for

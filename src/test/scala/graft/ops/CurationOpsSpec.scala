@@ -117,6 +117,33 @@ class CurationOpsSpec extends SparkSpec {
     for (w <- Seq(16L, 50L, 170L)) assert(run(expr(s"i DIV $w")) == direct, s"chunk width $w")
   }
 
+  test("kcore equals the brute-force peel on random graphs (fixed-round contract)") {
+    val rng = new Random(91)
+    val edges = (for {
+      a <- 0L until 60L; b <- (a + 1) until 60L if rng.nextDouble() < 0.05
+    } yield (a, b)).toList
+    // the exact fixed-round semantics of Graph.kcore — which coincides
+    // with the converged core whenever 12 rounds suffice (it does here;
+    // the op's contract is the fixed-round peel either way)
+    def brute(k: Int): Map[Long, Long] = {
+      var es = edges
+      for (_ <- 1 to 12) {
+        val deg = es.flatMap(e => Seq(e._1, e._2)).groupBy(identity).map { case (v, l) => v -> l.size }
+        val keep = deg.filter(_._2 >= k).keySet
+        es = es.filter(e => keep(e._1) && keep(e._2))
+      }
+      es.flatMap(e => Seq(e._1, e._2)).groupBy(identity).map { case (v, l) => v -> l.size.toLong }
+        .filter(_._2 >= k)
+    }
+    val df = edges.toDF("a", "b")
+    for (k <- Seq(2, 3)) {
+      val got = Graph.kcore(df, "a", "b", k, rounds = 12)
+        .as[(Long, Long)].collect().toMap
+      Caches.releaseAll()
+      assert(got == brute(k), s"k=$k")
+    }
+  }
+
   test("peakConcurrency equals brute force on random intervals, any chunk width") {
     val rng = new Random(67)
     val iv = (0 until 300).map { i =>
