@@ -38,6 +38,35 @@ object Cdc {
       .drop("__rn", "__pri")
   }
 
+  /** Full CDC apply — [[upsert]] completed with DELETES: `ops` carries an
+    * `opCol` ∈ {I, U, D} per change row (the Debezium/Delta-MERGE event
+    * shape), the latest op per key wins (greatest `order`, tie to the op
+    * row over the base row), and a winning D removes the key from the
+    * snapshot entirely — the GDPR-erasure / retraction path a
+    * latest-wins upsert structurally cannot express.
+    *
+    * Same scale shape as [[upsert]]: the union shuffles once on the merge
+    * keys, WindowGroupLimit prunes to one row per key during the sort,
+    * and the D-filter is a post-window predicate — no join, no second
+    * pass. I and U apply identically (both mean "this payload is the
+    * current row"); the distinction is the upstream log's, not the
+    * merge's.
+    */
+  def applyCdc(
+      base: DataFrame,
+      ops: DataFrame,
+      keys: Seq[String],
+      order: Seq[Column],
+      opCol: String = "op"): DataFrame = {
+    val u = base.withColumn("__pri", lit(0)).withColumn("__op", lit("U"))
+      .unionByName(ops.withColumn("__pri", lit(1)).withColumn("__op", col(opCol)).drop(opCol))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(order.map(_.desc) :+ col("__pri").desc: _*)
+    u.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("__op") =!= "D")
+      .drop("__rn", "__pri", "__op")
+  }
+
   /** Slowly-changing-dimension type-2 history: every change row becomes a
     * VERSION with a validity interval — `valid_from` = its own `tsCol`,
     * `valid_to` = the next version's `tsCol` (NULL while current),

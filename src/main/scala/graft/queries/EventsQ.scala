@@ -46,6 +46,43 @@ object EventsQ {
                WHERE rn = 1""")),
 
     QDef(
+      "cdc_apply_ops",
+      // full CDC apply with DELETES: base = the pre-cutoff per-user
+      // snapshot, ops = the post-cutoff event log where a 'purchase'
+      // closes the account (op = D) and everything else updates it —
+      // users whose LATEST change is a D vanish from the state table
+      // entirely (the retraction path merge_upsert cannot express).
+      // Same single-window shape (Cdc.applyCdc scaladoc)
+      (s, d) => {
+        val ev = events(s, d)
+          .select("user_id", "ts_us", "event_id", "event_type", "value")
+        val wSnap = Window.partitionBy("user_id")
+          .orderBy(col("ts_us").desc, col("event_id").desc)
+        val base = ev.filter(col("ts_us") < cutoffUs)
+          .withColumn("__rn", row_number().over(wSnap))
+          .filter(col("__rn") === 1).drop("__rn")
+        val ops = ev.filter(col("ts_us") >= cutoffUs)
+          .withColumn("op", when(col("event_type") === "purchase", "D").otherwise("U"))
+        Cdc.applyCdc(base, ops, Seq("user_id"), Seq(col("ts_us"), col("event_id")))
+          .select("user_id", "ts_us", "event_id", "event_type", "value")
+      },
+      Some(s"""WITH ev AS ($evSql),
+               pre AS (SELECT user_id, ts_us, event_id, event_type, value,
+                         0 AS pri, 'U' AS op
+                       FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts_us DESC, event_id DESC) AS rn
+                         FROM ev WHERE ts_us < $cutoffUs) WHERE rn = 1),
+               post AS (SELECT user_id, ts_us, event_id, event_type, value,
+                          1 AS pri,
+                          CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op
+                        FROM ev WHERE ts_us >= $cutoffUs),
+               u AS (SELECT * FROM pre UNION ALL SELECT * FROM post),
+               r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts_us DESC, event_id DESC, pri DESC) AS rn FROM u)
+               SELECT user_id, ts_us, event_id, event_type, value
+               FROM r WHERE rn = 1 AND op <> 'D'""")),
+
+    QDef(
       "funnel_steps",
       // conversion funnel view -> click -> purchase: earliest strictly
       // in-order match per step, NULL once the funnel stalls

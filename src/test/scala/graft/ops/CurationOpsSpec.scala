@@ -166,6 +166,18 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("applyCdc: latest D deletes, later U resurrects, base and I rows survive") {
+    val base = Seq((1L, 10L, "a"), (2L, 10L, "b"), (3L, 10L, "c")).toDF("k", "ts", "v")
+    val ops = Seq(
+      (1L, 20L, "a2", "U"), (1L, 30L, "a2", "D"), // U then D -> deleted
+      (2L, 20L, "b2", "D"), (2L, 30L, "b3", "U"), // D then U -> resurrected
+      (4L, 20L, "d", "I") // fresh insert
+    ).toDF("k", "ts", "v", "op")
+    val got = Cdc.applyCdc(base, ops, Seq("k"), Seq(col("ts")))
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == Set((2L, 30L, "b3"), (3L, 10L, "c"), (4L, 20L, "d")))
+  }
+
   test("abWelchZ closed form and degenerate-arm NULL guard") {
     val df = Seq(
       ("t", 0L, 1.0), ("t", 2L, 2.0), ("t", 4L, 3.0), // arm A: mean 2, var 1
