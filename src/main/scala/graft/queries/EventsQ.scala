@@ -501,6 +501,45 @@ object EventsQ {
                WHERE rn = 1""")),
 
     QDef(
+      "w25_interarrival",
+      // arrival-rate profiling: p50/p90/p99 of the per-(user, type)
+      // inter-event gap, rolled up per event_type — the hazard/SLA readout
+      // (is traffic bursty? are gaps heavy-tailed?) every event pipeline
+      // capacity-plans from. Gaps are exact µs integers widened to double
+      // (≤ 2^53, lossless); quantiles via the two-phase exactQuantiles
+      // (distinct-value pre-agg, so the ordered window never sees raw rows)
+      (s, d) => {
+        val ev = events(s, d).select("user_id", "event_type", "ts_us", "event_id")
+        val w = Window.partitionBy("user_id", "event_type")
+          .orderBy(col("ts_us"), col("event_id"))
+        val gaps = ev
+          .withColumn("gap_us", (col("ts_us") - lag("ts_us", 1).over(w)).cast("double"))
+          .filter(col("gap_us").isNotNull)
+        Stats.exactQuantiles(gaps, Seq("event_type"), "gap_us", Seq(0.5, 0.9, 0.99))
+      },
+      Some(s"""WITH ev AS ($evSql),
+               g AS (SELECT event_type,
+                       CAST(ts_us - lag(ts_us) OVER (PARTITION BY user_id, event_type
+                         ORDER BY ts_us, event_id) AS DOUBLE) AS gap_us
+                     FROM ev),
+               r AS (SELECT event_type, gap_us AS value,
+                       row_number() OVER (PARTITION BY event_type ORDER BY gap_us) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                     FROM g WHERE gap_us IS NOT NULL),
+               qs AS (SELECT CAST(q AS DOUBLE) AS q
+                      FROM (VALUES (0.5), (0.9), (0.99)) t(q)),
+               p AS (SELECT r.event_type, qs.q, r.value, r.rn,
+                       CAST(1.0 AS DOUBLE) + CAST(n - 1 AS DOUBLE) * qs.q AS pos
+                     FROM r CROSS JOIN qs)
+               SELECT event_type, q,
+                 min(CASE WHEN rn = CAST(floor(pos) AS BIGINT) THEN value END)
+                 + (min(CASE WHEN rn = CAST(ceil(pos) AS BIGINT) THEN value END)
+                    - min(CASE WHEN rn = CAST(floor(pos) AS BIGINT) THEN value END))
+                   * min(pos - floor(pos)) AS q_value
+               FROM p WHERE rn = CAST(floor(pos) AS BIGINT) OR rn = CAST(ceil(pos) AS BIGINT)
+               GROUP BY 1, 2""")),
+
+    QDef(
       "m18_ab_ztest",
       // experimentation evaluation: Welch two-sample z of the value mean,
       // arm = user_id parity (a deterministic hash-bucket assignment —

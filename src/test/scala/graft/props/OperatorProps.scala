@@ -423,4 +423,31 @@ object OperatorProps extends Properties("graft.ops") {
       val covers = ps.forall(p => sky.exists(s => s == p || dom(s, p)))
       Prop(antichain && covers) :| s"buckets=$b skyline=${sky.toList}"
     }
+
+  property("blockedPairs == brute force over surviving blocks on random corpora") =
+    Prop.forAll(
+      Gen.listOfN(30, Gen.zip(
+        Gen.oneOf("aaaa bbbb", "aaaa cccc", "dddd eeee"),
+        Gen.alphaLowerStr.map(_.take(12)))),
+      Gen.choose(1, 6), Gen.choose(2, 12)) { (docs0, maxDist, maxBlock) =>
+      val docs = docs0.zipWithIndex.map { case ((pfx, tail), i) => (i.toLong, s"$pfx $tail") }
+      val blockLen = 9; val titleLen = 18
+      def lev(a: String, b: String): Int = {
+        val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) => if (i == 0) j else if (j == 0) i else 0 }
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+            d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        d(a.length)(b.length)
+      }
+      val byBlock = docs.groupBy(_._2.take(blockLen)).filter(_._2.size <= maxBlock)
+      val expect = (for {
+        (_, ds) <- byBlock.toSeq
+        a <- ds; b <- ds if a._1 < b._1
+        dist = lev(a._2.take(titleLen), b._2.take(titleLen)) if dist <= maxDist
+      } yield (a._1, b._1, dist.toLong)).toSet
+      val got = Linkage.blockedPairs(docs.toDF("doc_id", "text"), "doc_id", "text",
+        blockLen, titleLen, maxDist, maxBlock)
+        .as[(Long, Long, Long)].collect().toSet
+      Prop(got == expect) :| s"maxDist=$maxDist maxBlock=$maxBlock got=${got.size} want=${expect.size}"
+    }
 }
