@@ -29,8 +29,13 @@ object SimilarityQ {
     * the `sim_cosine_topk` builder, factored so `sim_ivf_recall` /
     * `sim_ivfpq_recall` consume the identical pipeline.
     */
-  private def exactTopk(s: org.apache.spark.sql.SparkSession, d: String, k: Int = 3) = {
-    val e = withNorm(t(s, d, "embeddings"))
+  private def exactTopk(
+      s: org.apache.spark.sql.SparkSession, d: String, k: Int = 3, dims: Int = 64) = {
+    val base = t(s, d, "embeddings")
+    val sliced =
+      if (dims >= 64) base
+      else base.select(col("vec_id"), slice(col("embedding"), 1, dims).as("embedding"))
+    val e = withNorm(sliced)
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("n2").as("qn2"))
     val c = e.select(col("vec_id"), col("embedding").as("ce"), col("n2").as("cn2"))
@@ -48,12 +53,15 @@ object SimilarityQ {
       .select("query_id", "rnk", "vec_id", "cos")
   }
 
-  private def exactSqlK(k: Int) =
-    s"""WITH $normSql,
+  private def exactSqlK(k: Int, dims: Int = 64) =
+    s"""WITH n AS (SELECT vec_id,
+          CAST(sum(CAST(CAST(embedding[i.i] AS DOUBLE)
+            * CAST(embedding[i.i] AS DOUBLE) AS DECIMAL(38,9))) AS DOUBLE) AS n2
+          FROM embeddings, unnest(generate_series(1, $dims)) AS i(i) GROUP BY 1),
         q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
         d AS (SELECT q.query_id, c.vec_id,
                 ${Vectors.sqlDotExact("q.qe", "c.embedding", "i.i")} AS dot
-              FROM q CROSS JOIN embeddings c, unnest(generate_series(1, 64)) AS i(i)
+              FROM q CROSS JOIN embeddings c, unnest(generate_series(1, $dims)) AS i(i)
               WHERE c.vec_id <> q.query_id GROUP BY 1, 2),
         s AS (SELECT d.query_id, d.vec_id,
                 d.dot / nullif(sqrt(nq.n2) * sqrt(nc.n2), CAST(0.0 AS DOUBLE)) AS cos
@@ -655,7 +663,20 @@ object SimilarityQ {
             SELECT CAST(-1 AS BIGINT) AS query_id,
               CAST(sum(CAST(floor(ndcg * CAST(1000000000 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
                 / (CAST(1000000000 AS DOUBLE) * CAST(count(*) AS DOUBLE)) AS ndcg
-            FROM per"""))
+            FROM per""")),
+
+    QDef(
+      "sim_matryoshka_recall",
+      // storage-tiering audit for Matryoshka-style embeddings: recall@3 of
+      // exact cosine over only the FIRST 16 of 64 dimensions vs the
+      // full-dimension baseline — measures what a 4× cheaper
+      // truncated-prefix index (the MRL serving pattern: coarse search on
+      // the prefix tier, full vectors only for rerank) loses on THIS
+      // corpus. Same recallOf/recallSql machinery as the IVF audits; the
+      // truncated searcher is the exact searcher on a sliced column, so
+      // the audit isolates dimension loss from any indexing loss
+      (s, d) => recallOf(exactTopk(s, d), exactTopk(s, d, k = 3, dims = 16)),
+      Some(recallSql(exactSqlK(3, dims = 16))))
   )
 
   /** The `sim_ivfpq_topk` builder (see its QDef comment), factored for
