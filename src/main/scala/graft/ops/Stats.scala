@@ -695,6 +695,93 @@ object Stats {
       .drop("__sa", "__sb", "__sa2", "__sb2")
   }
 
+  /** CUPED variance-reduced A/B evaluation (Deng et al. 2013 — the
+    * standard experimentation-platform move at Microsoft/Netflix scale):
+    * each unit carries a pre-experiment covariate `x` and an experiment
+    * metric `y`; the adjusted metric y' = y − θ·(x − x̄) with
+    * θ = cov(x,y)/var(x) removes the variance `x` explains, shrinking the
+    * standard error without biasing the arm difference (θ is fitted
+    * pooled, not per arm). Emits, per key: unit counts per arm, θ, the
+    * plain Welch z on `y` ([[abWelchZ]]'s statistic) and the Welch z on
+    * y' — the z_cuped/z_raw gap IS the measured variance reduction.
+    *
+    * Determinism: `x`/`y` are DERIVED doubles (per-unit means), so every
+    * moment sum here uses tie-free truncated scale-9 fixed point
+    * ([[Exact.dsumTrunc9]] — never a rounding decimal cast on a derived
+    * value, recipe 3 of DETERMINISM.md), θ/x̄/z close through fixed IEEE
+    * dags the oracle mirrors, and the θ join-back is a per-key one-row
+    * broadcast. Degenerate keys (var(x) ≤ 0, an arm with n ≤ 1, zero
+    * pooled variance) yield NULL statistics rather than NaN.
+    *
+    * Scale shape: two conditional-aggregate passes over the unit frame
+    * (one for moments, one for adjusted moments) + a broadcast join —
+    * no shuffle wider than the per-key unit partitioning, nothing
+    * quadratic.
+    */
+  def cuped(
+      units: DataFrame,
+      keys: Seq[String],
+      xCol: String,
+      yCol: String,
+      arm: Column): DataFrame = {
+    val kCols = keys.map(col)
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    def t9(c: Column) = Exact.dsumTrunc9(c)
+    val withArm = units.withColumn("__arm", arm)
+    val ya = when(col("__arm"), y)
+    val yb = when(!col("__arm"), y)
+    val moms = withArm.groupBy(kCols: _*)
+      .agg(
+        count(lit(1)).as("n_units"),
+        count(ya).as("n_a"),
+        count(yb).as("n_b"),
+        t9(x).as("__sx"),
+        t9(y).as("__sy"),
+        t9(x * y).as("__sxy"),
+        t9(x * x).as("__sxx"),
+        t9(ya).as("__sya"),
+        t9(yb).as("__syb"),
+        t9(when(col("__arm"), y * y)).as("__sy2a"),
+        t9(when(!col("__arm"), y * y)).as("__sy2b"))
+    val nU = col("n_units").cast("double")
+    val thetaDen = nU * col("__sxx") - col("__sx") * col("__sx")
+    val fitted = moms
+      .withColumn("theta",
+        when(thetaDen > 0, (nU * col("__sxy") - col("__sx") * col("__sy")) / thetaDen))
+      .withColumn("__xbar", col("__sx") / nU)
+    // Welch z from (n, Σv, Σv²) triplets — one fixed dag, reused for raw & adjusted
+    def welch(na: Column, nb: Column, sa: Column, sb: Column, s2a: Column, s2b: Column) = {
+      val nad = na.cast("double"); val nbd = nb.cast("double")
+      val ma = sa / nad; val mb = sb / nbd
+      val va = (nad * s2a - sa * sa) / (nad * (nad - lit(1.0d)))
+      val vb = (nbd * s2b - sb * sb) / (nbd * (nbd - lit(1.0d)))
+      val se2 = va / nad + vb / nbd
+      when(na > 1 && nb > 1 && se2 > 0, (ma - mb) / sqrt(se2))
+    }
+    val zRaw = fitted.withColumn("z_raw",
+      welch(col("n_a"), col("n_b"), col("__sya"), col("__syb"), col("__sy2a"), col("__sy2b")))
+      .select(kCols ++ Seq(col("n_a"), col("n_b"), col("theta"), col("__xbar"), col("z_raw")): _*)
+    val adj = withArm.join(broadcast(zRaw), keys)
+      .withColumn("__yadj", y - col("theta") * (x - col("__xbar")))
+    val adjA = when(col("__arm"), col("__yadj"))
+    val adjB = when(!col("__arm"), col("__yadj"))
+    adj.groupBy(kCols: _*)
+      .agg(
+        max(col("n_a")).as("n_a"),
+        max(col("n_b")).as("n_b"),
+        max(col("theta")).as("theta"),
+        max(col("z_raw")).as("z_raw"),
+        t9(adjA).as("__saa"),
+        t9(adjB).as("__sab"),
+        t9(when(col("__arm"), col("__yadj") * col("__yadj"))).as("__s2a"),
+        t9(when(!col("__arm"), col("__yadj") * col("__yadj"))).as("__s2b"))
+      .withColumn("z_cuped",
+        welch(col("n_a"), col("n_b"), col("__saa"), col("__sab"), col("__s2a"), col("__s2b")))
+      .select(kCols ++ Seq(
+        col("n_a"), col("n_b"), col("theta"), col("z_raw"), col("z_cuped")): _*)
+  }
+
   /** Population stability index between a BASE and a CURRENT distribution
     * of `valueCol`, per key — the standard drift monitor a continuously
     * ingested pipeline runs between the historical snapshot and each new

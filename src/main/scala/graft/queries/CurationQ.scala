@@ -46,6 +46,22 @@ object CurationQ {
               WHERE (y_gt IS NULL OR y_gt < neg_chars) AND y_eq = neg_chars""")),
 
     QDef(
+      "dq_kanon",
+      // privacy-risk audit: k-anonymity over the (lang, source, 25-char
+      // length bin) quasi-identifier — cells with fewer than k=5 members
+      // are re-identification risks a release gate must report (the
+      // governance sibling of dq_validate's integrity checks). One
+      // map-side-combined groupBy; all-integer output
+      (s, d) =>
+        t(s, d, "documents")
+          .groupBy(col("lang"), col("source"), expr("n_chars DIV 25").as("len_bin"))
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") < 5),
+      Some("""SELECT lang, source, n_chars // 25 AS len_bin,
+                CAST(count(*) AS BIGINT) AS n
+              FROM documents GROUP BY 1, 2, 3 HAVING count(*) < 5""")),
+
+    QDef(
       "er_blocked_pairs",
       // entity resolution: candidate duplicate pairs from 16-char-prefix
       // blocking, scored by levenshtein over the 40-char title prefix and

@@ -578,6 +578,76 @@ object EventsQ {
       }),
 
     QDef(
+      "m20_cuped",
+      // variance-reduced experimentation: CUPED over the cutoff split —
+      // covariate x = each user's PRE-period mean value, metric y = the
+      // POST-period mean, arms by user parity; θ = cov/var pooled, and the
+      // report carries both the plain Welch z and the adjusted z so the
+      // variance reduction is the visible delta (Stats.cuped scaladoc:
+      // derived-double moments all through tie-free trunc-9 sums)
+      (s, d) => {
+        val ev = events(s, d).select("event_type", "user_id", "ts_us", "value")
+        def side(pred: org.apache.spark.sql.Column, out: String) =
+          ev.filter(pred && col("value").isNotNull)
+            .groupBy("event_type", "user_id")
+            .agg(Exact.dmean(col("value")).as(out))
+        val units = side(col("ts_us") < cutoffUs, "x")
+          .join(side(col("ts_us") >= cutoffUs, "y"), Seq("event_type", "user_id"))
+        Stats.cuped(units, Seq("event_type"), "x", "y",
+          pmod(col("user_id"), lit(2L)) === 0)
+      },
+      Some {
+        val t9 = (x: String) => Exact.sqlDsumTrunc9(x)
+        def welch(na: String, nb: String, sa: String, sb: String, s2a: String, s2b: String) = {
+          val nad = s"CAST($na AS DOUBLE)"; val nbd = s"CAST($nb AS DOUBLE)"
+          val ma = s"($sa / $nad)"; val mb = s"($sb / $nbd)"
+          val va = s"(($nad * $s2a - $sa * $sa) / ($nad * ($nad - 1.0)))"
+          val vb = s"(($nbd * $s2b - $sb * $sb) / ($nbd * ($nbd - 1.0)))"
+          val se2 = s"($va / $nad + $vb / $nbd)"
+          s"CASE WHEN $na > 1 AND $nb > 1 AND $se2 > 0 THEN ($ma - $mb) / sqrt($se2) END"
+        }
+        val nud = "CAST(n_units AS DOUBLE)"
+        s"""WITH ev AS ($evSql),
+            px AS (SELECT event_type, user_id, ${Exact.sqlDmean("value")} AS x
+                   FROM ev WHERE ts_us < $cutoffUs AND value IS NOT NULL GROUP BY 1, 2),
+            py AS (SELECT event_type, user_id, ${Exact.sqlDmean("value")} AS y
+                   FROM ev WHERE ts_us >= $cutoffUs AND value IS NOT NULL GROUP BY 1, 2),
+            u AS (SELECT px.event_type, px.user_id, px.x, py.y,
+                    (px.user_id % 2 = 0) AS arm
+                  FROM px JOIN py ON py.event_type = px.event_type
+                    AND py.user_id = px.user_id),
+            a AS (SELECT event_type,
+                    CAST(count(*) AS BIGINT) AS n_units,
+                    CAST(count(CASE WHEN arm THEN y END) AS BIGINT) AS n_a,
+                    CAST(count(CASE WHEN NOT arm THEN y END) AS BIGINT) AS n_b,
+                    ${t9("x")} AS sx, ${t9("y")} AS sy,
+                    ${t9("x * y")} AS sxy, ${t9("x * x")} AS sxx,
+                    ${t9("CASE WHEN arm THEN y END")} AS sya,
+                    ${t9("CASE WHEN NOT arm THEN y END")} AS syb,
+                    ${t9("CASE WHEN arm THEN y * y END")} AS sy2a,
+                    ${t9("CASE WHEN NOT arm THEN y * y END")} AS sy2b
+                  FROM u GROUP BY 1),
+            t AS (SELECT event_type, n_a, n_b,
+                    CASE WHEN $nud * sxx - sx * sx > 0
+                      THEN ($nud * sxy - sx * sy) / ($nud * sxx - sx * sx) END AS theta,
+                    sx / $nud AS xbar,
+                    ${welch("n_a", "n_b", "sya", "syb", "sy2a", "sy2b")} AS z_raw
+                  FROM a),
+            adj AS (SELECT u.event_type, u.arm,
+                      u.y - t.theta * (u.x - t.xbar) AS yadj
+                    FROM u JOIN t USING (event_type)),
+            b AS (SELECT event_type,
+                    ${t9("CASE WHEN arm THEN yadj END")} AS saa,
+                    ${t9("CASE WHEN NOT arm THEN yadj END")} AS sab,
+                    ${t9("CASE WHEN arm THEN yadj * yadj END")} AS s2a,
+                    ${t9("CASE WHEN NOT arm THEN yadj * yadj END")} AS s2b
+                  FROM adj GROUP BY 1)
+            SELECT t.event_type, t.n_a, t.n_b, t.theta, t.z_raw,
+              ${welch("t.n_a", "t.n_b", "b.saa", "b.sab", "b.s2a", "b.s2b")} AS z_cuped
+            FROM t JOIN b USING (event_type)"""
+      }),
+
+    QDef(
       "ivm_ohlc_merge",
       // incremental candlestick maintenance: per-(event_type, day) OHLC
       // state from the historical side and the new batch, merged and

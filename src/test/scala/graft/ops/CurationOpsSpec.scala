@@ -194,6 +194,30 @@ class CurationOpsSpec extends SparkSpec {
     assert(got("u")._6.isEmpty)
   }
 
+  test("cuped: closed-form theta on perfect correlation; adjusted z gains power on noisy") {
+    // y = 2x exactly -> theta = 2 and the adjusted metric is constant:
+    // zero pooled variance, so z_cuped is the guarded NULL
+    val perfect = (0 until 40).map(i => ("k", i.toLong, (i % 7 + 1).toDouble, 2.0 * (i % 7 + 1)))
+      .toDF("k", "uid", "x", "y")
+    val p = Stats.cuped(perfect, Seq("k"), "x", "y", pmod(col("uid"), lit(2L)) === 0)
+      .select("theta", "z_cuped").as[(Double, Option[Double])].head()
+    assert(p._1 == 2.0 && p._2.isEmpty)
+
+    // y = x + deterministic noise + a lift on arm A: the covariate explains
+    // most variance, so the adjusted z must strictly dominate the raw z
+    val rng = new Random(5)
+    val noisy = (0 until 400).map { i =>
+      val x = rng.nextGaussian() * 10 + 50
+      val lift = if (i % 2 == 0) 0.8 else 0.0
+      ("k", i.toLong, x, x + rng.nextGaussian() * 1.5 + lift)
+    }.toDF("k", "uid", "x", "y")
+    val n = Stats.cuped(noisy, Seq("k"), "x", "y", pmod(col("uid"), lit(2L)) === 0)
+      .select("z_raw", "z_cuped").as[(Double, Double)].head()
+    assert(math.abs(n._2) > math.abs(n._1),
+      s"CUPED did not reduce variance: z_raw=${n._1} z_cuped=${n._2}")
+    assert(math.abs(n._2) > 2.0, s"planted lift not detected: z_cuped=${n._2}")
+  }
+
   test("ohlc state is a monoid: merged batch partials equal the from-scratch aggregate") {
     val rng = new Random(31)
     val rows = (0 until 600).map { i =>
