@@ -62,6 +62,66 @@ object CurationQ {
               FROM documents GROUP BY 1, 2, 3 HAVING count(*) < 5""")),
 
     QDef(
+      "m21_chi2",
+      // categorical-association audit: Pearson chi-squared independence
+      // test of lang × source (is the language mix uniform across
+      // sources, or does some source skew?) plus Cramer's V — the effect
+      // size that stays comparable across corpus sizes. Observed counts
+      // are integers off one bounded groupBy (|lang|x|source| cells);
+      // expected = row*col/n and each (o-e)^2/e term is a fixed IEEE dag;
+      // the term sum goes through tie-free trunc-9 fixed point; sqrt is
+      // correctly rounded in both engines
+      (s, d) => {
+        val cells = t(s, d, "documents")
+          .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+        val rows = cells.groupBy("lang").agg(sum("o").as("r"))
+        val cols = cells.groupBy("source").agg(sum("o").as("c"))
+        val n = cells.agg(
+          sum("o").as("n"),
+          countDistinct("lang").as("nr"),
+          countDistinct("source").as("nc"))
+        val e = col("r").cast("double") * col("c").cast("double") / col("n").cast("double")
+        val term = (col("o").cast("double") - e) * (col("o").cast("double") - e) / e
+        cells
+          .join(broadcast(rows), "lang")
+          .join(broadcast(cols), "source")
+          .crossJoin(broadcast(n))
+          .withColumn("__term", term)
+          .groupBy()
+          .agg(
+            max(col("n")).as("n"),
+            ((max(col("nr")) - 1) * (max(col("nc")) - 1)).as("dof"),
+            Exact.dsumTrunc9(col("__term")).as("chi2"),
+            max(col("nr")).as("__nr"), max(col("nc")).as("__nc"))
+          .withColumn("cramers_v",
+            sqrt(col("chi2") / (col("n").cast("double") *
+              (least(col("__nr"), col("__nc")) - 1).cast("double"))))
+          .select("n", "dof", "chi2", "cramers_v")
+      },
+      Some {
+        val e = "(CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))"
+        val o = "CAST(o AS DOUBLE)"
+        s"""WITH cells AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+                           FROM documents GROUP BY 1, 2),
+            rows_ AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+            cols_ AS (SELECT source, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+            tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                      CAST(count(DISTINCT lang) AS BIGINT) AS nr,
+                      CAST(count(DISTINCT source) AS BIGINT) AS nc
+                    FROM cells),
+            t AS (SELECT tot.n, tot.nr, tot.nc,
+                    ($o - $e) * ($o - $e) / $e AS term
+                  FROM cells JOIN rows_ USING (lang) JOIN cols_ USING (source), tot),
+            g AS (SELECT max(n) AS n, (max(nr) - 1) * (max(nc) - 1) AS dof,
+                    ${Exact.sqlDsumTrunc9("term")} AS chi2,
+                    max(nr) AS nr, max(nc) AS nc
+                  FROM t)
+            SELECT n, dof, chi2,
+              sqrt(chi2 / (CAST(n AS DOUBLE) * CAST(least(nr, nc) - 1 AS DOUBLE))) AS cramers_v
+            FROM g"""
+      }),
+
+    QDef(
       "er_blocked_pairs",
       // entity resolution: candidate duplicate pairs from 16-char-prefix
       // blocking, scored by levenshtein over the 40-char title prefix and
