@@ -557,6 +557,46 @@ object TextQ {
               FROM f""")),
 
     QDef(
+      "mm5_phash_groups",
+      // perceptual-hash dedup for the multimodal leg: a dHash-style
+      // GRADIENT hash over the genuinely-decoded BMP feature vector —
+      // bit i = hist[i] > hist[i+1], 15 bits packed into one BIGINT by an
+      // order-independent integer sum — buckets payloads whose decoded
+      // content has the same intensity SHAPE (robust to payload-length
+      // scale, which shifts all bins together; exact-byte dedup d1 would
+      // miss re-encoded/padded copies). Each doc reports its bucket, the
+      // bucket population and the canonical (min-id) member — the d8
+      // keep-policy composition point. Bucket table bounded at 2^15
+      // regardless of corpus size
+      (s, d) => {
+        val enc = Multimodal.encodeBmpPayload(
+          t(s, d, "documents").select(col("doc_id"), col("text")), "doc_id", "text")
+        val el = (i: Int) => element_at(col("features"), i + 1)
+        val phash = (0 until 15)
+          .map(i => when(el(i) > el(i + 1), lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _)
+        val hashed = Multimodal.decodeFeatures(enc, "doc_id")
+          .select(col("doc_id"), phash.as("phash"))
+        val grp = hashed.groupBy("phash")
+          .agg(count(lit(1)).as("n_bucket"), min("doc_id").as("canonical_id"))
+        hashed.join(grp, "phash")
+          .select("doc_id", "phash", "n_bucket", "canonical_id")
+      },
+      Some(s"""WITH $mmHistSql,
+              ph AS (SELECT va.doc_id,
+                       CAST(coalesce(sum(CASE WHEN va.value > vb.value
+                         THEN CAST(1 AS BIGINT) << CAST(va.dim AS INTEGER)
+                         ELSE CAST(0 AS BIGINT) END), 0) AS BIGINT) AS phash
+                     FROM v va JOIN v vb
+                       ON vb.doc_id = va.doc_id AND vb.dim = va.dim + 1
+                     GROUP BY 1),
+              g AS (SELECT phash, CAST(count(*) AS BIGINT) AS n_bucket,
+                      min(doc_id) AS canonical_id
+                    FROM ph GROUP BY 1)
+              SELECT ph.doc_id, ph.phash, g.n_bucket, g.canonical_id
+              FROM ph JOIN g USING (phash)""")),
+
+    QDef(
       "m16_spearman",
       // do two quality filters agree on ORDER? Spearman rank correlation
       // between t2's quality score and t13's unigram log-prob — the
