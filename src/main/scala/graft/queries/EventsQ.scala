@@ -578,6 +578,61 @@ object EventsQ {
       }),
 
     QDef(
+      "dq_benford",
+      // fraud/data-quality audit: first-significant-digit distribution of
+      // value per event_type vs Benford's law, closed into a chi-squared
+      // distance — fabricated or truncated numeric feeds flag here before
+      // any model sees them. The first digit comes from the INTEGER
+      // scale-4 fixed point's decimal string (long→string renders
+      // identically in both engines — never stringify a raw double);
+      // expected shares are MathLn integer-ratio dags, the digit grid is
+      // scaffolded so absent digits still contribute their full expected
+      // term, and the 9-term sum goes through tie-free trunc-9 fixed point
+      (s, d) => {
+        val ev = events(s, d)
+          .filter(col("value").isNotNull && col("value") > 0)
+          .withColumn("v4", floor(col("value") * lit(1.0e4d)).cast("long"))
+          .filter(col("v4") > 0)
+          .withColumn("digit",
+            expr("CAST(substring(CAST(v4 AS STRING), 1, 1) AS BIGINT)"))
+        val o = ev.groupBy("event_type", "digit").agg(count(lit(1)).as("o"))
+        val n = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+        val grid = n.select(col("event_type"), col("n"),
+          explode(sequence(lit(1L), lit(9L))).as("digit"))
+        val ln10 = graft.functions.MathLn(lit(10.0d))
+        val e = col("n").cast("double") *
+          (graft.functions.MathLn(
+            (col("digit") + 1).cast("double") / col("digit").cast("double")) / ln10)
+        val od = coalesce(col("o"), lit(0L)).cast("double")
+        grid.join(o, Seq("event_type", "digit"), "left")
+          .withColumn("__term", (od - e) * (od - e) / e)
+          .groupBy("event_type")
+          .agg(max(col("n")).as("n"), Exact.dsumTrunc9(col("__term")).as("chi2"))
+      },
+      Some {
+        val e = "(CAST(g.n AS DOUBLE) * (ln(CAST(g.digit + 1 AS DOUBLE) / CAST(g.digit AS DOUBLE)) / ln(CAST(10.0 AS DOUBLE))))"
+        val od = "CAST(coalesce(o.o, 0) AS DOUBLE)"
+        s"""WITH ev AS ($evSql),
+            q AS (SELECT event_type,
+                    CAST(substr(CAST(CAST(floor(value * CAST(10000 AS DOUBLE)) AS BIGINT)
+                      AS VARCHAR), 1, 1) AS BIGINT) AS digit
+                  FROM ev
+                  WHERE value IS NOT NULL AND value > 0
+                    AND CAST(floor(value * CAST(10000 AS DOUBLE)) AS BIGINT) > 0),
+            o AS (SELECT event_type, digit, CAST(count(*) AS BIGINT) AS o
+                  FROM q GROUP BY 1, 2),
+            n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM q GROUP BY 1),
+            grid AS (SELECT n.event_type, n.n, CAST(dd.d AS BIGINT) AS digit
+                     FROM n, unnest(generate_series(1, 9)) AS dd(d)),
+            t AS (SELECT g.event_type, g.n,
+                    ($od - $e) * ($od - $e) / $e AS term
+                  FROM grid g LEFT JOIN o
+                    ON o.event_type = g.event_type AND o.digit = g.digit)
+            SELECT event_type, max(n) AS n, ${Exact.sqlDsumTrunc9("term")} AS chi2
+            FROM t GROUP BY 1"""
+      }),
+
+    QDef(
       "m20_cuped",
       // variance-reduced experimentation: CUPED over the cutoff split —
       // covariate x = each user's PRE-period mean value, metric y = the
