@@ -115,6 +115,21 @@ object Sources {
       .saveAsTable(name)
   }
 
+  /** Hive-style directory-partitioned parquet writer — the coarsest and
+    * most universal pruning layout: one `col=value/` directory per
+    * partition value, so a predicate on the partition column prunes at
+    * the CATALOG level (Spark's `PartitionFilters`, evaluated before any
+    * file is opened — stronger than row-group min/max stats, which still
+    * read footers). The canonical 100 TB layout for low-cardinality
+    * routing keys: date, language, source, tenant. Skew caveat: one
+    * directory per value means a hot value concentrates bytes — pair
+    * with [[writeSortedRanges]]/[[writeZOrdered]] INSIDE partitions for
+    * the fine-grained pruning, and never partition by a high-cardinality
+    * key (millions of directories kill every listing).
+    */
+  def writePartitioned(df: DataFrame, path: String, partCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
+
   /** Range-partitioned sorted parquet writer — the scan-pruning layout
     * (z-order-lite): rows are range-distributed on `sortCols` and sorted
     * within each output file, so every file covers a NARROW, disjoint key

@@ -71,6 +71,25 @@ class BucketingSpec extends SparkSpec {
     assert(sel.count() == 100)
   }
 
+  test("writePartitioned prunes at the catalog level: PartitionFilters, subset dirs read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hivepart").toString
+    val langs = Seq("en", "fr", "de", "es")
+    val df = (0L until 400L).map(i => (i, langs((i % 4).toInt), i * 3))
+      .toDF("doc_id", "lang", "payload")
+    Sources.writePartitioned(df, dir, Seq("lang"))
+    // hive layout: one lang=<value>/ directory per partition value
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == langs.map(l => s"lang=$l").sorted)
+    val sel = spark.read.parquet(dir).filter(col("lang") === "fr")
+    val plan = sel.queryExecution.executedPlan.toString
+    // the predicate must land in PartitionFilters (catalog-level pruning,
+    // before any file opens) — NOT in PushedFilters (row-group stats)
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"), s"not partition-pruned:\n$plan")
+    assert(sel.count() == 100)
+    // round trip preserves content (partition col rematerializes from the path)
+    assert(spark.read.parquet(dir).count() == 400)
+  }
+
   test("zValue interleaves bits (Morton order)") {
     val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (255L, 255L))
       .toDF("x", "y")

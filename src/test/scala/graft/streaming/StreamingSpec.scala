@@ -72,6 +72,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch + Cdc.applyCdc maintain a snapshot with deletes over a stream") {
+    // the continuously-maintained current-state table: each micro-batch of
+    // I/U/D ops applies onto the running snapshot; with time-partitioned
+    // batches the result equals one global latest-wins-with-deletes apply
+    // (later batches override earlier ones exactly as later rows do)
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Cdc
+    val input = MemoryStream[(Long, Long, String, String)]
+    val df = input.toDF().toDF("k", "ts", "v", "op")
+    var state: org.apache.spark.sql.DataFrame =
+      Seq((1L, 0L, "base1"), (2L, 0L, "base2")).toDF("k", "ts", "v")
+    val q = df.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        state = Cdc.applyCdc(state, batch, Seq("k"), Seq(col("ts"))).localCheckpoint(true)
+      }
+      .start()
+    try {
+      val log = Seq(
+        (1L, 1L, "x", "U"), (3L, 2L, "c", "I"), // batch 1
+        (2L, 3L, "gone", "D"), (3L, 4L, "c2", "U"), // batch 2
+        (2L, 5L, "back", "I"), (1L, 6L, "x", "D") // batch 3
+      )
+      log.grouped(2).foreach { chunk => input.addData(chunk); q.processAllAvailable() }
+      val maintained = state.select("k", "ts", "v")
+        .as[(Long, Long, String)].collect().toSet
+      // global apply of the same log in one shot
+      val direct = Cdc.applyCdc(
+        Seq((1L, 0L, "base1"), (2L, 0L, "base2")).toDF("k", "ts", "v"),
+        log.toDF("k", "ts", "v", "op"), Seq("k"), Seq(col("ts")))
+        .as[(Long, Long, String)].collect().toSet
+      assert(maintained == direct)
+      assert(maintained == Set((2L, 5L, "back"), (3L, 4L, "c2")))
+    } finally q.stop()
+  }
+
   test("foreachBatch + Quality.scanCounts maintain a constraint monitor over a stream") {
     // continuous data-quality monitoring: each micro-batch contributes its
     // one-row integer violation counts; elementwise addition maintains the
