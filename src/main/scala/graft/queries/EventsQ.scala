@@ -773,6 +773,36 @@ object EventsQ {
                FROM c""")),
 
     QDef(
+      "w26_top_paths",
+      // sequential pattern mining, the product-analytics "common paths"
+      // readout (Sankey feed): every consecutive 3-step event-type path
+      // per user stream, counted globally, top-10 with a path tiebreak —
+      // w23's transition matrix generalized one order up, where loops and
+      // funnels become visible as strings. Two lags share one user window;
+      // the path table is bounded at |event_type|³; top-k plans as
+      // TakeOrderedAndProject (no global sort)
+      (s, d) => {
+        val ev = events(s, d).select("user_id", "ts_us", "event_id", "event_type")
+        val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+        ev.withColumn("t1", lag("event_type", 2).over(w))
+          .withColumn("t2", lag("event_type", 1).over(w))
+          .filter(col("t1").isNotNull)
+          .select(concat_ws(">", col("t1"), col("t2"), col("event_type")).as("path"))
+          .groupBy("path").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("path")).limit(10)
+      },
+      Some(s"""WITH ev AS ($evSql),
+               t AS (SELECT user_id, event_type,
+                       lag(event_type, 2) OVER w AS t1,
+                       lag(event_type, 1) OVER w AS t2
+                     FROM ev
+                     WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+               p AS (SELECT t1 || '>' || t2 || '>' || event_type AS path
+                     FROM t WHERE t1 IS NOT NULL),
+               c AS (SELECT path, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1)
+               SELECT path, n FROM c ORDER BY n DESC, path LIMIT 10""")),
+
+    QDef(
       "w18_cohort_retention",
       // cohort retention: users grouped by first-activity day; cell
       // (cohort_day, offset_days) counts distinct users still active that
