@@ -773,6 +773,124 @@ object EventsQ {
                FROM c""")),
 
     QDef(
+      "w27_rfm",
+      // RFM customer segmentation: per user, Recency (days from the
+      // fixed post-window anchor to the last event), Frequency (30-min
+      // gap-session count) and Monetary (exact-decimal value sum), each
+      // scored into quintiles by comparison against the corpus's exact
+      // 20/40/60/80% quantile THRESHOLDS — not a global ntile, which
+      // would rank every user through one window task; the thresholds
+      // come from the two-phase exactQuantiles over the (sub-linear)
+      // user-grain frame and broadcast back, so scoring is a per-row
+      // comparison chain. 5 = best on every axis (recent/frequent/big);
+      // rfm_code packs the three digits
+      (s, d) => {
+        val anchorUs = 1706745600000000L // 2024-02-01T00:00Z, past the data window
+        val sess = Segments.gapSessions(
+          events(s, d), Seq("user_id"), "ts_us", 30L * 60L * 1000000L,
+          order = Seq(col("ts_us"), col("event_id")))
+        val users = sess.groupBy("user_id")
+          .agg(
+            max("ts_us").as("last_ts"),
+            countDistinct("session_idx").as("n_sessions"),
+            Exact.dsum(col("value")).as("monetary"))
+          .withColumn("recency_days", expr(s"($anchorUs - last_ts) DIV $usPerDay"))
+          // quantile/scoring inputs pre-cast to double so the interpolation
+          // and comparisons run in ONE type in both engines
+          .withColumn("__rd", col("recency_days").cast("double"))
+          .withColumn("__fd", col("n_sessions").cast("double"))
+          .withColumn("__g", lit(0))
+        val qs = Seq(0.2, 0.4, 0.6, 0.8)
+        def thresholds(metric: String, pfx: String) = {
+          val piv = qs.map(q =>
+            max(when(col("q") === q, col("q_value"))).as(s"$pfx${(q * 10).toInt}"))
+          Stats.exactQuantiles(users, Seq("__g"), metric, qs)
+            .groupBy("__g").agg(piv.head, piv.tail: _*)
+        }
+        val th = thresholds("__rd", "r")
+          .join(thresholds("__fd", "f"), "__g")
+          .join(thresholds("monetary", "m"), "__g")
+        def scoreUp(m: org.apache.spark.sql.Column, pfx: String) = qs.map(q =>
+          when(m > col(s"$pfx${(q * 10).toInt}"), 1L).otherwise(0L))
+          .foldLeft(lit(1L))(_ + _)
+        def scoreDown(m: org.apache.spark.sql.Column, pfx: String) = qs.map(q =>
+          when(m < col(s"$pfx${(q * 10).toInt}"), 1L).otherwise(0L))
+          .foldLeft(lit(1L))(_ + _)
+        users.join(broadcast(th), "__g")
+          .withColumn("r_score", scoreDown(col("recency_days").cast("double"), "r"))
+          .withColumn("f_score", scoreUp(col("n_sessions").cast("double"), "f"))
+          .withColumn("m_score", scoreUp(col("monetary"), "m"))
+          .withColumn("rfm_code",
+            col("r_score") * 100L + col("f_score") * 10L + col("m_score"))
+          .select("user_id", "recency_days", "n_sessions", "monetary",
+            "r_score", "f_score", "m_score", "rfm_code")
+      },
+      Some {
+        val anchorUs = 1706745600000000L
+        def qcte(metric: String, pfx: String) =
+          s"""r_$pfx AS (SELECT $metric AS value,
+                row_number() OVER (ORDER BY $metric) AS rn,
+                count(*) OVER () AS n
+              FROM u2),
+              p_$pfx AS (SELECT value, rn,
+                CAST(1.0 AS DOUBLE) + CAST(n - 1 AS DOUBLE) * qq.q AS pos, qq.q
+              FROM r_$pfx, (SELECT CAST(q AS DOUBLE) AS q
+                FROM (VALUES (0.2), (0.4), (0.6), (0.8)) t(q)) qq),
+              q_$pfx AS (SELECT q,
+                min(CASE WHEN rn = CAST(floor(pos) AS BIGINT) THEN value END)
+                + (min(CASE WHEN rn = CAST(ceil(pos) AS BIGINT) THEN value END)
+                   - min(CASE WHEN rn = CAST(floor(pos) AS BIGINT) THEN value END))
+                  * min(pos - floor(pos)) AS q_value
+              FROM p_$pfx
+              WHERE rn = CAST(floor(pos) AS BIGINT) OR rn = CAST(ceil(pos) AS BIGINT)
+              GROUP BY 1),
+              t_$pfx AS (SELECT
+                max(CASE WHEN q = 0.2 THEN q_value END) AS ${pfx}2,
+                max(CASE WHEN q = 0.4 THEN q_value END) AS ${pfx}4,
+                max(CASE WHEN q = 0.6 THEN q_value END) AS ${pfx}6,
+                max(CASE WHEN q = 0.8 THEN q_value END) AS ${pfx}8
+              FROM q_$pfx)"""
+        def up(m: String, pfx: String) =
+          s"""(CAST(1 AS BIGINT)
+              + (CASE WHEN $m > ${pfx}2 THEN 1 ELSE 0 END)
+              + (CASE WHEN $m > ${pfx}4 THEN 1 ELSE 0 END)
+              + (CASE WHEN $m > ${pfx}6 THEN 1 ELSE 0 END)
+              + (CASE WHEN $m > ${pfx}8 THEN 1 ELSE 0 END))"""
+        def down(m: String, pfx: String) =
+          s"""(CAST(1 AS BIGINT)
+              + (CASE WHEN $m < ${pfx}2 THEN 1 ELSE 0 END)
+              + (CASE WHEN $m < ${pfx}4 THEN 1 ELSE 0 END)
+              + (CASE WHEN $m < ${pfx}6 THEN 1 ELSE 0 END)
+              + (CASE WHEN $m < ${pfx}8 THEN 1 ELSE 0 END))"""
+        s"""WITH ev AS ($evSql),
+            b AS (SELECT user_id, event_id, ts_us, value,
+                    CASE WHEN lag(ts_us) OVER w IS NULL
+                           OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS chg
+                  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+            sx AS (SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id
+                     ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+                     AS session_idx
+                   FROM b),
+            u AS (SELECT user_id, max(ts_us) AS last_ts,
+                    CAST(count(DISTINCT session_idx) AS BIGINT) AS n_sessions,
+                    ${Exact.sqlDsum("value")} AS monetary
+                  FROM sx GROUP BY 1),
+            u2 AS (SELECT user_id, ($anchorUs - last_ts) // $usPerDay AS recency_days,
+                     n_sessions, monetary FROM u),
+            ${qcte("CAST(recency_days AS DOUBLE)", "r")},
+            ${qcte("CAST(n_sessions AS DOUBLE)", "f")},
+            ${qcte("monetary", "m")}
+            SELECT u2.user_id, u2.recency_days, u2.n_sessions, u2.monetary,
+              ${down("CAST(u2.recency_days AS DOUBLE)", "r")} AS r_score,
+              ${up("CAST(u2.n_sessions AS DOUBLE)", "f")} AS f_score,
+              ${up("u2.monetary", "m")} AS m_score,
+              ${down("CAST(u2.recency_days AS DOUBLE)", "r")} * 100
+                + ${up("CAST(u2.n_sessions AS DOUBLE)", "f")} * 10
+                + ${up("u2.monetary", "m")} AS rfm_code
+            FROM u2, t_r, t_f, t_m"""
+      }),
+
+    QDef(
       "w26_top_paths",
       // sequential pattern mining, the product-analytics "common paths"
       // readout (Sankey feed): every consecutive 3-step event-type path
