@@ -633,6 +633,81 @@ object EventsQ {
       }),
 
     QDef(
+      "m22_did",
+      // difference-in-differences: the 2×2 (arm × pre/post-cutoff) design
+      // — did = (ȳ_A,post − ȳ_A,pre) − (ȳ_B,post − ȳ_B,pre) per
+      // event_type, with an event-level Welch-style z from the four group
+      // variances (the parallel-trends causal readout; CUPED adjusts a
+      // randomized experiment, DiD handles the arm-differs-at-baseline
+      // case). ONE conditional-aggregate pass builds all four groups'
+      // exact moments — raw-column dsum / tie-free trunc-4 squares —
+      // and the estimate/SE close through a fixed IEEE dag. Degenerate
+      // groups (any n ≤ 1 or zero pooled variance) give NULL z
+      (s, d) => {
+        val ev = events(s, d)
+          .filter(col("value").isNotNull)
+          .withColumn("__arm", pmod(col("user_id"), lit(2L)) === 0)
+          .withColumn("__post", col("ts_us") >= cutoffUs)
+        val v = col("value")
+        def grp(a: Boolean, p: Boolean) = col("__arm") === a && col("__post") === p
+        def cnt(a: Boolean, p: Boolean) = count(when(grp(a, p), v))
+        def s1(a: Boolean, p: Boolean) = Exact.dsum(when(grp(a, p), v))
+        def s2(a: Boolean, p: Boolean) = Exact.dsumTrunc4(when(grp(a, p), v * v))
+        val agg = ev.groupBy("event_type").agg(
+          cnt(true, false).as("n_a_pre"), cnt(true, true).as("n_a_post"),
+          cnt(false, false).as("n_b_pre"), cnt(false, true).as("n_b_post"),
+          s1(true, false).as("__s_a_pre"), s1(true, true).as("__s_a_post"),
+          s1(false, false).as("__s_b_pre"), s1(false, true).as("__s_b_post"),
+          s2(true, false).as("__q_a_pre"), s2(true, true).as("__q_a_post"),
+          s2(false, false).as("__q_b_pre"), s2(false, true).as("__q_b_post"))
+        def m(g: String) = col(s"__s_$g") / col(s"n_$g").cast("double")
+        def va(g: String) = {
+          val n = col(s"n_$g").cast("double")
+          (n * col(s"__q_$g") - col(s"__s_$g") * col(s"__s_$g")) / (n * (n - lit(1.0d)))
+        }
+        def vn(g: String) = va(g) / col(s"n_$g").cast("double")
+        val did = (m("a_post") - m("a_pre")) - (m("b_post") - m("b_pre"))
+        val se2 = vn("a_post") + vn("a_pre") + vn("b_post") + vn("b_pre")
+        val allBig = Seq("a_pre", "a_post", "b_pre", "b_post")
+          .map(g => col(s"n_$g") > 1).reduce(_ && _)
+        agg
+          .withColumn("did", did)
+          .withColumn("z", when(allBig && se2 > 0, did / sqrt(se2)))
+          .select("event_type", "n_a_pre", "n_a_post", "n_b_pre", "n_b_post", "did", "z")
+      },
+      Some {
+        def cse(a: Boolean, p: Boolean) =
+          (if (a) "user_id % 2 = 0" else "user_id % 2 <> 0") + " AND " +
+            (if (p) s"ts_us >= $cutoffUs" else s"ts_us < $cutoffUs")
+        def cnt(g: String, a: Boolean, p: Boolean) =
+          s"CAST(count(CASE WHEN ${cse(a, p)} THEN value END) AS BIGINT) AS n_$g"
+        def s1(g: String, a: Boolean, p: Boolean) =
+          s"${Exact.sqlDsum(s"CASE WHEN ${cse(a, p)} THEN value END")} AS s_$g"
+        def s2(g: String, a: Boolean, p: Boolean) =
+          s"${Exact.sqlDsumTrunc4(s"CASE WHEN ${cse(a, p)} THEN value * value END")} AS q_$g"
+        def m(g: String) = s"(s_$g / CAST(n_$g AS DOUBLE))"
+        def vn(g: String) = {
+          val n = s"CAST(n_$g AS DOUBLE)"
+          s"((($n * q_$g - s_$g * s_$g) / ($n * ($n - 1.0))) / $n)"
+        }
+        val did = s"((${m("a_post")} - ${m("a_pre")}) - (${m("b_post")} - ${m("b_pre")}))"
+        val se2 = s"(${vn("a_post")} + ${vn("a_pre")} + ${vn("b_post")} + ${vn("b_pre")})"
+        val groups = Seq(("a_pre", true, false), ("a_post", true, true),
+          ("b_pre", false, false), ("b_post", false, true))
+        val aggCols = (groups.map { case (g, a, p) => cnt(g, a, p) } ++
+          groups.map { case (g, a, p) => s1(g, a, p) } ++
+          groups.map { case (g, a, p) => s2(g, a, p) }).mkString(",\n  ")
+        val allBig = groups.map { case (g, _, _) => s"n_$g > 1" }.mkString(" AND ")
+        s"""WITH ev AS ($evSql),
+            g AS (SELECT event_type, $aggCols
+                  FROM ev WHERE value IS NOT NULL GROUP BY 1)
+            SELECT event_type, n_a_pre, n_a_post, n_b_pre, n_b_post,
+              $did AS did,
+              CASE WHEN $allBig AND $se2 > 0 THEN $did / sqrt($se2) END AS z
+            FROM g"""
+      }),
+
+    QDef(
       "m20_cuped",
       // variance-reduced experimentation: CUPED over the cutoff split —
       // covariate x = each user's PRE-period mean value, metric y = the
