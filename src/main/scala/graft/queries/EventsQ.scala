@@ -4,13 +4,19 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops._
 
-/** Event-log pipeline queries over `events`: CDC latest-wins merge,
-  * ordered-step funnel matching, dyadic EWMA smoothing, and per-entity
-  * z-score outlier screening — the operational layer a continuously
-  * ingested 100 TB event store needs on top of the §2.4/2.5 analytics.
+/** Event-log pipeline queries over `events` — the operational layer a
+  * continuously ingested 100 TB event store needs on top of the §2.4/2.5
+  * analytics: CDC maintenance (latest-wins merge, I/U/D apply, SCD2
+  * history), behavioral analytics (funnels, transition matrices, top
+  * paths, cohort retention, RFM segments, peak concurrency,
+  * inter-arrival quantiles, OHLC candles ± incremental maintenance),
+  * monitoring (EWMA, z/MAD outliers, PSI drift, CUSUM changepoints,
+  * seasonal anomalies, Benford audits) and experimentation (Welch A/B,
+  * CUPED, difference-in-differences).
   *
-  * All four shuffle only on `user_id` (the natural shard key); see each
-  * op's scaladoc for the scale shape.
+  * Event-grain work shuffles on `user_id` or `event_type` (the natural
+  * shard keys) and global ordered scans ride the chunked two-phase form;
+  * see each op's scaladoc for its scale shape.
   */
 object EventsQ {
   import Q._

@@ -666,6 +666,113 @@ object SimilarityQ {
             FROM per""")),
 
     QDef(
+      "sim_mmr_rerank",
+      // diversity-aware reranking — Maximal Marginal Relevance (the
+      // search/RAG staple): from each query's exact top-10, greedily pick
+      // 3 results maximizing λ·relevance − (1−λ)·max-similarity-to-
+      // already-picked (λ = 0.7), so near-duplicate hits can't crowd the
+      // result list the way plain top-k lets them. The greedy loop is
+      // UNROLLED (pick-1 = top relevance, then two scored rounds) exactly
+      // like the BPE fit's rounds, so the oracle replays it in CTEs; the
+      // candidate-pair sim matrix is bounded at 10×10 per query, scores
+      // are fixed λ-dags over hash-green cosines, argmaxes carry vec_id
+      // tiebreaks, and `greatest` sees no NULLs (every pair sim exists)
+      (s, d) => {
+        val lam = 0.7d; val oneMinusLam = 0.3d // literals, NEVER 1-lam: IEEE 1-0.7 = 0.30000000000000004
+        val cand = Caches.trackPersist(exactTopk(s, d, k = 10))
+        val e = withNorm(t(s, d, "embeddings"))
+        val ca = cand.select(col("query_id"), col("vec_id").as("a_id"))
+          .join(e.select(col("vec_id").as("a_id"), col("embedding").as("ae"),
+            col("n2").as("an2")), "a_id")
+        val cb = cand.select(col("query_id"), col("vec_id").as("b_id"))
+          .join(e.select(col("vec_id").as("b_id"), col("embedding").as("be"),
+            col("n2").as("bn2")), "b_id")
+        val sims = Caches.trackPersist(
+          ca.join(cb, "query_id").filter(col("a_id") =!= col("b_id"))
+            .withColumn("sim",
+              Vectors.cosineFrom(Vectors.dotExact(col("ae"), col("be")),
+                col("an2"), col("bn2")))
+            .select("query_id", "a_id", "b_id", "sim"))
+        val base = cand.select("query_id", "vec_id", "cos", "rnk")
+        val p1 = base.filter(col("rnk") === 1)
+          .select(col("query_id"), col("vec_id"),
+            (lit(lam) * col("cos")).as("mmr_score"))
+        def argmax(scored: org.apache.spark.sql.DataFrame) = scored
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))))
+          .filter(col("__rn") === 1)
+          .select(col("query_id"), col("vec_id"), col("score").as("mmr_score"))
+        val r2 = base
+          .join(p1.select(col("query_id"), col("vec_id").as("p1_id")), "query_id")
+          .filter(col("vec_id") =!= col("p1_id"))
+          .join(sims.select(col("query_id"), col("a_id").as("vec_id"),
+            col("b_id").as("p1_id"), col("sim")), Seq("query_id", "vec_id", "p1_id"))
+          .withColumn("score", lit(lam) * col("cos") - lit(oneMinusLam) * col("sim"))
+        val p2 = argmax(r2)
+        val r3 = base
+          .join(p1.select(col("query_id"), col("vec_id").as("p1_id")), "query_id")
+          .join(p2.select(col("query_id"), col("vec_id").as("p2_id")), "query_id")
+          .filter(col("vec_id") =!= col("p1_id") && col("vec_id") =!= col("p2_id"))
+          .join(sims.select(col("query_id"), col("a_id").as("vec_id"),
+            col("b_id").as("p1_id"), col("sim").as("s1")), Seq("query_id", "vec_id", "p1_id"))
+          .join(sims.select(col("query_id"), col("a_id").as("vec_id"),
+            col("b_id").as("p2_id"), col("sim").as("s2")), Seq("query_id", "vec_id", "p2_id"))
+          .withColumn("score",
+            lit(lam) * col("cos") - lit(oneMinusLam) * greatest(col("s1"), col("s2")))
+        val p3 = argmax(r3)
+        p1.withColumn("pick_idx", lit(1L))
+          .unionByName(p2.withColumn("pick_idx", lit(2L)))
+          .unionByName(p3.withColumn("pick_idx", lit(3L)))
+          .select("query_id", "pick_idx", "vec_id", "mmr_score")
+      },
+      Some(s"""WITH cand AS (${exactSqlK(10)}),
+            nn AS (SELECT vec_id,
+                CAST(sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,9))) AS DOUBLE) AS n2
+              FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY 1),
+            ps AS (SELECT a.query_id, a.vec_id AS a_id, b.vec_id AS b_id,
+                     ${Vectors.sqlDotExact("ea.embedding", "eb.embedding", "i.i")} AS dot
+                   FROM cand a JOIN cand b
+                     ON b.query_id = a.query_id AND b.vec_id <> a.vec_id
+                   JOIN embeddings ea ON ea.vec_id = a.vec_id
+                   JOIN embeddings eb ON eb.vec_id = b.vec_id,
+                   unnest(generate_series(1, 64)) AS i(i)
+                   GROUP BY 1, 2, 3),
+            sims AS (SELECT ps.query_id, ps.a_id, ps.b_id,
+                       ps.dot / nullif(sqrt(na.n2) * sqrt(nb.n2), CAST(0.0 AS DOUBLE)) AS sim
+                     FROM ps JOIN nn na ON na.vec_id = ps.a_id
+                          JOIN nn nb ON nb.vec_id = ps.b_id),
+            p1 AS (SELECT query_id, vec_id, CAST(0.7 AS DOUBLE) * cos AS mmr_score
+                   FROM cand WHERE rnk = 1),
+            r2 AS (SELECT c.query_id, c.vec_id,
+                     CAST(0.7 AS DOUBLE) * c.cos
+                       - CAST(0.3 AS DOUBLE) * s.sim AS score
+                   FROM cand c
+                   JOIN p1 ON p1.query_id = c.query_id AND c.vec_id <> p1.vec_id
+                   JOIN sims s ON s.query_id = c.query_id
+                     AND s.a_id = c.vec_id AND s.b_id = p1.vec_id),
+            p2 AS (SELECT query_id, vec_id, score AS mmr_score FROM (
+                     SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, vec_id) AS rn FROM r2) WHERE rn = 1),
+            r3 AS (SELECT c.query_id, c.vec_id,
+                     CAST(0.7 AS DOUBLE) * c.cos
+                       - CAST(0.3 AS DOUBLE) * greatest(s1.sim, s2.sim) AS score
+                   FROM cand c
+                   JOIN p1 ON p1.query_id = c.query_id AND c.vec_id <> p1.vec_id
+                   JOIN p2 ON p2.query_id = c.query_id AND c.vec_id <> p2.vec_id
+                   JOIN sims s1 ON s1.query_id = c.query_id
+                     AND s1.a_id = c.vec_id AND s1.b_id = p1.vec_id
+                   JOIN sims s2 ON s2.query_id = c.query_id
+                     AND s2.a_id = c.vec_id AND s2.b_id = p2.vec_id),
+            p3 AS (SELECT query_id, vec_id, score AS mmr_score FROM (
+                     SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, vec_id) AS rn FROM r3) WHERE rn = 1)
+            SELECT query_id, CAST(1 AS BIGINT) AS pick_idx, vec_id, mmr_score FROM p1
+            UNION ALL
+            SELECT query_id, CAST(2 AS BIGINT) AS pick_idx, vec_id, mmr_score FROM p2
+            UNION ALL
+            SELECT query_id, CAST(3 AS BIGINT) AS pick_idx, vec_id, mmr_score FROM p3""")),
+
+    QDef(
       "sim_matryoshka_recall",
       // storage-tiering audit for Matryoshka-style embeddings: recall@3 of
       // exact cosine over only the FIRST 16 of 64 dimensions vs the
