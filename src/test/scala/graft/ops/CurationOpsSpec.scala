@@ -240,6 +240,26 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("cusumChangepoint: location invariant under integer shift and positive scale") {
+    // integer inputs quantize exactly, so v -> m·v + c maps the deviation
+    // D -> m·D (the shift telescopes out of n·S_i − i·S_n): the argmax
+    // index cannot move and the stat scales by exactly m
+    val rng = new Random(83)
+    val vs0 = Seq.fill(60)(rng.nextInt(101) - 50)
+    def run(f: Int => Double) = {
+      val df = vs0.zipWithIndex.map { case (v, i) => ("k", i.toLong, f(v)) }.toDF("k", "i", "v")
+      Stats.cusumChangepoint(df, Seq("k"), Seq(col("i")), "v",
+        chunk = expr("i DIV 16"), carry = Seq("i"))
+        .select("i", "cp_idx", "cusum_stat").as[(Long, Long, Double)].head()
+    }
+    val base = run(v => v.toDouble)
+    for ((scale, shift) <- Seq((1, 13), (1, -20), (3, 0), (5, 7))) {
+      val moved = run(v => (scale * v + shift).toDouble)
+      assert(moved._1 == base._1 && moved._2 == base._2 && moved._3 == scale * base._3,
+        s"scale=$scale shift=$shift base=$base moved=$moved")
+    }
+  }
+
   test("cusumChangepoint is partition-invariant and NULL-excluding") {
     val rng = new Random(11)
     val base = (0 until 500).map(i =>
