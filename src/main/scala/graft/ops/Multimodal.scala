@@ -294,6 +294,30 @@ object Multimodal {
       }(encoder)
   }
 
+  /** Partition-local WAV decode to RAW samples: (id, payload) →
+    * (id, samples: array<int>) via the genuine RIFF chunk walk
+    * ([[decodeWavPcm16]]); payloads that fail validation decode to an
+    * empty array. The per-frame energy/VAD features run off this — the
+    * decoded TIMELINE, where [[decodeFeatures]] only keeps the global
+    * histogram.
+    */
+  def decodeSamples(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("samples", ArrayType(IntegerType, containsNull = false))))
+    val encoder = org.apache.spark.sql.Encoders.row(schema)
+    Spread.byKey(df.select(col(idCol).cast("long"), col("payload")), col(idCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val ss = decodeWavPcm16(if (bytes == null) Array.emptyByteArray else bytes)
+            .getOrElse(Array.emptyShortArray)
+          Row(id, ss.map(_.toInt))
+        }
+      }(encoder)
+  }
+
   /** Feature resize by mean-pooling: collapse each adjacent `factor`-sized
     * block of the `dims`-element feature vector into its mean — the
     * "resize" stage of an image/audio feature pipeline (downsampling a

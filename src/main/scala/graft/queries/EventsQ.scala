@@ -584,6 +584,49 @@ object EventsQ {
       }),
 
     QDef(
+      "dq_freshness",
+      // feed-health audit: per event_type, how stale is the stream
+      // (minutes from the last event to the fixed post-window anchor) and
+      // is the final day's volume in line with the feed's own daily
+      // average (ratio = n_last_day · span_days / n_total ≈ 1 for a
+      // steady feed; ≪ 1 flags a dying feed even before it goes silent).
+      // All integers off one groupBy + one closing division
+      (s, d) => {
+        val anchorUs = 1706745600000000L // 2024-02-01T00:00Z
+        events(s, d)
+          .groupBy("event_type")
+          .agg(
+            max("ts_us").as("last_ts_us"),
+            min("ts_us").as("__first_ts"),
+            count(lit(1)).as("n_total"),
+            sum(when(col("ts_us") >= anchorUs - usPerDay, 1L).otherwise(0L))
+              .as("n_last_day"))
+          .withColumn("staleness_min",
+            expr(s"($anchorUs - last_ts_us) DIV 60000000"))
+          .withColumn("span_days",
+            expr("(last_ts_us - __first_ts) DIV 86400000000 + 1"))
+          .withColumn("volume_ratio",
+            (col("n_last_day") * col("span_days")).cast("double")
+              / col("n_total").cast("double"))
+          .select("event_type", "last_ts_us", "staleness_min", "n_total",
+            "n_last_day", "span_days", "volume_ratio")
+      },
+      Some(s"""WITH ev AS ($evSql),
+               g AS (SELECT event_type, max(ts_us) AS last_ts_us,
+                       min(ts_us) AS first_ts,
+                       CAST(count(*) AS BIGINT) AS n_total,
+                       CAST(sum(CASE WHEN ts_us >= ${1706745600000000L - usPerDay}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_last_day
+                     FROM ev GROUP BY 1)
+               SELECT event_type, last_ts_us,
+                 (1706745600000000 - last_ts_us) // 60000000 AS staleness_min,
+                 n_total, n_last_day,
+                 (last_ts_us - first_ts) // 86400000000 + 1 AS span_days,
+                 CAST(n_last_day * ((last_ts_us - first_ts) // 86400000000 + 1) AS DOUBLE)
+                   / CAST(n_total AS DOUBLE) AS volume_ratio
+               FROM g""")),
+
+    QDef(
       "dq_benford",
       // fraud/data-quality audit: first-significant-digit distribution of
       // value per event_type vs Benford's law, closed into a chi-squared

@@ -557,6 +557,35 @@ object TextQ {
               FROM f""")),
 
     QDef(
+      "mm6_frame_rms",
+      // per-frame audio energy (the VAD / loudness-normalization
+      // primitive): the REAL WAV decode's sample timeline chopped into
+      // 128-sample frames, each reporting its RMS amplitude — silence
+      // detection, clipping screens and loudness curves all read this
+      // table. Integer s² sums are exact (|s| ≤ 32768 ⇒ frame sums ≪
+      // 2^53), one division + correctly-rounded sqrt close each frame;
+      // the known affine sample map lets DuckDB re-derive the timeline
+      (s, d) => {
+        val enc = Multimodal.encodeWavPayload(
+          t(s, d, "documents").select(col("doc_id"), col("text")), "doc_id", "text")
+        Multimodal.decodeSamples(enc, "doc_id")
+          .select(col("doc_id"), posexplode(col("samples")).as(Seq("idx", "s")))
+          .withColumn("frame_idx", expr("idx DIV 128").cast("long"))
+          .groupBy("doc_id", "frame_idx")
+          .agg(
+            count(lit(1)).as("n_samples"),
+            sqrt(sum(col("s").cast("long") * col("s").cast("long")).cast("double")
+              / count(lit(1)).cast("double")).as("rms"))
+      },
+      Some("""WITH docs AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+              smp AS (SELECT doc_id, CAST(i.i - 1 AS BIGINT) AS idx,
+                        CAST((ord(substr(text, CAST(i.i AS INTEGER), 1)) - 64) * 512 AS BIGINT) AS s
+                      FROM docs, unnest(generate_series(1, CAST(strlen(text) AS BIGINT))) AS i(i))
+              SELECT doc_id, idx // 128 AS frame_idx, CAST(count(*) AS BIGINT) AS n_samples,
+                sqrt(CAST(sum(s * s) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS rms
+              FROM smp GROUP BY 1, 2""")),
+
+    QDef(
       "mm5_phash_groups",
       // perceptual-hash dedup for the multimodal leg: a dHash-style
       // GRADIENT hash over the genuinely-decoded BMP feature vector —
