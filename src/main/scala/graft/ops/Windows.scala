@@ -40,6 +40,14 @@ object Windows {
     * `cntOut`/`totOut` (per-key row count and delta total — free off the
     * chunk table, broadcast back). Rows where `deltaCol` is NULL must be
     * filtered by the caller first.
+    *
+    * Key-cardinality assumption: the per-key totals table (one row per
+    * key) is broadcast back, so `keys` must be a SUB-LINEAR, broadcastable
+    * set — type/category/tenant-grade keys (the shape this op exists for:
+    * few keys × very long series), not per-user/per-doc keys. With
+    * linear-cardinality keys the broadcast would blow the 8 GB limit —
+    * but then each key's series is short and a plain per-key window
+    * needs no chunked scan in the first place.
     */
   def chunkedScan(
       df: DataFrame,

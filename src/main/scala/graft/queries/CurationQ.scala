@@ -24,17 +24,22 @@ object CurationQ {
       // prune over the survivors) so no stage funnels the corpus through
       // one task; the oracle runs the direct single-window form —
       // identical by dominance transitivity (Pareto.skyline2d scaladoc)
+      // NULL-text guard (mmHistSql convention): Spark size() yields -1 on a
+      // NULL array where DuckDB length() yields NULL, and skyline2d needs
+      // non-null axes — coalesce to '' identically on both sides so a
+      // driver testdata regen with NULL texts cannot diverge the hash
       (s, d) => {
         val docs = t(s, d, "documents").select(
           col("doc_id"),
           col("n_chars"),
-          size(array_distinct(split(trim(col("text")), " "))).cast("long").as("n_types"),
+          size(array_distinct(split(trim(coalesce(col("text"), lit(""))), " ")))
+            .cast("long").as("n_types"),
           (-col("n_chars")).as("neg_chars"))
         Pareto.skyline2d(docs, "n_types", "neg_chars", pmod(col("doc_id"), lit(32)))
           .select("doc_id", "n_chars", "n_types")
       },
       Some("""WITH p AS (SELECT doc_id, n_chars,
-                  CAST(length(list_distinct(string_split(trim(text), ' '))) AS BIGINT) AS n_types,
+                  CAST(length(list_distinct(string_split(trim(coalesce(text, '')), ' '))) AS BIGINT) AS n_types,
                   -n_chars AS neg_chars
                 FROM documents),
               w AS (SELECT doc_id, n_chars, n_types, neg_chars,
@@ -93,9 +98,14 @@ object CurationQ {
             ((max(col("nr")) - 1) * (max(col("nc")) - 1)).as("dof"),
             Exact.dsumTrunc9(col("__term")).as("chi2"),
             max(col("nr")).as("__nr"), max(col("nc")).as("__nc"))
+          // degenerate-table guard (repo convention — abWelchZ/cuped/dstddev
+          // yield NULL, never NaN, for undefined statistics): a single
+          // distinct lang or source makes least(nr,nc)-1 = 0 and chi2 = 0,
+          // i.e. sqrt(0/0) = NaN in both engines without the guard
           .withColumn("cramers_v",
-            sqrt(col("chi2") / (col("n").cast("double") *
-              (least(col("__nr"), col("__nc")) - 1).cast("double"))))
+            when(least(col("__nr"), col("__nc")) > 1,
+              sqrt(col("chi2") / (col("n").cast("double") *
+                (least(col("__nr"), col("__nc")) - 1).cast("double")))))
           .select("n", "dof", "chi2", "cramers_v")
       },
       Some {
@@ -117,7 +127,9 @@ object CurationQ {
                     max(nr) AS nr, max(nc) AS nc
                   FROM t)
             SELECT n, dof, chi2,
-              sqrt(chi2 / (CAST(n AS DOUBLE) * CAST(least(nr, nc) - 1 AS DOUBLE))) AS cramers_v
+              CASE WHEN least(nr, nc) > 1
+                THEN sqrt(chi2 / (CAST(n AS DOUBLE) * CAST(least(nr, nc) - 1 AS DOUBLE)))
+                ELSE NULL END AS cramers_v
             FROM g"""
       }),
 

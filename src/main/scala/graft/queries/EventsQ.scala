@@ -326,6 +326,40 @@ object EventsQ {
       None),
 
     QDef(
+      "ivm_batch_replay",
+      // the foreachBatch streaming-IVM loop, registered as a batch REPLAY
+      // and oracle-checked end-to-end: the event log is split into K=6
+      // deterministic ingest batches, each contributes its (count, exact
+      // decimal sum) partial state, and the state folds forward ONE MERGE
+      // PER BATCH — exactly the accumulation the foreachBatch callback
+      // runs per micro-batch (`StreamingSpec` drives the identical fold
+      // through a live MemoryStream; this query drives it over the
+      // driver's parquet and lets the oracle hash-check the result).
+      // Because (count, sum) is a commutative monoid, the 6-fold replay
+      // is BIT-identical to the oracle's one-shot aggregation no matter
+      // how rows land in batches — here a day-index mod-6 split, the
+      // adversarial (non-contiguous) batching that makes the invariance
+      // claim strongest. Per-(event_type, hour) means; Catalyst collapses
+      // the left-deep merge chain into one union + one groupBy, so the
+      // replay costs a single shuffle, same as the direct aggregate.
+      (s, d) => {
+        val ev = events(s, d)
+          .withColumn("bucket_us", Windows.tumbleMs(col("ts_us"), usPerHour))
+          .withColumn("__batch", pmod(expr(s"ts_us DIV $usPerDay"), lit(6L)))
+        val keys = Seq("event_type", "bucket_us")
+        val folded = (0 until 6)
+          .map(i => Incremental.partials(ev.filter(col("__batch") === i), keys, "value"))
+          .reduceLeft((state, p) => Incremental.mergePartials(state, p, keys))
+        Incremental.finalizeMean(folded)
+          .select("event_type", "bucket_us", "n", "mean_value")
+      },
+      Some(s"""WITH ev AS ($evSql)
+               SELECT event_type, ts_us - ts_us % $usPerHour AS bucket_us,
+                 CAST(count(*) AS BIGINT) AS n,
+                 ${Exact.sqlDmean("value")} AS mean_value
+               FROM ev GROUP BY 1, 2""")),
+
+    QDef(
       "p16_json_extract",
       // semi-structured payloads: parse the props JSON column with an
       // explicit schema (from_json — typed, codegen'd, PERMISSIVE nulls
