@@ -35,6 +35,19 @@ object SparkEntry {
     queries("w1_tumble_agg")(spark, "/root/testdata/sf0.001")
   }
 
+  /** Second flagship, on the `documents` table — mirrors [[entry]]'s role
+    * for the text side (cheap insurance against a driver smoke-check of a
+    * non-events table, the way round 7's regen hit events): per-document
+    * token/quality statistics (t1). Same self-set session confs as entry.
+    */
+  def entryDocs(spark: SparkSession): DataFrame = {
+    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Throwable => () }
+    try spark.conf.set("spark.sql.session.timeZone", "UTC")
+    catch { case _: Throwable => () }
+    queries("t1_token_stats")(spark, "/root/testdata/sf0.001")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
