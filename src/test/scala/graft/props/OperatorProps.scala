@@ -266,6 +266,30 @@ object OperatorProps extends Properties("graft.ops") {
       Prop(a == b && got == want)
     }
 
+  property("K-fold partials replay == one-shot aggregation, any K / any assignment") =
+    Prop.forAll(
+      Gen.choose(2, 5).flatMap(k =>
+        Gen.listOfN(40, for {
+          key <- Gen.oneOf("a", "b", "c")
+          v <- Gen.choose(-50.0, 50.0)
+          b <- Gen.choose(0, k - 1)
+        } yield (key, v, b)).map(rows => (k, rows)))) { case (k, rows) =>
+      // the ivm_batch_replay shape: fold one merge per batch, exactly as a
+      // foreachBatch callback accumulates state — the (count, exact decimal
+      // sum) monoid makes the fold BIT-identical to the one-shot aggregate
+      // for every batch count and every row-to-batch assignment
+      val df = rows.toDF("k", "v", "b")
+      val oneShot = Incremental.finalizeMean(
+        Incremental.partials(df, Seq("k"), "v"))
+        .as[(String, Long, Double)].collect().toSet
+      val folded = Incremental.finalizeMean(
+        (0 until k)
+          .map(i => Incremental.partials(df.filter(col("b") === i), Seq("k"), "v"))
+          .reduceLeft((st, p) => Incremental.mergePartials(st, p, Seq("k"))))
+        .as[(String, Long, Double)].collect().toSet
+      Prop(folded == oneShot)
+    }
+
   property("count-min grids are batch-split invariant; estimates dominate exact counts") =
     Prop.forAll(
       Gen.listOfN(40, for {

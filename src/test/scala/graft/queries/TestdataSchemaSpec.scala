@@ -89,6 +89,22 @@ class TestdataSchemaSpec extends SparkSpec {
       "embedding" -> Set(ArrayType(FloatType), ArrayType(FloatType, containsNull = false)),
       "label" -> Set(IntegerType)))
 
+  test("documents.text carries no NULLs (latent size(-1)-vs-NULL divergence guard)") {
+    // Several text queries tokenize `text` with matched Spark/DuckDB
+    // expressions whose NULL behaviors DIFFER (Spark size(NULL array) = -1,
+    // DuckDB length(NULL list) = NULL; o6_skyline is coalesce-guarded, the
+    // rest rely on the corpus being NULL-free). Today's testdata has zero
+    // NULL texts at every sf; if a driver regen ever introduces them, this
+    // canary fails loudly so the guards get added DELIBERATELY instead of
+    // the gate diverging silently.
+    import org.apache.spark.sql.functions.col
+    val nulls = Q.t(spark, sfDir, "documents").filter(col("text").isNull).count()
+    assert(nulls == 0L,
+      s"DRIVER REGEN DRIFT: documents.text now has $nulls NULL rows — " +
+        "audit every text-tokenizing query for Spark-vs-DuckDB NULL " +
+        "divergence (coalesce both sides, o6_skyline-style) before trusting the gate")
+  }
+
   expected.foreach { case (table, cols) =>
     test(s"driver table '$table' matches its pinned schema contract") {
       val schema = Q.t(spark, sfDir, table).schema
