@@ -33,4 +33,50 @@ class RegistryPlanLintSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"queries with CartesianProduct or planning failures:\n${offenders.mkString("\n")}")
   }
+
+  /** Queries whose plans CONTAIN an unpartitioned WindowExec, each one
+    * audited: the window's INPUT frame is sub-linear by construction, so
+    * the single task it funnels through is sized by a frontier / distinct
+    * set / cell grid, never the corpus.
+    *
+    *   - m1/m2 label codecs: distinct labels (|labels| rows)
+    *   - m12/m12b AUC, m16 spearman: rank offsets over DISTINCT score
+    *     values (bounded-distinct contract in `Stats.binaryAuc`/`spearman`)
+    *   - t21 zipf: cumulative offsets over distinct COUNT values (O(√corpus))
+    *   - t10/temperature_mix: lang×source / source cell grids
+    *   - o6 skyline: stage-2 window over per-bucket frontiers
+    *   - w27 RFM: exactQuantiles' rank windows over distinct metric values
+    */
+  private val globalWindowWhitelist = Set(
+    "m1_label_encode", "m2_label_decode", "m12_auc", "m12b_auc_quantized",
+    "m16_spearman", "t21_zipf_slope", "t10_mix_divergence",
+    "temperature_mix", "o6_skyline", "w27_rfm")
+
+  test("global (unpartitioned) windows appear only over audited sub-linear frames") {
+    // an unpartitioned WindowExec sorts its ENTIRE input through one task —
+    // the quietest way to lose a 1000-executor cluster. Every intentional
+    // one in the registry feeds a sub-linear frame (see whitelist); a new
+    // query that forgets to partition (or to pre-aggregate to a distinct
+    // frame first) fails here before it ever meets real data.
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // plain plan tree for collect()
+    try {
+      val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.executedPlan
+        graft.ops.Caches.releaseAll()
+        val n = plan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+          case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w
+        }.size
+        if (n > 0) Some(name) else None
+      }.toSet
+      assert((offenders -- globalWindowWhitelist).isEmpty,
+        "UNAUDITED global window (sorts its whole input through ONE task) in: " +
+          s"${(offenders -- globalWindowWhitelist).mkString(", ")} — partition it, " +
+          "pre-aggregate to a sub-linear frame, or audit + whitelist with justification")
+      assert((globalWindowWhitelist -- offenders).isEmpty,
+        "stale whitelist entries (no global window in plan anymore): " +
+          s"${(globalWindowWhitelist -- offenders).mkString(", ")} — remove them")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
