@@ -90,6 +90,17 @@ object Stats {
     * (broadcast) quantile list — one window shuffle total, however many
     * quantiles are requested. Ties in `valueCol` are harmless: row_number
     * among equal values is arbitrary but the value at any given rank is not.
+    *
+    * Scale contract — DISTINCT-value cardinality per key: the pre-agg
+    * collapses repeats, so the per-key ordered window is sized by
+    * |distinct values|, not rows. Repetitive measures (grades, prices,
+    * quantized scores) stay sub-linear; a CONTINUOUS measure (raw decimal
+    * sums, e.g. `w27_rfm`'s monetary) has |distinct| ~ |keys' rows| and the
+    * window degrades to one task per key over the full frame. At web scale
+    * either quantize the measure first (the `binaryAuc.scoreScale` move —
+    * thresholds on a 10^-d grid are usually the product requirement anyway)
+    * or switch to the mergeable binned form ([[graft.ops.Incremental.histPartials]]/
+    * `histQuantile`), whose state is groups × nBins regardless of corpus.
     */
   def exactQuantiles(
       df: DataFrame,

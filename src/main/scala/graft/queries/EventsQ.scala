@@ -938,10 +938,17 @@ object EventsQ {
       // scored into quintiles by comparison against the corpus's exact
       // 20/40/60/80% quantile THRESHOLDS — not a global ntile, which
       // would rank every user through one window task; the thresholds
-      // come from the two-phase exactQuantiles over the (sub-linear)
-      // user-grain frame and broadcast back, so scoring is a per-row
-      // comparison chain. 5 = best on every axis (recent/frequent/big);
-      // rfm_code packs the three digits
+      // come from the two-phase exactQuantiles over the user-grain frame
+      // and broadcast back, so scoring is a per-row comparison chain.
+      // Scale note (exactQuantiles' distinct-cardinality contract): the
+      // recency/frequency axes are small integers (day counts, session
+      // counts — repetitive, sub-linear distinct frames), but MONETARY is
+      // a per-user decimal sum (~all-distinct): at billions of users its
+      // threshold window is the probed degraded regime — quantize to
+      // cents (floor(monetary*100)/100, the binaryAuc.scoreScale move)
+      // before thresholding there; cent-grain quintile edges are the
+      // product semantics anyway. 5 = best on every axis
+      // (recent/frequent/big); rfm_code packs the three digits
       (s, d) => {
         val anchorUs = 1706745600000000L // 2024-02-01T00:00Z, past the data window
         val sess = Segments.gapSessions(
