@@ -114,8 +114,13 @@ object Bench {
         case (_, None)    => p2.secs
         case _            => p1.secs
       }
+      // drainTimedOut qualifies the pass-1 shuffleBytes/stages it sits next
+      // to — OR-ing in pass 2's flag would mark clean pass-1 telemetry as
+      // bleed-prone whenever only the second pass was contended. Pass 2's
+      // flag ships separately (drainTimedOutP2); secs are unaffected either
+      // way (drain waits run outside the timed window).
       (name, secs, p1.secs, p2.secs, p1.bytes, p1.stages,
-        p1.drainTimedOut || p2.drainTimedOut, p1.err.orElse(p2.err))
+        (p1.drainTimedOut, p2.drainTimedOut), p1.err.orElse(p2.err))
     }
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
@@ -129,15 +134,16 @@ object Bench {
     val qs = results.map { case (k, v, _, _, _, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val qstats = results
-      .map { case (k, v, v1, v2, b, st, to, err) =>
+      .map { case (k, v, v1, v2, b, st, (to1, to2), err) =>
         val errField = err.map(m => s""","err":${jstr(m)}""").getOrElse("")
         s"\"" + k +
           s"""\":{"secs":$v,"secs_p1":$v1,"secs_p2":$v2,""" +
-          s""""shuffleBytes":$b,"stages":$st,"drainTimedOut":$to$errField}"""
+          s""""shuffleBytes":$b,"stages":$st,"drainTimedOut":$to1,""" +
+          s""""drainTimedOutP2":$to2$errField}"""
       }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val drainTimeouts = results.count(_._7)
+    val drainTimeouts = results.count(_._7._1)
     val errCount = results.count(_._8.nonEmpty)
     if (errCount > 0)
       System.err.println(s"[bench] $errCount queries FAILED: " +

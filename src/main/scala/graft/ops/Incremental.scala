@@ -18,26 +18,37 @@ import org.apache.spark.sql.functions._
   */
 object Incremental {
 
-  /** Per-batch partial state: count + exact decimal sum per group. */
+  /** Per-batch partial state: row count, NON-NULL value count, and exact
+    * decimal sum per group. `n` is the row count (what a `count(*)` oracle
+    * reports); `nv` is the non-null count the mean divides by — SQL mean
+    * semantics (`sum(x)/count(x)`), so a driver regen that introduces NULL
+    * values cannot diverge [[finalizeMean]] from [[Exact.sqlDmean]].
+    */
   def partials(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
     df.groupBy(keys.map(col): _*)
       .agg(
         count(lit(1)).as("n"),
+        count(col(valueCol)).as("nv"),
         sum(col(valueCol).cast(Exact.SumType)).as("total"))
 
   /** Merge two partial-state tables (associative/commutative). */
   def mergePartials(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame =
     a.unionByName(b)
       .groupBy(keys.map(col): _*)
-      .agg(sum(col("n")).as("n"), sum(col("total")).as("total"))
+      .agg(
+        sum(col("n")).as("n"),
+        sum(col("nv")).as("nv"),
+        sum(col("total")).as("total"))
 
   /** Close the state into (n, mean_value) — same arithmetic as
-    * [[Exact.dmean]]: decimal total cast to double, divided by the count.
+    * [[Exact.dmean]]: decimal total cast to double, divided by the NON-NULL
+    * count (`nv`). All-NULL groups yield NULL (NULL total propagates before
+    * ANSI's zero-divisor check fires) in both engines.
     */
   def finalizeMean(parts: DataFrame): DataFrame =
     parts
-      .withColumn("mean_value", col("total").cast("double") / col("n"))
-      .drop("total")
+      .withColumn("mean_value", col("total").cast("double") / col("nv"))
+      .drop("total", "nv")
 
   /** Incremental COUNT DISTINCT state: a DataSketches HLL sketch per group
     * (`hll_sketch_agg`) — the mergeable analog of the (count, sum) monoid

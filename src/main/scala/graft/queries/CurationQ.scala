@@ -24,10 +24,11 @@ object CurationQ {
       // prune over the survivors) so no stage funnels the corpus through
       // one task; the oracle runs the direct single-window form —
       // identical by dominance transitivity (Pareto.skyline2d scaladoc)
-      // NULL-text guard (mmHistSql convention): Spark size() yields -1 on a
-      // NULL array where DuckDB length() yields NULL, and skyline2d needs
-      // non-null axes — coalesce to '' identically on both sides so a
-      // driver testdata regen with NULL texts cannot diverge the hash
+      // NULL-text guard (mmHistSql convention): under ANSI (this engine's
+      // default) size(NULL)=NULL in BOTH engines, but skyline2d needs
+      // non-null axes and a propagated NULL would hit each engine's own
+      // null-ordering rules — coalesce to '' identically on both sides so
+      // a driver testdata regen with NULL texts cannot diverge the hash
       (s, d) => {
         val docs = t(s, d, "documents").select(
           col("doc_id"),

@@ -339,9 +339,13 @@ object EventsQ {
       // is BIT-identical to the oracle's one-shot aggregation no matter
       // how rows land in batches — here a day-index mod-6 split, the
       // adversarial (non-contiguous) batching that makes the invariance
-      // claim strongest. Per-(event_type, hour) means; Catalyst collapses
-      // the left-deep merge chain into one union + one groupBy, so the
-      // replay costs a single shuffle, same as the direct aggregate.
+      // claim strongest. Per-(event_type, hour) means. Cost model (probed
+      // at K=3: 10 HashAggregates / 3 Exchanges / 3 scans — Catalyst does
+      // NOT collapse the merge chain into one union+groupBy): the replay
+      // pays one events scan + one partial-state shuffle PER BATCH. That
+      // is the price of exercising the foreachBatch fold shape itself;
+      // the production incremental path touches only each NEW batch, and
+      // the one-shot equivalent is `ivm_merge_agg`'s 2-partial form.
       (s, d) => {
         val ev = events(s, d)
           .withColumn("bucket_us", Windows.tumbleMs(col("ts_us"), usPerHour))

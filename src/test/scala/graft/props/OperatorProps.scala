@@ -267,27 +267,41 @@ object OperatorProps extends Properties("graft.ops") {
     }
 
   property("K-fold partials replay == one-shot aggregation, any K / any assignment") =
-    Prop.forAll(
+    // forAllNoShrink: the (k, rows) generator is DEPENDENT (each row's batch
+    // index lives in [0, k)); the default tuple shrinker would shrink k
+    // without reshrinking rows, silently dropping b >= k rows from the fold
+    // (a spurious "minimal" counterexample) — or shrink k to 0 and crash the
+    // reduceLeft mid-shrink
+    Prop.forAllNoShrink(
       Gen.choose(2, 5).flatMap(k =>
         Gen.listOfN(40, for {
           key <- Gen.oneOf("a", "b", "c")
-          v <- Gen.choose(-50.0, 50.0)
+          // NULL values included: the state's mean must follow SQL semantics
+          // (divide by the NON-NULL count) even when batches carry NULLs
+          v <- Gen.frequency(4 -> Gen.choose(-50.0, 50.0).map(Option(_)),
+                             1 -> Gen.const(Option.empty[Double]))
           b <- Gen.choose(0, k - 1)
         } yield (key, v, b)).map(rows => (k, rows)))) { case (k, rows) =>
       // the ivm_batch_replay shape: fold one merge per batch, exactly as a
-      // foreachBatch callback accumulates state — the (count, exact decimal
-      // sum) monoid makes the fold BIT-identical to the one-shot aggregate
-      // for every batch count and every row-to-batch assignment
+      // foreachBatch callback accumulates state — the (count, nonnull count,
+      // exact decimal sum) monoid makes the fold BIT-identical to the
+      // one-shot aggregate for every batch count and row-to-batch assignment
       val df = rows.toDF("k", "v", "b")
       val oneShot = Incremental.finalizeMean(
         Incremental.partials(df, Seq("k"), "v"))
-        .as[(String, Long, Double)].collect().toSet
+        .as[(String, Long, Option[Double])].collect().toSet
       val folded = Incremental.finalizeMean(
         (0 until k)
           .map(i => Incremental.partials(df.filter(col("b") === i), Seq("k"), "v"))
           .reduceLeft((st, p) => Incremental.mergePartials(st, p, Seq("k"))))
-        .as[(String, Long, Double)].collect().toSet
-      Prop(folded == oneShot)
+        .as[(String, Long, Option[Double])].collect().toSet
+      // and the closed state must equal the one-pass oracle arithmetic:
+      // n = count(*), mean = Exact.dmean = decimal sum / count(v) — NULL
+      // for all-NULL groups in both engines (what ivm_* oracles hash)
+      val direct = df.groupBy("k")
+        .agg(count(lit(1)).as("n"), graft.ops.Exact.dmean(col("v")).as("mean_value"))
+        .as[(String, Long, Option[Double])].collect().toSet
+      Prop(folded == oneShot && oneShot == direct)
     }
 
   property("count-min grids are batch-split invariant; estimates dominate exact counts") =

@@ -20,10 +20,26 @@ import graft.SparkSpec
 class RegistryPlanLintSpec extends SparkSpec {
   private val sfDir = "/root/testdata/sf0.001"
 
-  test("no registered query plans a CartesianProduct at sf0.001") {
+  /** The query's physical plan PLUS every plan hidden behind a persisted
+    * intermediate: `TreeNode.collect` stops at `InMemoryTableScanExec`
+    * leaves (and `toString` doesn't render the cached relation), so a lint
+    * over the top plan alone would miss anything `Caches.trackPersist` put
+    * below a cache boundary — which is most of Dedup/Graph/Sketch. Descends
+    * recursively (cached plans can nest further caches). localCheckpoint
+    * boundaries are genuinely opaque (the plan is truncated to an RDD scan,
+    * and the checkpointed job already ran at build time) — those shapes are
+    * pinned by their own operator specs instead.
+    */
+  private def expandedPlans(
+      plan: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+    plan +: plan
+      .collect { case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => im }
+      .flatMap(im => expandedPlans(im.relation.cachedPlan))
+
+  test("no registered query plans a CartesianProduct at sf0.001 (incl. cached sub-plans)") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan =
-        try fn(spark, sfDir).queryExecution.executedPlan.toString
+        try expandedPlans(fn(spark, sfDir).queryExecution.executedPlan).map(_.toString).mkString("\n")
         catch { case e: Throwable => s"PLANNING FAILED: ${e.getMessage}" }
       graft.ops.Caches.releaseAll()
       if (plan.contains("CartesianProduct") || plan.contains("PLANNING FAILED"))
@@ -61,15 +77,19 @@ class RegistryPlanLintSpec extends SparkSpec {
     import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
     spark.conf.set("spark.sql.adaptive.enabled", "false") // plain plan tree for collect()
     try {
+      val failures = scala.collection.mutable.ListBuffer.empty[String]
       val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-        val plan = fn(spark, sfDir).queryExecution.executedPlan
+        val n =
+          try
+            expandedPlans(fn(spark, sfDir).queryExecution.executedPlan).flatMap(_.collect {
+              case w: WindowExec if w.partitionSpec.isEmpty => w: Any
+              case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w: Any
+            }).size
+          catch { case e: Throwable => failures += s"$name: ${e.getMessage}"; 0 }
         graft.ops.Caches.releaseAll()
-        val n = plan.collect {
-          case w: WindowExec if w.partitionSpec.isEmpty => w
-          case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w
-        }.size
         if (n > 0) Some(name) else None
       }.toSet
+      assert(failures.isEmpty, s"planning failed during window lint:\n${failures.mkString("\n")}")
       assert((offenders -- globalWindowWhitelist).isEmpty,
         "UNAUDITED global window (sorts its whole input through ONE task) in: " +
           s"${(offenders -- globalWindowWhitelist).mkString(", ")} — partition it, " +

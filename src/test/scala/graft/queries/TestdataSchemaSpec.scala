@@ -89,20 +89,31 @@ class TestdataSchemaSpec extends SparkSpec {
       "embedding" -> Set(ArrayType(FloatType), ArrayType(FloatType, containsNull = false)),
       "label" -> Set(IntegerType)))
 
-  test("documents.text carries no NULLs (latent size(-1)-vs-NULL divergence guard)") {
-    // Several text queries tokenize `text` with matched Spark/DuckDB
-    // expressions whose NULL behaviors DIFFER (Spark size(NULL array) = -1,
-    // DuckDB length(NULL list) = NULL; o6_skyline is coalesce-guarded, the
-    // rest rely on the corpus being NULL-free). Today's testdata has zero
-    // NULL texts at every sf; if a driver regen ever introduces them, this
-    // canary fails loudly so the guards get added DELIBERATELY instead of
-    // the gate diverging silently.
-    import org.apache.spark.sql.functions.col
-    val nulls = Q.t(spark, sfDir, "documents").filter(col("text").isNull).count()
-    assert(nulls == 0L,
-      s"DRIVER REGEN DRIFT: documents.text now has $nulls NULL rows — " +
-        "audit every text-tokenizing query for Spark-vs-DuckDB NULL " +
-        "divergence (coalesce both sides, o6_skyline-style) before trusting the gate")
+  test("no driver column carries NULLs (latent NULL-propagation divergence guard)") {
+    // A regen-audited census, not an assumption: the whole testdata is
+    // NULL-free today (probed at every sf), and many oracle-matched
+    // expressions are only verified on NULL-free input — a propagated NULL
+    // hits each engine's OWN null rules downstream (Spark NULLS FIRST asc
+    // vs DuckDB NULLS LAST in rank/window axes, skyline dominance with a
+    // NULL axis, count(*)-vs-count(x) mean denominators). The IVM mean and
+    // o6_skyline are NULL-proofed by construction; the rest rely on this
+    // census. If a driver regen introduces NULLs anywhere, this fails
+    // naming table.column so guards get added DELIBERATELY instead of the
+    // gate diverging silently.
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val offenders = expected.keys.toSeq.sorted.flatMap { table =>
+      val df = Q.t(spark, sfDir, table)
+      val total = count(lit(1))
+      val row = df.select(df.columns.toIndexedSeq.map(c =>
+        (total - count(col(c))).as(c)): _*).first()
+      df.columns.zipWithIndex.collect {
+        case (c, i) if row.getLong(i) > 0L => s"$table.$c (${row.getLong(i)} NULLs)"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"DRIVER REGEN DRIFT: NULLs appeared in: ${offenders.mkString(", ")} — " +
+        "audit every query touching these columns for Spark-vs-DuckDB NULL " +
+        "divergence (coalesce/filter both sides, o6_skyline-style) before trusting the gate")
   }
 
   expected.foreach { case (table, cols) =>
