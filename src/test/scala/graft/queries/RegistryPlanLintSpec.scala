@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.SparkSpec
+import org.apache.spark.sql.execution.SparkPlan
 
 /** Registry-wide plan lint: every registered query's physical plan at
   * sf0.001, checked for the accidents that silently wreck 100 TB runs.
@@ -9,13 +10,22 @@ import graft.SparkSpec
   *   pairs with no build side — every intentional all-pairs shape in the
   *   registry broadcasts its small side (BroadcastNestedLoopJoin), which
   *   is allowed and asserted AS the distinction.
+  * - Global (unpartitioned) windows only over audited sub-linear frames.
+  * - A GOLDEN per-query plan signature (join strategies, exchanges,
+  *   windows, cache boundaries): wall-time is contention-noise on a shared
+  *   box (seven rounds of verdicts), but plan shape is deterministic — a
+  *   lost `broadcast()` hint (round 4's 40 s → 8.5 s vocab join), a join
+  *   that flips BHJ→SMJ, or a new shuffle shows up here as a one-line
+  *   diff long before it costs a bench round. After a DELIBERATE plan
+  *   change, regenerate with `GRAFT_BLESS_GOLDEN=1 sbt test` and review
+  *   the signature diff like any other golden artifact.
   *
-  * Building a plan is cheap, so this sweeps all 180 queries where the
-  * per-operator specs each pin one; a new query with a forgotten
-  * `broadcast()` hint fails here before it ever reaches the bench.
-  * (Queries with plan-time scalar probes run those tiny jobs during
-  * construction — that is their documented design, and at sf0.001 the
-  * whole sweep stays in test-suite budget.)
+  * Building a plan is cheap, so ONE sweep (AQE off, for a plain statically
+  * planned tree) serves all three tests; a new query with a forgotten
+  * broadcast hint fails here before it ever reaches the bench. (Queries
+  * with plan-time scalar probes run those tiny jobs during construction —
+  * that is their documented design, and at sf0.001 the whole sweep stays
+  * in test-suite budget.)
   */
 class RegistryPlanLintSpec extends SparkSpec {
   private val sfDir = "/root/testdata/sf0.001"
@@ -30,24 +40,68 @@ class RegistryPlanLintSpec extends SparkSpec {
     * and the checkpointed job already ran at build time) — those shapes are
     * pinned by their own operator specs instead.
     */
-  private def expandedPlans(
-      plan: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+  private def expandedPlans(plan: SparkPlan): Seq[SparkPlan] =
     plan +: plan
       .collect { case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => im }
       .flatMap(im => expandedPlans(im.relation.cachedPlan))
 
-  test("no registered query plans a CartesianProduct at sf0.001 (incl. cached sub-plans)") {
-    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val plan =
-        try expandedPlans(fn(spark, sfDir).queryExecution.executedPlan).map(_.toString).mkString("\n")
-        catch { case e: Throwable => s"PLANNING FAILED: ${e.getMessage}" }
-      graft.ops.Caches.releaseAll()
-      if (plan.contains("CartesianProduct") || plan.contains("PLANNING FAILED"))
-        Some(name -> plan.linesIterator.take(3).mkString(" | "))
-      else None
-    }
-    assert(offenders.isEmpty,
-      s"queries with CartesianProduct or planning failures:\n${offenders.mkString("\n")}")
+  /** Deterministic shape summary of one query's expanded physical plan.
+    * Counts only STRATEGY-carrying nodes (joins, exchanges, windows, cache
+    * boundaries) — not sorts/projections/filters, which churn with harmless
+    * refactors and would make the golden noisy.
+    */
+  private def signature(plans: Seq[SparkPlan]): String = {
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.joins._
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    var bhj, smj, shj, bnlj, cart, xchg, bcast, win, gwin, wgl, gwgl, cache = 0
+    plans.foreach(_.foreach {
+      case _: BroadcastHashJoinExec => bhj += 1
+      case _: SortMergeJoinExec => smj += 1
+      case _: ShuffledHashJoinExec => shj += 1
+      case _: BroadcastNestedLoopJoinExec => bnlj += 1
+      case _: CartesianProductExec => cart += 1
+      case _: ShuffleExchangeExec => xchg += 1
+      case _: BroadcastExchangeExec => bcast += 1
+      case w: WindowExec => if (w.partitionSpec.isEmpty) gwin += 1 else win += 1
+      case w: WindowGroupLimitExec => if (w.partitionSpec.isEmpty) gwgl += 1 else wgl += 1
+      case _: InMemoryTableScanExec => cache += 1
+      case _ => ()
+    })
+    s"bhj=$bhj smj=$smj shj=$shj bnlj=$bnlj cart=$cart xchg=$xchg " +
+      s"bcast=$bcast win=$win gwin=$gwin wgl=$wgl gwgl=$gwgl cache=$cache"
+  }
+
+  private case class Sweep(signatures: Map[String, String], failures: Seq[String])
+
+  /** One planning pass over the whole registry, shared by all three tests.
+    * AQE is disabled for the sweep: the STATIC planner choice is the
+    * deterministic, pinnable artifact (AQE's runtime re-plan can only
+    * improve on it) and `AdaptiveSparkPlanExec` hides the tree from
+    * `collect` until execution.
+    */
+  private lazy val sweep: Sweep = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val failures = scala.collection.mutable.ListBuffer.empty[String]
+      val sigs = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        val out =
+          try Some(name -> signature(expandedPlans(fn(spark, sfDir).queryExecution.executedPlan)))
+          catch { case e: Throwable => failures += s"$name: ${e.getMessage}"; None }
+        graft.ops.Caches.releaseAll()
+        out
+      }.toMap
+      Sweep(sigs, failures.toList)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("every registered query plans successfully; none plans a CartesianProduct") {
+    assert(sweep.failures.isEmpty,
+      s"planning failed for:\n${sweep.failures.mkString("\n")}")
+    val cart = sweep.signatures.filter(!_._2.contains("cart=0")).keys.toSeq.sorted
+    assert(cart.isEmpty, s"queries with CartesianProduct (incl. cached sub-plans): " +
+      s"${cart.mkString(", ")} — broadcast the small side or rewrite the join")
   }
 
   /** Queries whose plans CONTAIN an unpartitioned WindowExec, each one
@@ -74,29 +128,45 @@ class RegistryPlanLintSpec extends SparkSpec {
     // one in the registry feeds a sub-linear frame (see whitelist); a new
     // query that forgets to partition (or to pre-aggregate to a distinct
     // frame first) fails here before it ever meets real data.
-    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
-    spark.conf.set("spark.sql.adaptive.enabled", "false") // plain plan tree for collect()
-    try {
-      val failures = scala.collection.mutable.ListBuffer.empty[String]
-      val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-        val n =
-          try
-            expandedPlans(fn(spark, sfDir).queryExecution.executedPlan).flatMap(_.collect {
-              case w: WindowExec if w.partitionSpec.isEmpty => w: Any
-              case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w: Any
-            }).size
-          catch { case e: Throwable => failures += s"$name: ${e.getMessage}"; 0 }
-        graft.ops.Caches.releaseAll()
-        if (n > 0) Some(name) else None
-      }.toSet
-      assert(failures.isEmpty, s"planning failed during window lint:\n${failures.mkString("\n")}")
-      assert((offenders -- globalWindowWhitelist).isEmpty,
-        "UNAUDITED global window (sorts its whole input through ONE task) in: " +
-          s"${(offenders -- globalWindowWhitelist).mkString(", ")} — partition it, " +
-          "pre-aggregate to a sub-linear frame, or audit + whitelist with justification")
-      assert((globalWindowWhitelist -- offenders).isEmpty,
-        "stale whitelist entries (no global window in plan anymore): " +
-          s"${(globalWindowWhitelist -- offenders).mkString(", ")} — remove them")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val offenders = sweep.signatures.collect {
+      case (name, sig) if !(sig.contains("gwin=0") && sig.contains("gwgl=0")) => name
+    }.toSet
+    assert((offenders -- globalWindowWhitelist).isEmpty,
+      "UNAUDITED global window (sorts its whole input through ONE task) in: " +
+        s"${(offenders -- globalWindowWhitelist).mkString(", ")} — partition it, " +
+        "pre-aggregate to a sub-linear frame, or audit + whitelist with justification")
+    assert((globalWindowWhitelist -- offenders).isEmpty,
+      "stale whitelist entries (no global window in plan anymore): " +
+        s"${(globalWindowWhitelist -- offenders).mkString(", ")} — remove them")
+  }
+
+  test("per-query plan signatures match the blessed golden") {
+    val lines = sweep.signatures.toSeq.sortBy(_._1).map { case (n, s) => s"$n $s" }
+    if (sys.env.contains("GRAFT_BLESS_GOLDEN")) {
+      val p = java.nio.file.Paths.get("src/test/resources/plan_signatures.txt")
+      java.nio.file.Files.write(p, lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+      info(s"BLESSED ${lines.size} signatures -> $p")
+    } else {
+      val stream = getClass.getResourceAsStream("/plan_signatures.txt")
+      assert(stream != null,
+        "golden plan-signature file missing — bless with GRAFT_BLESS_GOLDEN=1 sbt test")
+      val golden = scala.io.Source.fromInputStream(stream, "UTF-8").getLines().toSeq
+        .filter(_.nonEmpty).map { l =>
+          val i = l.indexOf(' '); l.take(i) -> l.drop(i + 1)
+        }.toMap
+      val gone = (golden.keySet -- sweep.signatures.keySet).toSeq.sorted
+      val added = (sweep.signatures.keySet -- golden.keySet).toSeq.sorted
+      val changed = sweep.signatures.toSeq.sortBy(_._1).collect {
+        case (n, s) if golden.contains(n) && golden(n) != s =>
+          s"$n\n  golden: ${golden(n)}\n  now:    $s"
+      }
+      assert(gone.isEmpty && added.isEmpty && changed.isEmpty,
+        "plan signatures diverged from the blessed golden — a join strategy, " +
+          "shuffle, window, or cache boundary changed. If DELIBERATE, re-bless " +
+          "with GRAFT_BLESS_GOLDEN=1 sbt test and review the diff.\n" +
+          (if (gone.nonEmpty) s"missing queries: ${gone.mkString(", ")}\n" else "") +
+          (if (added.nonEmpty) s"new queries (bless to pin): ${added.mkString(", ")}\n" else "") +
+          changed.mkString("\n"))
+    }
   }
 }
