@@ -73,7 +73,31 @@ class RegistryPlanLintSpec extends SparkSpec {
       s"bcast=$bcast win=$win gwin=$gwin wgl=$wgl gwgl=$gwgl cache=$cache"
   }
 
-  private case class Sweep(signatures: Map[String, String], failures: Seq[String])
+  private case class Sweep(
+      signatures: Map[String, String],
+      rawFloatAggs: Map[String, Seq[String]],
+      failures: Seq[String])
+
+  /** Raw DOUBLE/FLOAT Sum/Average aggregates in the ANALYZED plan: both are
+    * partition-order-dependent (float addition doesn't associate), so any
+    * oracle-checked query carrying one can hash-diverge under a different
+    * partitioning — the engine's convention (DETERMINISM.md) is that every
+    * float aggregation routes through the `Exact` decimal paths. Currently
+    * ZERO hits registry-wide (probed); this keeps it that way.
+    */
+  private def rawFloatAggs(analyzed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Average, Sum}
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    val hits = scala.collection.mutable.ListBuffer.empty[String]
+    analyzed.foreach(_.expressions.foreach(_.foreach {
+      case s: Sum if s.child.dataType == DoubleType || s.child.dataType == FloatType =>
+        hits += s"sum(${s.child.sql.take(60)})"
+      case a: Average if a.child.dataType == DoubleType || a.child.dataType == FloatType =>
+        hits += s"avg(${a.child.sql.take(60)})"
+      case _ => ()
+    }))
+    hits.toList
+  }
 
   /** One planning pass over the whole registry, shared by all three tests.
     * AQE is disabled for the sweep: the STATIC planner choice is the
@@ -85,14 +109,19 @@ class RegistryPlanLintSpec extends SparkSpec {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val failures = scala.collection.mutable.ListBuffer.empty[String]
-      val sigs = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val rows = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
         val out =
-          try Some(name -> signature(expandedPlans(fn(spark, sfDir).queryExecution.executedPlan)))
-          catch { case e: Throwable => failures += s"$name: ${e.getMessage}"; None }
+          try {
+            val qe = fn(spark, sfDir).queryExecution
+            Some((name, signature(expandedPlans(qe.executedPlan)), rawFloatAggs(qe.analyzed)))
+          } catch { case e: Throwable => failures += s"$name: ${e.getMessage}"; None }
         graft.ops.Caches.releaseAll()
         out
-      }.toMap
-      Sweep(sigs, failures.toList)
+      }
+      Sweep(
+        rows.map(r => r._1 -> r._2).toMap,
+        rows.collect { case (n, _, fa) if fa.nonEmpty => n -> fa }.toMap,
+        failures.toList)
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
@@ -102,6 +131,14 @@ class RegistryPlanLintSpec extends SparkSpec {
     val cart = sweep.signatures.filter(!_._2.contains("cart=0")).keys.toSeq.sorted
     assert(cart.isEmpty, s"queries with CartesianProduct (incl. cached sub-plans): " +
       s"${cart.mkString(", ")} — broadcast the small side or rewrite the join")
+  }
+
+  test("no registered query aggregates raw DOUBLE/FLOAT (partition-order-dependent)") {
+    val bad = sweep.rawFloatAggs.toSeq.sortBy(_._1)
+      .map { case (n, hs) => s"$n: ${hs.distinct.mkString("; ")}" }
+    assert(bad.isEmpty,
+      "raw float Sum/Average found (hash can diverge under repartitioning) — " +
+        s"route through Exact.dsum/dmean/dsumTrunc* instead:\n${bad.mkString("\n")}")
   }
 
   /** Queries whose plans CONTAIN an unpartitioned WindowExec, each one
