@@ -76,7 +76,23 @@ class RegistryPlanLintSpec extends SparkSpec {
   private case class Sweep(
       signatures: Map[String, String],
       rawFloatAggs: Map[String, Seq[String]],
+      nondet: Map[String, Seq[String]],
       failures: Seq[String])
+
+  /** Expressions the analyzed plan marks non-deterministic (rand(),
+    * monotonically_increasing_id, shuffle(), …): any one of them makes a
+    * query's output partitioning- or retry-dependent, which an oracle hash
+    * cannot tolerate — the engine samples/salts/ranks via hashes instead
+    * (DETERMINISM.md §9). Reports the outermost flagged node per site.
+    */
+  private def nondetExprs(analyzed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[String] = {
+    val hits = scala.collection.mutable.ListBuffer.empty[String]
+    analyzed.foreach(_.expressions.foreach(_.foreach { e =>
+      if (!e.deterministic && e.children.forall(_.deterministic))
+        hits += e.getClass.getSimpleName
+    }))
+    hits.toList
+  }
 
   /** Raw DOUBLE/FLOAT Sum/Average aggregates in the ANALYZED plan: both are
     * partition-order-dependent (float addition doesn't associate), so any
@@ -113,14 +129,16 @@ class RegistryPlanLintSpec extends SparkSpec {
         val out =
           try {
             val qe = fn(spark, sfDir).queryExecution
-            Some((name, signature(expandedPlans(qe.executedPlan)), rawFloatAggs(qe.analyzed)))
+            Some((name, signature(expandedPlans(qe.executedPlan)),
+              rawFloatAggs(qe.analyzed), nondetExprs(qe.analyzed)))
           } catch { case e: Throwable => failures += s"$name: ${e.getMessage}"; None }
         graft.ops.Caches.releaseAll()
         out
       }
       Sweep(
         rows.map(r => r._1 -> r._2).toMap,
-        rows.collect { case (n, _, fa) if fa.nonEmpty => n -> fa }.toMap,
+        rows.collect { case (n, _, fa, _) if fa.nonEmpty => n -> fa }.toMap,
+        rows.collect { case (n, _, _, nd) if nd.nonEmpty => n -> nd }.toMap,
         failures.toList)
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
@@ -139,6 +157,26 @@ class RegistryPlanLintSpec extends SparkSpec {
     assert(bad.isEmpty,
       "raw float Sum/Average found (hash can diverge under repartitioning) — " +
         s"route through Exact.dsum/dmean/dsumTrunc* instead:\n${bad.mkString("\n")}")
+  }
+
+  test("non-deterministic expressions appear only as MLlib's flagged predict UDFs") {
+    // the only tolerated marker: MLlib model-transform ScalaUDFs in the
+    // three rows-only ML entries — MLlib flags them non-deterministic
+    // conservatively, while the actual predictions are seed-pinned
+    // (BbdcSpec run-twice equality, MlBoundsSpec memorization floors).
+    // Anything else (rand, monotonically_increasing_id, shuffle, …) is a
+    // partitioning/retry dependence an oracle hash cannot tolerate.
+    val allowed = Set("m5_impute_linreg", "m6_ensemble_vote", "m6b_ensemble_boosted")
+    val bad = sweep.nondet.toSeq.sortBy(_._1).collect {
+      case (n, hs) if !(allowed.contains(n) && hs.distinct == Seq("ScalaUDF")) =>
+        s"$n: ${hs.distinct.mkString(", ")}"
+    }
+    assert(bad.isEmpty,
+      "non-deterministic expressions in registered plans — replace with " +
+        s"hash-based sampling/ids (DETERMINISM.md §9):\n${bad.mkString("\n")}")
+    assert((allowed -- sweep.nondet.keySet).isEmpty,
+      "stale nondet whitelist (no flagged UDF anymore): " +
+        s"${(allowed -- sweep.nondet.keySet).mkString(", ")} — remove")
   }
 
   /** Queries whose plans CONTAIN an unpartitioned WindowExec, each one
