@@ -48,14 +48,21 @@ class RegistryPlanLintSpec extends SparkSpec {
   /** Deterministic shape summary of one query's expanded physical plan.
     * Counts only STRATEGY-carrying nodes (joins, exchanges, windows, cache
     * boundaries) — not sorts/projections/filters, which churn with harmless
-    * refactors and would make the golden noisy.
+    * refactors and would make the golden noisy. Plus the SCAN PRUNING
+    * state: per parquet scan, the table, the columns that actually reach
+    * the reader (`requiredSchema` — a scan reading `text` for a 2-column
+    * projection is a pruning regression), and how many data filters landed
+    * at the scan node (a pushdown that stops reaching the scan shows as
+    * the count dropping). Identical scans collapse with a ×N multiplicity.
     */
   private def signature(plans: Seq[SparkPlan]): String = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
     import org.apache.spark.sql.execution.joins._
     import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     var bhj, smj, shj, bnlj, cart, xchg, bcast, win, gwin, wgl, gwgl, cache = 0
+    val scans = scala.collection.mutable.ListBuffer.empty[String]
     plans.foreach(_.foreach {
       case _: BroadcastHashJoinExec => bhj += 1
       case _: SortMergeJoinExec => smj += 1
@@ -67,10 +74,17 @@ class RegistryPlanLintSpec extends SparkSpec {
       case w: WindowExec => if (w.partitionSpec.isEmpty) gwin += 1 else win += 1
       case w: WindowGroupLimitExec => if (w.partitionSpec.isEmpty) gwgl += 1 else wgl += 1
       case _: InMemoryTableScanExec => cache += 1
+      case f: FileSourceScanExec =>
+        val table = f.relation.location.rootPaths.headOption
+          .map(_.getName.stripSuffix(".parquet")).getOrElse("?")
+        scans += s"$table{${f.requiredSchema.fieldNames.sorted.mkString(",")}|f=${f.dataFilters.size}}"
       case _ => ()
     })
+    val scanSig = scans.groupBy(identity).toSeq.sortBy(_._1)
+      .map { case (s, l) => if (l.size == 1) s else s"$s×${l.size}" }.mkString(";")
     s"bhj=$bhj smj=$smj shj=$shj bnlj=$bnlj cart=$cart xchg=$xchg " +
-      s"bcast=$bcast win=$win gwin=$gwin wgl=$wgl gwgl=$gwgl cache=$cache"
+      s"bcast=$bcast win=$win gwin=$gwin wgl=$wgl gwgl=$gwgl cache=$cache " +
+      s"scans=$scanSig"
   }
 
   private case class Sweep(
