@@ -304,6 +304,36 @@ object OperatorProps extends Properties("graft.ops") {
       Prop(folded == oneShot && oneShot == direct)
     }
 
+  property("CDC incremental apply over order-respecting batches == one-shot apply") =
+    // pins applyCdc's documented contract (Cdc.scala scaladoc): deletes are
+    // NOT retained as tombstones, so chaining per-batch applies is
+    // equivalent to one global apply exactly when batch boundaries respect
+    // the order column — which this generator guarantees (batches are
+    // contiguous ts ranges). forAllNoShrink: batch count and row count are
+    // coupled through the range split.
+    Prop.forAllNoShrink(
+      Gen.choose(1, 4),
+      Gen.listOfN(30, for {
+        key <- Gen.choose(0, 3)
+        op <- Gen.frequency(2 -> Gen.const("U"), 1 -> Gen.const("I"), 1 -> Gen.const("D"))
+        v <- Gen.choose(0, 100)
+      } yield (key, op, v)),
+      Gen.listOfN(4, Gen.choose(0, 100))) { (kB, opRows, baseVs) =>
+      val base = baseVs.zipWithIndex.map { case (v, k) => (k, v.toLong, -1L) }
+        .toDF("k", "v", "ts")
+      val ops = opRows.zipWithIndex.map { case ((k, op, v), i) => (k, v.toLong, i.toLong, op) }
+        .toDF("k", "v", "ts", "op")
+      val oneShot = Cdc.applyCdc(base, ops, Seq("k"), Seq(col("ts")))
+        .as[(Int, Long, Long)].collect().toSet
+      val n = opRows.size
+      val folded = (0 until kB).foldLeft(base) { (state, b) =>
+        val lo = b.toLong * n / kB; val hi = (b + 1).toLong * n / kB
+        Cdc.applyCdc(state, ops.filter(col("ts") >= lo && col("ts") < hi),
+          Seq("k"), Seq(col("ts")))
+      }.as[(Int, Long, Long)].collect().toSet
+      Prop(folded == oneShot)
+    }
+
   property("count-min grids are batch-split invariant; estimates dominate exact counts") =
     Prop.forAll(
       Gen.listOfN(40, for {
