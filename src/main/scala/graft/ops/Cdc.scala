@@ -76,6 +76,61 @@ object Cdc {
       .drop("__rn", "__pri", "__op")
   }
 
+  /** Snapshot diff — the INVERSE of [[applyCdc]]: given two full keyed
+    * snapshots (old and new corpus versions), emit the implied change log —
+    * one row per key that was Inserted (only in new), Deleted (only in
+    * old), or Updated (in both with any `compareCols` value differing,
+    * null-safely). Unchanged keys emit nothing, so the output is sized by
+    * the CHURN, not the corpus. This is the dataset-versioning audit every
+    * corpus refresh needs (which documents entered / left / changed between
+    * two crawls) and the bridge back to the CDC world: feeding the diff to
+    * [[applyCdc]] reconstructs `new` from `old` exactly (round-trip pinned
+    * in `OperatorProps`).
+    *
+    * Output: `keys`, `op` ∈ {I, U, D}, each compare column carrying the
+    * CURRENT payload (new value for I/U, old value for D — the shape
+    * [[applyCdc]] consumes), plus `<c>_old` audit columns (old value; NULL
+    * for I).
+    *
+    * Scale shape: ONE full-outer shuffle join on the key — both sides move
+    * once, or zero bytes when the snapshots are stored bucketed by the key
+    * ([[Sources.writeBucketed]], the layout a versioned corpus store should
+    * use anyway). Comparison is row-local (`<=>` per column, no window, no
+    * second pass); pass a fingerprint column (e.g. `md5(text)`) instead of
+    * wide payloads to keep the shuffled row narrow.
+    *
+    * Presence is tracked with explicit marker columns, not payload
+    * null-ness, so keys whose compare columns are legitimately NULL
+    * classify correctly (NULL vs NULL = unchanged; NULL vs value = U).
+    */
+  def snapshotDiff(
+      oldSnap: DataFrame,
+      newSnap: DataFrame,
+      keys: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    val o = oldSnap
+      .select(keys.map(col) ++ compareCols.map(c => col(c).as(s"__o_$c")): _*)
+      .withColumn("__in_old", lit(1))
+    val n = newSnap
+      .select(keys.map(col) ++ compareCols.map(c => col(c).as(s"__n_$c")): _*)
+      .withColumn("__in_new", lit(1))
+    val changed = compareCols
+      .map(c => !(col(s"__o_$c") <=> col(s"__n_$c")))
+      .reduce(_ || _)
+    o.join(n, keys, "full_outer")
+      .withColumn(
+        "op",
+        when(col("__in_old").isNull, lit("I"))
+          .when(col("__in_new").isNull, lit("D"))
+          .when(changed, lit("U")))
+      .filter(col("op").isNotNull)
+      .select(
+        keys.map(col) ++ Seq(col("op")) ++
+          compareCols.map(c =>
+            when(col("op") === "D", col(s"__o_$c")).otherwise(col(s"__n_$c")).as(c)) ++
+          compareCols.map(c => col(s"__o_$c").as(s"${c}_old")): _*)
+  }
+
   /** Slowly-changing-dimension type-2 history: every change row becomes a
     * VERSION with a validity interval — `valid_from` = its own `tsCol`,
     * `valid_to` = the next version's `tsCol` (NULL while current),

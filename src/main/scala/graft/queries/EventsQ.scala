@@ -412,6 +412,44 @@ object EventsQ {
                WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)""")),
 
     QDef(
+      "cdc_snapshot_diff",
+      // dataset versioning — the inverse CDC direction: diff two corpus
+      // snapshots (crawl A missed every 5th doc, crawl B misses every 7th
+      // and re-extracted every 11th with changed bytes) into the implied
+      // I/U/D change log, comparing md5 fingerprints so the full-outer
+      // join shuffles one narrow hash per doc, never the text payload.
+      // Output is sized by the CHURN; feeding it to Cdc.applyCdc rebuilds
+      // crawl B from crawl A exactly (round-trip pinned in OperatorProps).
+      // One key-shuffle join — zero bytes once snapshots are stored
+      // bucketed by doc_id (Cdc.snapshotDiff scaladoc)
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val oldSnap = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+          .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+        val newSnap = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+          .select(
+            col("doc_id"),
+            md5(when(pmod(col("doc_id"), lit(11)) === 0, concat(col("text"), lit(" ")))
+              .otherwise(col("text")).cast("binary")).as("fp"))
+        Cdc.snapshotDiff(oldSnap, newSnap, Seq("doc_id"), Seq("fp"))
+      },
+      Some("""WITH o AS (SELECT doc_id, md5(text) AS fp FROM documents
+                         WHERE doc_id % 5 <> 0),
+              n AS (SELECT doc_id,
+                      md5(CASE WHEN doc_id % 11 = 0 THEN text || ' '
+                          ELSE text END) AS fp
+                    FROM documents WHERE doc_id % 7 <> 0)
+              SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                CASE WHEN o.doc_id IS NULL THEN 'I'
+                     WHEN n.doc_id IS NULL THEN 'D'
+                     ELSE 'U' END AS op,
+                CASE WHEN n.doc_id IS NULL THEN o.fp ELSE n.fp END AS fp,
+                o.fp AS fp_old
+              FROM o FULL JOIN n ON n.doc_id = o.doc_id
+              WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+                 OR o.fp IS DISTINCT FROM n.fp""")),
+
+    QDef(
       "w21_cusum",
       // changepoint localization: per event_type, the event index where the
       // centered CUSUM deviation peaks — WHEN the value stream's mean

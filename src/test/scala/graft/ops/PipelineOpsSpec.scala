@@ -48,6 +48,37 @@ class PipelineOpsSpec extends SparkSpec {
       (3L, 302L, 7L, None, 2L, 1L)))
   }
 
+  test("Cdc.snapshotDiff: I/U/D classification, null-safe compare, payload shape") {
+    // k=1 unchanged (emits nothing); k=2 updated; k=3 deleted; k=4 inserted;
+    // k=5 NULL->NULL unchanged (presence flags, not payload nullness);
+    // k=6 NULL->value is an update
+    val oldSnap = Seq(
+      (1L, Option("a")), (2L, Option("b")), (3L, Option("c")),
+      (5L, Option.empty[String]), (6L, Option.empty[String]))
+      .toDF("k", "v")
+    val newSnap = Seq(
+      (1L, Option("a")), (2L, Option("B")), (4L, Option("d")),
+      (5L, Option.empty[String]), (6L, Option("now")))
+      .toDF("k", "v")
+    val out = Cdc.snapshotDiff(oldSnap, newSnap, Seq("k"), Seq("v"))
+      .select("k", "op", "v", "v_old")
+      .as[(Long, String, Option[String], Option[String])].collect().toSet
+    assert(out == Set(
+      (2L, "U", Some("B"), Some("b")),
+      (3L, "D", Some("c"), Some("c")),
+      (4L, "I", Some("d"), None),
+      (6L, "U", Some("now"), None)))
+  }
+
+  test("Cdc.snapshotDiff -> applyCdc round-trip rebuilds the new snapshot") {
+    val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val newSnap = Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("k", "v")
+    val diff = Cdc.snapshotDiff(oldSnap, newSnap, Seq("k"), Seq("v")).drop("v_old")
+    val rebuilt = Cdc.applyCdc(oldSnap, diff, Seq("k"), Seq(lit(0)))
+      .as[(Long, String)].collect().toSet
+    assert(rebuilt == newSnap.as[(Long, String)].collect().toSet)
+  }
+
   test("Funnel.steps: strict in-order matching, stalls keep later steps NULL") {
     // u1 completes A->B->C; u2 has B before A (stalls at A... B after? no B
     // after its A) -> only step1; u3 never does A -> 0 steps

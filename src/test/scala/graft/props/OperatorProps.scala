@@ -304,6 +304,21 @@ object OperatorProps extends Properties("graft.ops") {
       Prop(folded == oneShot && oneShot == direct)
     }
 
+  property("snapshotDiff -> applyCdc round-trip rebuilds the new snapshot") =
+    // the inverse-direction law: diff(old, new) fed back through applyCdc
+    // reconstructs new EXACTLY, for any pair of keyed snapshots including
+    // NULL payloads (null-safe compare) and disjoint/overlapping key sets
+    Prop.forAll(
+      Gen.mapOf(Gen.zip(Gen.choose(0, 9), Gen.option(Gen.choose(0, 5)))),
+      Gen.mapOf(Gen.zip(Gen.choose(0, 9), Gen.option(Gen.choose(0, 5))))) { (om, nm) =>
+      val oldSnap = (om.toSeq :+ (99, Option(0))).toDF("k", "v") // :+ keeps the frame non-empty
+      val newSnap = (nm.toSeq :+ (99, Option(0))).toDF("k", "v")
+      val diff = Cdc.snapshotDiff(oldSnap, newSnap, Seq("k"), Seq("v")).drop("v_old")
+      val rebuilt = Cdc.applyCdc(oldSnap, diff, Seq("k"), Seq(lit(0)))
+        .as[(Int, Option[Int])].collect().toSet
+      Prop(rebuilt == newSnap.as[(Int, Option[Int])].collect().toSet)
+    }
+
   property("CDC incremental apply over order-respecting batches == one-shot apply") =
     // pins applyCdc's documented contract (Cdc.scala scaladoc): deletes are
     // NOT retained as tombstones, so chaining per-batch applies is
