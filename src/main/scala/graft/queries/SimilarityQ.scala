@@ -528,6 +528,78 @@ object SimilarityQ {
                 ORDER BY cos DESC, vec_id) AS rnk FROM s) WHERE rnk <= 3""")),
 
     QDef(
+      "sim_label_noise",
+      // label-noise audit via neighborhood consensus (the confident-
+      // learning / cleanlab signal): for EVERY vector, its k=5 nearest
+      // same-cell neighbors by exact cosine vote on its label — a vector
+      // whose neighborhood majority disagrees is flagged suspect (likely
+      // mislabeled training data). Candidates are bounded by the fitted
+      // IVF cell (the sim_ivf machinery unchanged), so the pair count is
+      // corpus × cell-size, never corpus² — the same routing that makes
+      // every-vector auditing feasible at 100 TB; vectors in singleton
+      // cells have no neighbors and are absent (unauditable, stated).
+      // Determinism: exact-decimal dots, (cos desc, vec_id) total
+      // tiebreak, integer vote counts, one closing IEEE division
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"), col("label"))
+          .withColumn("n2", Vectors.norm2Exact(col("embedding")))
+        val ranked = Caches.trackPersist(graft.ml.IvfQuantizer.fitRanked(
+          e.select("vec_id", "embedding", "n2"), "vec_id", "embedding", "n2",
+          8, 2, sampleEvery = 4))
+        val cells = ranked.filter(col("cell_rank") === 1).select(col("vec_id"), col("cell"))
+        val m = Caches.trackPersist(e.join(cells, "vec_id"))
+        val a = m.select(col("cell"), col("vec_id").as("query_id"),
+          col("embedding").as("qe"), col("n2").as("qn2"), col("label").as("qlabel"))
+        val c = m.select(col("cell"), col("vec_id"),
+          col("embedding").as("ce"), col("n2").as("cn2"), col("label").as("clabel"))
+        c.join(a, Seq("cell"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("cos",
+            Vectors.cosineFrom(Vectors.dotExact(col("qe"), col("ce")), col("qn2"), col("cn2")))
+          .withColumn(
+            "rnk",
+            row_number().over(
+              Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))))
+          .filter(col("rnk") <= 5)
+          .groupBy("query_id", "qlabel")
+          .agg(
+            count(lit(1)).as("n_nb"),
+            sum((col("clabel") === col("qlabel")).cast("long")).as("n_agree"))
+          .select(
+            col("query_id").as("vec_id"), col("qlabel").as("label"),
+            col("n_nb"), col("n_agree"),
+            (col("n_agree").cast("double") / col("n_nb").cast("double")).as("agree_frac"),
+            (col("n_agree") * 2 < col("n_nb")).cast("long").as("suspect"))
+      },
+      Some(s"""WITH $normSql,
+           ${graft.ml.IvfQuantizer.lloydSql(8, 2, 64, sampleEvery = 4)},
+           m AS (SELECT a.vec_id, a.cell, e.embedding, e.label
+                 FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id),
+           d AS (SELECT q.vec_id AS query_id, q.label AS qlabel,
+                   c.vec_id, c.label AS clabel,
+                   ${Vectors.sqlDotExact("q.embedding", "c.embedding", "i.i")} AS dot
+                 FROM m q JOIN m c ON c.cell = q.cell AND c.vec_id <> q.vec_id,
+                      unnest(generate_series(1, 64)) AS i(i)
+                 GROUP BY 1, 2, 3, 4),
+           s AS (SELECT d.query_id, d.qlabel, d.vec_id, d.clabel,
+                   d.dot / nullif(sqrt(nq.n2) * sqrt(nc.n2), CAST(0.0 AS DOUBLE)) AS cos
+                 FROM d JOIN n nq ON nq.vec_id = d.query_id
+                      JOIN n nc ON nc.vec_id = d.vec_id),
+           r AS (SELECT query_id, qlabel, clabel,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, vec_id) AS rnk
+                 FROM s)
+           SELECT query_id AS vec_id, qlabel AS label,
+             CAST(count(*) AS BIGINT) AS n_nb,
+             CAST(sum(CASE WHEN clabel = qlabel THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+             CAST(sum(CASE WHEN clabel = qlabel THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS agree_frac,
+             CAST(2 * sum(CASE WHEN clabel = qlabel THEN 1 ELSE 0 END) < count(*)
+               AS BIGINT) AS suspect
+           FROM r WHERE rnk <= 5 GROUP BY 1, 2""")),
+
+    QDef(
       "sim_rrf_fusion",
       // hybrid retrieval: reciprocal-rank fusion of a DENSE ranker (exact
       // cosine over embeddings) and a SPARSE ranker (distinct-token Jaccard
