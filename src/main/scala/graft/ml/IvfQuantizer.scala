@@ -34,6 +34,40 @@ import org.apache.spark.sql.types.DecimalType
   */
 object IvfQuantizer {
 
+  /** Adaptive cell count for corpus-bounded cell sizes:
+    * k = max(kmin, ceil(n / targetCell)). The operating rule for
+    * every-vector audits (the label-noise shape): a FIXED k makes the
+    * within-cell candidate set n/k — so an all-cells self-join enumerates
+    * ~n²/k pairs, quadratic with a constant. Deriving k from the corpus
+    * count pins cell size at ≤ ~targetCell, so total audit candidates are
+    * n·targetCell — linear. Same derivation pattern as
+    * [[graft.ops.Vectors.adaptiveSignBits]]: both engines compute k from
+    * count(*) with identical integer arithmetic (ceil as (n+c−1) div c),
+    * so the fitted cells stay bit-identical cross-engine.
+    *
+    * Residual cost terms under k ∝ n (spelled out, not hidden): the final
+    * full-corpus assignment scores n·k = n²/targetCell centroid pairs. It
+    * is shuffle-free (one broadcast of k·d centroid doubles, scored
+    * partition-locally) but FLOPs grow quadratically, and the broadcast
+    * table itself reaches ~n·d/targetCell doubles. Past the point where
+    * k·d stops being broadcastable (k ≈ 10⁷ cells at d=64 → ~5 GB),
+    * compose hierarchically: route through a √k-cell coarse quantizer
+    * first, then fit per-coarse-cell sub-quantizers (the grouped-fit
+    * machinery `grpCols` already runs G fits in one job) — routing cost
+    * returns to n·√k and each sub-fit sees a bounded slice.
+    */
+  def adaptiveK(n: Long, targetCell: Long, kmin: Int = 2): Int = {
+    require(targetCell >= 1, "targetCell must be >= 1")
+    math.max(kmin.toLong, (n + targetCell - 1) / targetCell).toInt
+  }
+
+  /** DuckDB scalar-subquery fragment mirroring [[adaptiveK]] — yields one
+    * row `(k)`; use as a CTE body (`kparam AS (...)`) and reference it as
+    * `(SELECT k FROM kparam)` in [[lloydSqlAtExpr]]'s `kExpr`.
+    */
+  def sqlAdaptiveK(table: String, targetCell: Long, kmin: Int = 2): String =
+    s"SELECT greatest($kmin, (count(*) + ${targetCell - 1}) // $targetCell) AS k FROM $table"
+
   /** Fit k cells with `iters` Lloyd updates and return the final
     * assignment (idCol, cell). `e` must carry the exact squared norm in
     * `n2Col` (see [[graft.ops.Vectors.norm2Exact]]).
@@ -171,13 +205,28 @@ object IvfQuantizer {
       dims: Int,
       sampleEvery: Int,
       sfx: String,
+      dimOffset: Int): String =
+    lloydSqlAtExpr(k.toString, iters, dims, sampleEvery, sfx, dimOffset)
+
+  /** [[lloydSqlAt]] with the cell count as a SQL scalar EXPRESSION instead
+    * of a compile-time literal — k only ever enters the chain through the
+    * seed cutoff `vec_id < k·sampleEvery`, so an [[adaptiveK]] scalar
+    * subquery (e.g. `(SELECT k FROM kparam)`) slots in directly and the
+    * rest of the Lloyd chain is k-agnostic.
+    */
+  def lloydSqlAtExpr(
+      kExpr: String,
+      iters: Int,
+      dims: Int,
+      sampleEvery: Int,
+      sfx: String,
       dimOffset: Int): String = {
     val sb = new StringBuilder
     sb.append(s"""comp$sfx AS (SELECT vec_id, i.i AS dim, CAST(embedding[i.i + $dimOffset] AS DOUBLE) AS x
            FROM embeddings, unnest(generate_series(1, $dims)) AS i(i)),
          fcomp$sfx AS (SELECT * FROM comp$sfx WHERE vec_id % $sampleEvery = 0),
          cent${sfx}0 AS (SELECT vec_id AS cell, dim, CAST(CAST(x AS DECIMAL(38,9)) AS DOUBLE) AS s
-                   FROM fcomp$sfx WHERE vec_id < ${k.toLong * sampleEvery})""")
+                   FROM fcomp$sfx WHERE vec_id < $kExpr * $sampleEvery)""")
     for (t <- 0 to iters) {
       // Lloyd passes (t < iters) scan only the fit sample; the final pass
       // (t = iters) assigns the FULL corpus against the fitted centroids

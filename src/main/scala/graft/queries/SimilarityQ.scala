@@ -534,19 +534,30 @@ object SimilarityQ {
       // same-cell neighbors by exact cosine vote on its label — a vector
       // whose neighborhood majority disagrees is flagged suspect (likely
       // mislabeled training data). Candidates are bounded by the fitted
-      // IVF cell (the sim_ivf machinery unchanged), so the pair count is
-      // corpus × cell-size, never corpus² — the same routing that makes
-      // every-vector auditing feasible at 100 TB; vectors in singleton
-      // cells have no neighbors and are absent (unauditable, stated).
-      // Determinism: exact-decimal dots, (cos desc, vec_id) total
-      // tiebreak, integer vote counts, one closing IEEE division
+      // IVF cell, and — unlike the query-time sim_ivf searches, where a
+      // fixed cell count only multiplies a handful of queries — the cell
+      // count here is ADAPTIVE: k = max(2, ceil(n/64)) derived from
+      // count(*) by both engines (IvfQuantizer.adaptiveK — the
+      // adaptiveSignBits pattern), pinning cell size at ~64 so the
+      // all-cells self-join enumerates ~64·n pairs, LINEAR in the corpus
+      // (a fixed k would make it n²/k — see the adaptiveK scaladoc for
+      // the full cost model incl. the n·k assignment term and the
+      // hierarchical composition past broadcastable k). At the test SFs
+      // n=500 → k=8 (the originally blessed fit, bit-identical); n=2000
+      // → k=32. Vectors in singleton cells have no neighbors and are
+      // absent (unauditable, stated). Determinism: exact-decimal dots,
+      // (cos desc, vec_id) total tiebreak, integer vote counts, one
+      // closing IEEE division
       (s, d) => {
         val e = t(s, d, "embeddings")
           .select(col("vec_id"), col("embedding"), col("label"))
           .withColumn("n2", Vectors.norm2Exact(col("embedding")))
+        // parquet-footer count (no column scan) → the same k the oracle's
+        // kparam scalar subquery derives
+        val k = graft.ml.IvfQuantizer.adaptiveK(t(s, d, "embeddings").count(), 64)
         val ranked = Caches.trackPersist(graft.ml.IvfQuantizer.fitRanked(
           e.select("vec_id", "embedding", "n2"), "vec_id", "embedding", "n2",
-          8, 2, sampleEvery = 4))
+          k, 2, sampleEvery = 4))
         val cells = ranked.filter(col("cell_rank") === 1).select(col("vec_id"), col("cell"))
         val m = Caches.trackPersist(e.join(cells, "vec_id"))
         val a = m.select(col("cell"), col("vec_id").as("query_id"),
@@ -573,7 +584,9 @@ object SimilarityQ {
             (col("n_agree") * 2 < col("n_nb")).cast("long").as("suspect"))
       },
       Some(s"""WITH $normSql,
-           ${graft.ml.IvfQuantizer.lloydSql(8, 2, 64, sampleEvery = 4)},
+           kparam AS (${graft.ml.IvfQuantizer.sqlAdaptiveK("embeddings", 64)}),
+           ${graft.ml.IvfQuantizer.lloydSqlAtExpr(
+        "(SELECT k FROM kparam)", 2, 64, sampleEvery = 4, sfx = "", dimOffset = 0)},
            m AS (SELECT a.vec_id, a.cell, e.embedding, e.label
                  FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id),
            d AS (SELECT q.vec_id AS query_id, q.label AS qlabel,
