@@ -982,15 +982,17 @@ object EventsQ {
       // would rank every user through one window task; the thresholds
       // come from the two-phase exactQuantiles over the user-grain frame
       // and broadcast back, so scoring is a per-row comparison chain.
-      // Scale note (exactQuantiles' distinct-cardinality contract): the
-      // recency/frequency axes are small integers (day counts, session
-      // counts — repetitive, sub-linear distinct frames), but MONETARY is
-      // a per-user decimal sum (~all-distinct): at billions of users its
-      // threshold window is the probed degraded regime — quantize to
-      // cents (floor(monetary*100)/100, the binaryAuc.scoreScale move)
-      // before thresholding there; cent-grain quintile edges are the
-      // product semantics anyway. 5 = best on every axis
-      // (recent/frequent/big); rfm_code packs the three digits
+      // Every axis is SUB-LINEAR-DISTINCT by construction (exactQuantiles'
+      // distinct-cardinality contract): recency/frequency are small
+      // integers (day counts, session counts), and MONETARY — a per-user
+      // decimal sum that would otherwise be ~all-distinct at billions of
+      // users, the probed degraded regime — is quantized to CENTS at the
+      // aggregate (floor(sum·100)/100, the binaryAuc.scoreScale move:
+      // floor is engine-exact on identical doubles), so its threshold
+      // window sees at most range/0.01 distinct values; cent-grain money
+      // and cent-grain quintile edges are the product semantics anyway.
+      // 5 = best on every axis (recent/frequent/big); rfm_code packs the
+      // three digits
       (s, d) => {
         val anchorUs = 1706745600000000L // 2024-02-01T00:00Z, past the data window
         val sess = Segments.gapSessions(
@@ -1000,7 +1002,8 @@ object EventsQ {
           .agg(
             max("ts_us").as("last_ts"),
             countDistinct("session_idx").as("n_sessions"),
-            Exact.dsum(col("value")).as("monetary"))
+            (floor(Exact.dsum(col("value")) * lit(100.0d)).cast("double")
+              / lit(100.0d)).as("monetary"))
           .withColumn("recency_days", expr(s"($anchorUs - last_ts) DIV $usPerDay"))
           // quantile/scoring inputs pre-cast to double so the interpolation
           // and comparisons run in ONE type in both engines
@@ -1080,7 +1083,8 @@ object EventsQ {
                    FROM b),
             u AS (SELECT user_id, max(ts_us) AS last_ts,
                     CAST(count(DISTINCT session_idx) AS BIGINT) AS n_sessions,
-                    ${Exact.sqlDsum("value")} AS monetary
+                    floor(${Exact.sqlDsum("value")} * CAST(100 AS DOUBLE))
+                      / CAST(100 AS DOUBLE) AS monetary
                   FROM sx GROUP BY 1),
             u2 AS (SELECT user_id, ($anchorUs - last_ts) // $usPerDay AS recency_days,
                      n_sessions, monetary FROM u),
