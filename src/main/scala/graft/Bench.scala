@@ -120,7 +120,7 @@ object Bench {
       // flag ships separately (drainTimedOutP2); secs are unaffected either
       // way (drain waits run outside the timed window).
       (name, secs, p1.secs, p2.secs, p1.bytes, p1.stages,
-        (p1.drainTimedOut, p2.drainTimedOut), p1.err.orElse(p2.err))
+        (p1.drainTimedOut, p2.drainTimedOut), (p1.err, p2.err))
     }
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
@@ -133,24 +133,37 @@ object Bench {
     } + "\""
     val qs = results.map { case (k, v, _, _, _, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // a query is FAILED only when BOTH passes threw (the headline secs then
+    // has no successful pass behind it); exactly one errored pass is FLAKY —
+    // the min comes from the clean pass, so it must not paint the round red,
+    // but the transient ships per-pass (err_p1/err_p2) for attribution
     val qstats = results
-      .map { case (k, v, v1, v2, b, st, (to1, to2), err) =>
-        val errField = err.map(m => s""","err":${jstr(m)}""").getOrElse("")
+      .map { case (k, v, v1, v2, b, st, (to1, to2), (e1, e2)) =>
+        val errField =
+          if (e1.nonEmpty && e2.nonEmpty) s""","err":${jstr(e1.get)}""" else ""
+        val perPass = e1.map(m => s""","err_p1":${jstr(m)}""").getOrElse("") +
+          e2.map(m => s""","err_p2":${jstr(m)}""").getOrElse("")
+        val flakyField =
+          if (e1.nonEmpty != e2.nonEmpty) s""","flaky":true""" else ""
         s"\"" + k +
           s"""\":{"secs":$v,"secs_p1":$v1,"secs_p2":$v2,""" +
           s""""shuffleBytes":$b,"stages":$st,"drainTimedOut":$to1,""" +
-          s""""drainTimedOutP2":$to2$errField}"""
+          s""""drainTimedOutP2":$to2$errField$perPass$flakyField}"""
       }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val drainTimeouts = results.count(_._7._1)
-    val errCount = results.count(_._8.nonEmpty)
+    val errCount = results.count(r => r._8._1.nonEmpty && r._8._2.nonEmpty)
+    val flakyCount = results.count(r => r._8._1.nonEmpty != r._8._2.nonEmpty)
     if (errCount > 0)
-      System.err.println(s"[bench] $errCount queries FAILED: " +
-        results.filter(_._8.nonEmpty).map(_._1).mkString(", "))
+      System.err.println(s"[bench] $errCount queries FAILED (both passes): " +
+        results.filter(r => r._8._1.nonEmpty && r._8._2.nonEmpty).map(_._1).mkString(", "))
+    if (flakyCount > 0)
+      System.err.println(s"[bench] $flakyCount queries flaky (one pass errored): " +
+        results.filter(r => r._8._1.nonEmpty != r._8._2.nonEmpty).map(_._1).mkString(", "))
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""queryStats":$qstats,"drainTimeouts":$drainTimeouts,""" +
-      s""""errors":$errCount,"sf":"$sfDir"}"""
+      s""""errors":$errCount,"flaky":$flakyCount,"sf":"$sfDir"}"""
     // Write the file copies FIRST: a tail-limited stdout capture window has
     // twice clipped the full per-query line from the front (r2, r6 verdicts),
     // so the complete telemetry must exist on disk regardless of what
@@ -176,7 +189,8 @@ object Bench {
     // alone: drainTimeouts flags bleed-prone telemetry, errors flags thrown
     // queries (fake-fast totals otherwise read as a speedup)
     val summary = s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""drainTimeouts":$drainTimeouts,"errors":$errCount,"sf":"$sfDir"}"""
+      s""""drainTimeouts":$drainTimeouts,"errors":$errCount,""" +
+      s""""flaky":$flakyCount,"sf":"$sfDir"}"""
     println(summary)
     System.err.println(summary)
     spark.stop()

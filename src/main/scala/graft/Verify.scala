@@ -26,6 +26,15 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // both flagships smoke-checked up front (the driver's entry contract):
+    // a broken events OR documents table fails loudly here, before the
+    // full dump burns an hour. Skipped under a query filter (fast-iteration
+    // path) — the full gate is what the driver runs.
+    if (only.isEmpty) {
+      require(SparkEntry.entry(spark).count() > 0, "entry() returned 0 rows")
+      require(SparkEntry.entryDocs(spark).count() > 0, "entryDocs() returned 0 rows")
+      graft.ops.Caches.releaseAll()
+    }
     new java.io.File(outDir).mkdirs()
     // a thrown query must surface as a red row in the round artifacts, never
     // a silent omission: round 7's events-schema drift erased 42 queries

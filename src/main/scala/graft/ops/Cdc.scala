@@ -102,6 +102,8 @@ object Cdc {
     * Presence is tracked with explicit marker columns, not payload
     * null-ness, so keys whose compare columns are legitimately NULL
     * classify correctly (NULL vs NULL = unchanged; NULL vs value = U).
+    * Empty `compareCols` degrades to a presence-only diff: I and D rows
+    * by key membership, never U.
     */
   def snapshotDiff(
       oldSnap: DataFrame,
@@ -114,9 +116,11 @@ object Cdc {
     val n = newSnap
       .select(keys.map(col) ++ compareCols.map(c => col(c).as(s"__n_$c")): _*)
       .withColumn("__in_new", lit(1))
+    // empty compareCols is the presence-only diff (I/D by key, no U rows):
+    // fold from false rather than reduce, which would throw on Nil
     val changed = compareCols
       .map(c => !(col(s"__o_$c") <=> col(s"__n_$c")))
-      .reduce(_ || _)
+      .foldLeft(lit(false))(_ || _)
     o.join(n, keys, "full_outer")
       .withColumn(
         "op",

@@ -258,4 +258,46 @@ object Sources {
     }
     nOut
   }
+
+  /** Partition retention sweep — the lifecycle op a versioned corpus store
+    * needs alongside [[compactParquet]]: drop every `partCol=value/`
+    * directory of a [[writePartitioned]] layout whose value sorts BELOW
+    * `keepFrom`, purely from the partition listing (no file is opened, no
+    * data scanned — deletion cost is #dropped directories, which is the
+    * whole point of retiring data by partition instead of by row).
+    * Returns the dropped partition values.
+    *
+    * Comparison is lexicographic on the unescaped partition value — exact
+    * for the canonical retention keys (zero-padded ISO dates/hours, the
+    * hive convention); zero-pad numeric keys at write time or they sort
+    * as strings here ("9" > "10"). Safety: refuses to drop the LAST
+    * partition unless `allowEmpty` — a mis-set cutoff (far-future date)
+    * must not silently empty the table. Dropping is irreversible; in a
+    * store that pairs this with [[graft.ops.Cdc.snapshotDiff]] versioning,
+    * sweep only partitions older than the last blessed snapshot.
+    */
+  def retentionSweep(
+      spark: SparkSession,
+      path: String,
+      partCol: String,
+      keepFrom: String,
+      allowEmpty: Boolean = false): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pfx = partCol + "="
+    val parts = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(pfx))
+      .map { s =>
+        val v = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(s.getPath.getName.stripPrefix(pfx))
+        (s.getPath, v)
+      }
+    require(parts.nonEmpty, s"retentionSweep: no $pfx* partitions under $path")
+    val (drop, keep) = parts.partition(_._2 < keepFrom)
+    require(allowEmpty || keep.nonEmpty,
+      s"retentionSweep would drop ALL ${parts.size} partitions under $path " +
+        s"(keepFrom=$keepFrom > max=${parts.map(_._2).max}); pass allowEmpty=true if intended")
+    drop.foreach { case (p, _) => fs.delete(p, true) }
+    drop.map(_._2).sorted
+  }
 }

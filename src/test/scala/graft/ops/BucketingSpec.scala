@@ -90,6 +90,30 @@ class BucketingSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 400)
   }
 
+  test("retentionSweep drops exactly the below-cutoff partitions, guards the empty sweep") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_retention").toString
+    val days = Seq("2024-01-05", "2024-01-06", "2024-01-07", "2024-01-08")
+    val df = (0L until 400L).map(i => (i, days((i % 4).toInt), i * 3))
+      .toDF("doc_id", "dt", "payload")
+    Sources.writePartitioned(df, dir, Seq("dt"))
+    // drop everything before the 7th: two partitions go, two stay
+    val dropped = Sources.retentionSweep(spark, dir, "dt", keepFrom = "2024-01-07")
+    assert(dropped == Seq("2024-01-05", "2024-01-06"))
+    val left = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(left.toSeq == Seq("dt=2024-01-07", "dt=2024-01-08"))
+    assert(spark.read.parquet(dir).count() == 200)
+    // idempotent: nothing below the cutoff remains
+    assert(Sources.retentionSweep(spark, dir, "dt", "2024-01-07").isEmpty)
+    // a cutoff past every partition refuses without allowEmpty...
+    intercept[IllegalArgumentException] {
+      Sources.retentionSweep(spark, dir, "dt", "2025-01-01")
+    }
+    assert(spark.read.parquet(dir).count() == 200) // ...and deleted nothing
+    // ...and empties the table when explicitly allowed
+    val all = Sources.retentionSweep(spark, dir, "dt", "2025-01-01", allowEmpty = true)
+    assert(all == Seq("2024-01-07", "2024-01-08"))
+  }
+
   test("zValue interleaves bits (Morton order)") {
     val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (255L, 255L))
       .toDF("x", "y")

@@ -70,6 +70,15 @@ class PipelineOpsSpec extends SparkSpec {
       (6L, "U", Some("now"), None)))
   }
 
+  test("Cdc.snapshotDiff: empty compareCols is a presence-only I/D diff") {
+    val oldSnap = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val newSnap = Seq((1L, "CHANGED"), (3L, "c")).toDF("k", "v")
+    val out = Cdc.snapshotDiff(oldSnap, newSnap, Seq("k"), Nil)
+      .select("k", "op").as[(Long, String)].collect().toSet
+    // k=1 present on both sides: never U without compare columns
+    assert(out == Set((2L, "D"), (3L, "I")))
+  }
+
   test("Cdc.snapshotDiff -> applyCdc round-trip rebuilds the new snapshot") {
     val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
     val newSnap = Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("k", "v")

@@ -551,6 +551,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupDedupStream: green under the RocksDB state-store provider (the cluster pick)") {
+    // the round-8 probe (tools/rocksdb_probe.scala, BASELINE.md) named
+    // RocksDB the cluster provider: ~1.6× faster ingest and no in-heap
+    // state OOM risk. The switch is one session conf read at query start —
+    // this run pins that the chained dual-stateful plan (dedup → windowed
+    // count) stays semantically identical under it, so the toggle is a
+    // supported config, not a hope.
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val a = "the quick brown fox jumps over the lazy dog"
+    val b = "pack my box with five dozen liquor jugs"
+    val c = "sphinx of black quartz judge my vow"
+    val batch = Seq(
+      (ts(1), 2L, a), (ts(2), 1L, a),
+      (ts(3), 3L, b), (ts(4), 4L, b),
+      (ts(5), 5L, c))
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val df = input.toDF().toDF("ts", "doc_id", "text")
+    val q = Streaming.nearDupDedupStream(
+      df, "ts", "doc_id", "text", shingleK = 3, nHashes = 8, nBands = 4,
+      watermarkDelay = "10 seconds", windowLength = "1 minute")
+      .writeStream.format("memory").queryName("neardup_rocksdb").outputMode("append").start()
+    try {
+      input.addData(batch: _*); q.processAllAvailable()
+      input.addData((ts(600), 99L, "totally unrelated watermark pusher text here"))
+      q.processAllAvailable()
+      val kept = spark.table("neardup_rocksdb").as[(Long, Long)].collect().toMap
+      assert(kept.keySet == Set(1L, 3L, 5L), s"RocksDB run kept ${kept.keySet}")
+      assert(kept.values.forall(_ == 4L))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("exactDedupStream keeps the first doc per fingerprint within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
