@@ -68,6 +68,26 @@ object IvfQuantizer {
   def sqlAdaptiveK(table: String, targetCell: Long, kmin: Int = 2): String =
     s"SELECT greatest($kmin, (count(*) + ${targetCell - 1}) // $targetCell) AS k FROM $table"
 
+  /** Per-LEVEL cell count for the TWO-LEVEL hierarchical fit:
+    * k = max(kmin, ceil(√(n/targetCell))) — k coarse cells × k sub-cells
+    * per coarse cell ≈ n/targetCell leaf cells, so leaf size stays
+    * ~targetCell like [[adaptiveK]], but routing scores only k + k
+    * centroids per vector instead of n/targetCell: assignment cost is
+    * n·2√(n/c), sub-quadratic, and each level's centroid table is √ the
+    * flat one. Cross-engine exact: n/c is a double division and sqrt/ceil
+    * are correctly rounded IEEE ops in both engines, so the derived k is
+    * identical (no decimal tie surface — the inputs are integers).
+    */
+  def hierK(n: Long, targetCell: Long = 64L, kmin: Int = 2): Int = {
+    require(targetCell >= 1, "targetCell must be >= 1")
+    math.max(kmin, math.ceil(math.sqrt(n.toDouble / targetCell.toDouble)).toInt)
+  }
+
+  /** DuckDB scalar-subquery fragment mirroring [[hierK]]. */
+  def sqlHierK(table: String, targetCell: Long = 64L, kmin: Int = 2): String =
+    s"""SELECT greatest($kmin, CAST(ceil(sqrt(CAST(count(*) AS DOUBLE)
+          / CAST($targetCell AS DOUBLE))) AS BIGINT)) AS k FROM $table"""
+
   /** Fit k cells with `iters` Lloyd updates and return the final
     * assignment (idCol, cell). `e` must carry the exact squared norm in
     * `n2Col` (see [[graft.ops.Vectors.norm2Exact]]).
@@ -80,10 +100,42 @@ object IvfQuantizer {
       k: Int,
       iters: Int,
       sampleEvery: Int = 1,
-      grpCols: Seq[String] = Nil): DataFrame =
-    fitRanked(e, idCol, vecCol, n2Col, k, iters, sampleEvery, grpCols)
+      grpCols: Seq[String] = Nil,
+      seedPerGroup: Boolean = false): DataFrame =
+    fitRanked(e, idCol, vecCol, n2Col, k, iters, sampleEvery, grpCols, seedPerGroup)
       .filter(col("cell_rank") === 1)
       .select(grpCols.map(col) ++ Seq(col(idCol), col("cell")): _*)
+
+  /** TWO-LEVEL hierarchical fit — the composition [[adaptiveK]]'s scaladoc
+    * names for cell counts past the flat regime: a k-cell coarse fit
+    * routes the corpus, then ONE grouped job fits k sub-cells inside each
+    * coarse cell (per-group seeds), giving ~k² leaf cells at per-vector
+    * routing cost 2k centroid scorings instead of k². With
+    * k = [[hierK]](n, c), leaf size stays ~c while assignment work grows
+    * n·2√(n/c) — sub-quadratic — and both levels' Lloyd passes still scan
+    * only the systematic samples. Returns (grpCols…, idCol, ccell, scell);
+    * a leaf is the (ccell, scell) PAIR (sub-cell labels are per-group seed
+    * ids, unique only within their coarse cell). Vectors whose coarse cell
+    * has no level-2 fit-sample members drop from the output (see
+    * [[fitRanked]]'s seedPerGroup contract — pick se2 ≪ n/k).
+    */
+  def fitAssignHier(
+      e: DataFrame,
+      idCol: String,
+      vecCol: String,
+      n2Col: String,
+      k: Int,
+      iters: Int,
+      se1: Int,
+      se2: Int): DataFrame = {
+    val coarse = fitAssign(e, idCol, vecCol, n2Col, k, iters, se1)
+      .withColumnRenamed("cell", "ccell")
+    val withC = e.join(coarse, idCol)
+    fitAssign(withC, idCol, vecCol, n2Col, k, iters, se2,
+      grpCols = Seq("ccell"), seedPerGroup = true)
+      .withColumnRenamed("cell", "scell")
+      .select(col(idCol), col("ccell"), col("scell"))
+  }
 
   /** Like [[fitAssign]] but returns the FULL final cell ranking per vector
     * (idCol, cell, cell_rank ordered by cosine desc, cell asc) — rank 1 is
@@ -97,6 +149,18 @@ object IvfQuantizer {
     * same per-group math bit-for-bit because every centroid sum, cosine and
     * argmax is keyed by the group).
     */
+  /** `seedPerGroup`: the default seed rule takes the k lowest-id fit
+    * vectors GLOBALLY (`__id < k·sampleEvery` — correct when every group
+    * contains every id, i.e. the PQ-subspace grouping, and the rule the
+    * blessed oracles replicate). For DATA-DRIVEN groups (hierarchical
+    * fits: grpCols = the coarse cell), low ids need not appear in every
+    * group — per-group seeding takes each group's k lowest-id fit vectors
+    * via row_number instead, so every group with ≥1 fit member gets
+    * centroids. Groups with FEWER than k fit members fit that many cells;
+    * groups with ZERO fit members get none and their vectors drop from
+    * the assignment (pick sampleEvery so every group keeps samples — at
+    * coarse-cell sizes ~n/k1 this needs se ≪ n/k1).
+    */
   def fitRanked(
       e: DataFrame,
       idCol: String,
@@ -105,8 +169,10 @@ object IvfQuantizer {
       k: Int,
       iters: Int,
       sampleEvery: Int = 1,
-      grpCols: Seq[String] = Nil): DataFrame = {
+      grpCols: Seq[String] = Nil,
+      seedPerGroup: Boolean = false): DataFrame = {
     require(sampleEvery >= 1, "sampleEvery must be >= 1")
+    require(!seedPerGroup || grpCols.nonEmpty, "seedPerGroup needs grpCols")
     val g = grpCols.map(col)
     // corpus view: (grp?, id, vec, n2). Persisted — scanned once per
     // assignment and once per update.
@@ -130,8 +196,14 @@ object IvfQuantizer {
     // sums because both are exact at these magnitudes.
     val quantize = s"x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,9)) AS DOUBLE)"
     // seeds: the k lowest-id sample vectors — ids 0, s, …, (k−1)·s on a
-    // dense corpus, so the cutoff k·s is oracle-expressible as a literal
-    val cent0 = fit.filter(col("__id") < k.toLong * sampleEvery)
+    // dense corpus, so the cutoff k·s is oracle-expressible as a literal;
+    // per-group seeding ranks ids within each group instead (see scaladoc)
+    val cent0 = (if (seedPerGroup)
+      fit.withColumn(
+        "__srn",
+        row_number().over(Window.partitionBy(g: _*).orderBy(col("__id"))))
+        .filter(col("__srn") <= k)
+    else fit.filter(col("__id") < k.toLong * sampleEvery))
       .select(g ++ Seq(
         col("__id").as("cell"), expr(s"transform(__v, $quantize)").as("__sv")): _*)
 
@@ -247,6 +319,66 @@ object IvfQuantizer {
     sb.append(s""",
          assigned$sfx AS (SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM a$sfx$iters),
          cellranks$sfx AS (SELECT vec_id, CAST(cell AS BIGINT) AS cell, CAST(rn AS BIGINT) AS rn
+                       FROM ranked$sfx$iters)""")
+    sb.toString
+  }
+
+  /** DuckDB CTE chain mirroring the GROUPED fit with PER-GROUP seeds
+    * (`fitRanked(grpCols, seedPerGroup = true)` — the level-2 stage of
+    * [[fitAssignHier]]): every Lloyd CTE carries the vector's group, the
+    * seeds are each group's k lowest-id fit-sample vectors (row_number,
+    * exactly the Spark rule), and the chain emits
+    * `assigned$sfx(vec_id, grp, cell)` / `cellranks$sfx`. Expects two CTEs
+    * in scope: `$gmapCte(vec_id, grp)` — the group of every vector (for
+    * the hierarchical fit: level 1's `assigned`) — and `$normCte(vec_id,
+    * n2)` with the exact squared norms. `kExpr` is a SQL scalar (literal
+    * or [[hierK]] subquery).
+    */
+  def lloydSqlGrouped(
+      kExpr: String,
+      iters: Int,
+      dims: Int,
+      sampleEvery: Int,
+      sfx: String,
+      gmapCte: String,
+      normCte: String): String = {
+    val sb = new StringBuilder
+    sb.append(s"""comp$sfx AS (SELECT gm.grp, e.vec_id, i.i AS dim, CAST(e.embedding[i.i] AS DOUBLE) AS x
+           FROM embeddings e JOIN $gmapCte gm ON gm.vec_id = e.vec_id,
+                unnest(generate_series(1, $dims)) AS i(i)),
+         fcomp$sfx AS (SELECT * FROM comp$sfx WHERE vec_id % $sampleEvery = 0),
+         seed$sfx AS (SELECT grp, vec_id FROM (
+                 SELECT grp, vec_id,
+                   row_number() OVER (PARTITION BY grp ORDER BY vec_id) AS srn
+                 FROM (SELECT DISTINCT grp, vec_id FROM fcomp$sfx))
+               WHERE srn <= $kExpr),
+         cent${sfx}0 AS (SELECT f.grp, f.vec_id AS cell, f.dim,
+                   CAST(CAST(f.x AS DECIMAL(38,9)) AS DOUBLE) AS s
+                 FROM fcomp$sfx f JOIN seed$sfx sd
+                   ON sd.grp = f.grp AND sd.vec_id = f.vec_id)""")
+    for (t <- 0 to iters) {
+      val compT = if (t < iters) s"fcomp$sfx" else s"comp$sfx"
+      sb.append(s""",
+         ns$sfx$t AS (SELECT grp, cell, CAST(sum(CAST(s * s AS DECIMAL(38,4))) AS DOUBLE) AS ns2
+                  FROM cent$sfx$t GROUP BY 1, 2),
+         dots$sfx$t AS (SELECT c.grp, c.vec_id, ct.cell,
+                    CAST(sum(CAST(c.x * ct.s AS DECIMAL(38,9))) AS DOUBLE) AS dot
+                  FROM $compT c JOIN cent$sfx$t ct ON ct.grp = c.grp AND ct.dim = c.dim
+                  GROUP BY 1, 2, 3),
+         ranked$sfx$t AS (SELECT d.grp, d.vec_id, d.cell, row_number() OVER (PARTITION BY d.vec_id
+                    ORDER BY d.dot / nullif(sqrt(nn.n2) * sqrt(ns.ns2), CAST(0.0 AS DOUBLE)) DESC,
+                      d.cell) AS rn
+                  FROM dots$sfx$t d JOIN $normCte nn ON nn.vec_id = d.vec_id
+                       JOIN ns$sfx$t ns ON ns.grp = d.grp AND ns.cell = d.cell),
+         a$sfx$t AS (SELECT grp, vec_id, cell FROM ranked$sfx$t WHERE rn = 1)""")
+      if (t < iters) sb.append(s""",
+         cent$sfx${t + 1} AS (SELECT a.grp, a.cell, c.dim, CAST(sum(CAST(c.x AS DECIMAL(38,9))) AS DOUBLE) AS s
+                          FROM fcomp$sfx c JOIN a$sfx$t a
+                            ON a.grp = c.grp AND a.vec_id = c.vec_id GROUP BY 1, 2, 3)""")
+    }
+    sb.append(s""",
+         assigned$sfx AS (SELECT vec_id, grp, CAST(cell AS BIGINT) AS cell FROM a$sfx$iters),
+         cellranks$sfx AS (SELECT vec_id, grp, CAST(cell AS BIGINT) AS cell, CAST(rn AS BIGINT) AS rn
                        FROM ranked$sfx$iters)""")
     sb.toString
   }

@@ -613,6 +613,91 @@ object SimilarityQ {
            FROM r WHERE rnk <= 5 GROUP BY 1, 2""")),
 
     QDef(
+      "sim_label_noise_hier",
+      // the same neighborhood-consensus audit routed through the TWO-LEVEL
+      // hierarchical quantizer (IvfQuantizer.fitAssignHier) — the
+      // composition the adaptiveK scaladoc names for cell counts past the
+      // flat regime, demonstrated end-to-end and oracle-checked: a k-cell
+      // coarse fit routes the corpus, ONE grouped job fits k sub-cells
+      // inside each coarse cell (per-group seeds), and the audit pairs
+      // within (ccell, scell) LEAF cells. k = hierK(n) = ceil(√(n/64))
+      // per level, so leaves hold ~64 vectors (audit pairs ~64·n, linear,
+      // like the flat adaptive variant) while routing scores only 2k
+      // centroids per vector — n·2√(n/64) assignment work instead of the
+      // flat n·(n/64): the knob that stays sub-quadratic when the corpus
+      // makes the flat centroid table itself corpus-sized. Both engines
+      // derive k from count(*) (sqrt/ceil are correctly-rounded IEEE ops —
+      // no tie surface on integer inputs); sub-cell labels are per-group
+      // seed ids, so the leaf key is the (ccell, scell) PAIR. Same
+      // determinism + singleton-leaf contract as sim_label_noise
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"), col("label"))
+          .withColumn("n2", Vectors.norm2Exact(col("embedding")))
+        val k = graft.ml.IvfQuantizer.hierK(t(s, d, "embeddings").count(), 64)
+        val leaf = Caches.trackPersist(graft.ml.IvfQuantizer.fitAssignHier(
+          e.select("vec_id", "embedding", "n2"), "vec_id", "embedding", "n2",
+          k, 1, se1 = 4, se2 = 2))
+        val m = Caches.trackPersist(e.join(leaf, "vec_id"))
+        val a = m.select(col("ccell"), col("scell"), col("vec_id").as("query_id"),
+          col("embedding").as("qe"), col("n2").as("qn2"), col("label").as("qlabel"))
+        val c = m.select(col("ccell"), col("scell"), col("vec_id"),
+          col("embedding").as("ce"), col("n2").as("cn2"), col("label").as("clabel"))
+        c.join(a, Seq("ccell", "scell"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("cos",
+            Vectors.cosineFrom(Vectors.dotExact(col("qe"), col("ce")), col("qn2"), col("cn2")))
+          .withColumn(
+            "rnk",
+            row_number().over(
+              Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))))
+          .filter(col("rnk") <= 5)
+          .groupBy("query_id", "qlabel")
+          .agg(
+            count(lit(1)).as("n_nb"),
+            sum((col("clabel") === col("qlabel")).cast("long")).as("n_agree"))
+          .select(
+            col("query_id").as("vec_id"), col("qlabel").as("label"),
+            col("n_nb"), col("n_agree"),
+            (col("n_agree").cast("double") / col("n_nb").cast("double")).as("agree_frac"),
+            (col("n_agree") * 2 < col("n_nb")).cast("long").as("suspect"))
+      },
+      Some(s"""WITH $normSql,
+           kparam_h AS (${graft.ml.IvfQuantizer.sqlHierK("embeddings", 64)}),
+           nh1 AS (SELECT vec_id, n2 FROM n),
+           ${graft.ml.IvfQuantizer.lloydSqlAtExpr(
+        "(SELECT k FROM kparam_h)", 1, 64, sampleEvery = 4, sfx = "h1", dimOffset = 0)},
+           gmap AS (SELECT vec_id, cell AS grp FROM assignedh1),
+           ${graft.ml.IvfQuantizer.lloydSqlGrouped(
+        "(SELECT k FROM kparam_h)", 1, 64, sampleEvery = 2, sfx = "h2",
+        gmapCte = "gmap", normCte = "n")},
+           m AS (SELECT a.vec_id, a.grp AS ccell, a.cell AS scell, e.embedding, e.label
+                 FROM assignedh2 a JOIN embeddings e ON e.vec_id = a.vec_id),
+           d AS (SELECT q.vec_id AS query_id, q.label AS qlabel,
+                   c.vec_id, c.label AS clabel,
+                   ${Vectors.sqlDotExact("q.embedding", "c.embedding", "i.i")} AS dot
+                 FROM m q JOIN m c ON c.ccell = q.ccell AND c.scell = q.scell
+                      AND c.vec_id <> q.vec_id,
+                      unnest(generate_series(1, 64)) AS i(i)
+                 GROUP BY 1, 2, 3, 4),
+           s AS (SELECT d.query_id, d.qlabel, d.vec_id, d.clabel,
+                   d.dot / nullif(sqrt(nq.n2) * sqrt(nc.n2), CAST(0.0 AS DOUBLE)) AS cos
+                 FROM d JOIN n nq ON nq.vec_id = d.query_id
+                      JOIN n nc ON nc.vec_id = d.vec_id),
+           r AS (SELECT query_id, qlabel, clabel,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, vec_id) AS rnk
+                 FROM s)
+           SELECT query_id AS vec_id, qlabel AS label,
+             CAST(count(*) AS BIGINT) AS n_nb,
+             CAST(sum(CASE WHEN clabel = qlabel THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+             CAST(sum(CASE WHEN clabel = qlabel THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS agree_frac,
+             CAST(2 * sum(CASE WHEN clabel = qlabel THEN 1 ELSE 0 END) < count(*)
+               AS BIGINT) AS suspect
+           FROM r WHERE rnk <= 5 GROUP BY 1, 2""")),
+
+    QDef(
       "sim_rrf_fusion",
       // hybrid retrieval: reciprocal-rank fusion of a DENSE ranker (exact
       // cosine over embeddings) and a SPARSE ranker (distinct-token Jaccard

@@ -22,7 +22,7 @@ import graft.SparkEntry
 class LabelNoiseSpec extends graft.SparkSpec {
   private val planted = 17L
 
-  test("a planted mislabel is flagged suspect; genuine labels are not") {
+  private def plantedFixture(): String = {
     import spark.implicits._
     val dim = 64
     def vec(base: Int, jitterDim: Int, i: Int): Array[Float] = {
@@ -41,8 +41,12 @@ class LabelNoiseSpec extends graft.SparkSpec {
     val dir = Files.createTempDirectory("graft_label_noise").toString
     rows.toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
 
-    val out = SparkEntry.queries("sim_label_noise")(spark, dir)
+  private def detects(query: String): Unit = {
+    val dir = plantedFixture()
+    val out = SparkEntry.queries(query)(spark, dir)
       .select("vec_id", "label", "n_nb", "n_agree", "suspect").collect()
       .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))))
       .toMap
@@ -56,5 +60,17 @@ class LabelNoiseSpec extends graft.SparkSpec {
     // every non-singleton-cell vector is audited exactly once; with 40-way
     // clusters no cell is a singleton, so all 80 rows must be present
     assert(out.size == 80, s"expected all 80 vectors audited, got ${out.size}")
+  }
+
+  test("a planted mislabel is flagged suspect; genuine labels are not") {
+    detects("sim_label_noise")
+  }
+
+  test("the hierarchical routing variant detects the same planted mislabel") {
+    // k = hierK(80) = 2 per level → 4 leaf cells of ~20; every vector's
+    // five nearest leaf-mates are still same-cluster, so detection power
+    // survives the two-level routing (the audit must not lose the signal
+    // to the extra partition boundary)
+    detects("sim_label_noise_hier")
   }
 }
