@@ -698,6 +698,154 @@ object SimilarityQ {
            FROM r WHERE rnk <= 5 GROUP BY 1, 2""")),
 
     QDef(
+      "sim_semantic_dedup",
+      // SemDeDup (Abbas et al. 2023): cluster-then-dedup-within-cluster —
+      // the embedding-space analog of d14's MinHash first-claimant dedup,
+      // and the semantic complement of d5's LSH near-dup PAIRS: this one
+      // emits a per-vector KEEP LEDGER over the whole corpus. The fitted
+      // adaptive-k IVF quantizer (sim_label_noise's machinery unchanged —
+      // k = ceil(n/64) from count(*) in both engines) routes every vector
+      // to its cell; within a cell, a vector is DROPPED iff an EARLIER
+      // (lower-id) vector sits at cosine >= 0.4 (d5's threshold), with
+      // kept_by = the smallest such claimant and max_cos the tightest one.
+      // By construction the lowest id of any within-cell dup group always
+      // survives; the relation is deliberately NON-transitive (drop needs a
+      // direct >= tau edge — transitive-closure clustering is d7's job).
+      // Scale: candidates are cell-bounded (~64·n pairs, linear — the
+      // adaptiveK cost model), the ledger is one left join on vec_id, and
+      // every per-row value is an integer, an exact-decimal-dot cosine, or
+      // a MIN/MAX over those — no order-dependent aggregate anywhere.
+      // Vectors alone in their cell trivially keep (no candidates)
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+          .withColumn("n2", Vectors.norm2Exact(col("embedding")))
+        val k = graft.ml.IvfQuantizer.adaptiveK(t(s, d, "embeddings").count(), 64)
+        val ranked = Caches.trackPersist(graft.ml.IvfQuantizer.fitRanked(
+          e, "vec_id", "embedding", "n2", k, 2, sampleEvery = 4))
+        val cells = ranked.filter(col("cell_rank") === 1).select(col("vec_id"), col("cell"))
+        val m = Caches.trackPersist(e.join(cells, "vec_id"))
+        val a = m.select(col("cell"), col("vec_id").as("query_id"),
+          col("embedding").as("qe"), col("n2").as("qn2"))
+        val c = m.select(col("cell"), col("vec_id"),
+          col("embedding").as("ce"), col("n2").as("cn2"))
+        val dup = c.join(a, Seq("cell"))
+          .filter(col("vec_id") < col("query_id"))
+          .withColumn("cos",
+            Vectors.cosineFrom(Vectors.dotExact(col("qe"), col("ce")), col("qn2"), col("cn2")))
+          .filter(col("cos") >= lit(0.4))
+          .groupBy("query_id")
+          .agg(
+            min(col("vec_id")).as("kept_by"),
+            count(lit(1)).as("n_dup"),
+            max(col("cos")).as("max_cos"))
+          .withColumnRenamed("query_id", "vec_id")
+        m.select(col("vec_id"))
+          .join(dup, Seq("vec_id"), "left")
+          .select(
+            col("vec_id"),
+            col("kept_by").isNull.cast("long").as("keep"),
+            col("kept_by"), col("n_dup"), col("max_cos"))
+      },
+      Some(s"""WITH $normSql,
+           kparam AS (${graft.ml.IvfQuantizer.sqlAdaptiveK("embeddings", 64)}),
+           ${graft.ml.IvfQuantizer.lloydSqlAtExpr(
+        "(SELECT k FROM kparam)", 2, 64, sampleEvery = 4, sfx = "", dimOffset = 0)},
+           m AS (SELECT a.vec_id, a.cell, e.embedding
+                 FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id),
+           d AS (SELECT q.vec_id AS query_id, c.vec_id,
+                   ${Vectors.sqlDotExact("q.embedding", "c.embedding", "i.i")} AS dot
+                 FROM m q JOIN m c ON c.cell = q.cell AND c.vec_id < q.vec_id,
+                      unnest(generate_series(1, 64)) AS i(i)
+                 GROUP BY 1, 2),
+           s AS (SELECT d.query_id, d.vec_id,
+                   d.dot / nullif(sqrt(nq.n2) * sqrt(nc.n2), CAST(0.0 AS DOUBLE)) AS cos
+                 FROM d JOIN n nq ON nq.vec_id = d.query_id
+                      JOIN n nc ON nc.vec_id = d.vec_id),
+           dup AS (SELECT query_id, CAST(min(vec_id) AS BIGINT) AS kept_by,
+                     CAST(count(*) AS BIGINT) AS n_dup, max(cos) AS max_cos
+                   FROM s WHERE cos >= CAST(0.4 AS DOUBLE) GROUP BY 1)
+           SELECT m.vec_id,
+             CAST(CASE WHEN dup.query_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep,
+             dup.kept_by, dup.n_dup, dup.max_cos
+           FROM m LEFT JOIN dup ON dup.query_id = m.vec_id""")),
+
+    QDef(
+      "sim_semantic_dedup_hier",
+      // the SemDeDup keep ledger routed through the TWO-LEVEL hierarchical
+      // quantizer (IvfQuantizer.fitAssignHier) — the same composition
+      // sim_label_noise_hier demonstrates for the consensus audit, applied
+      // to the dedup ledger: a hierK(n)-cell coarse fit routes the corpus,
+      // ONE grouped job fits hierK(n) sub-cells per coarse cell, and the
+      // first-claimant pair relation runs within (ccell, scell) LEAF cells.
+      // Leaves hold ~64 vectors, so candidate pairs stay ~64·n (linear,
+      // like the flat adaptive variant) while per-vector routing scores
+      // only 2·√(n/64) centroids instead of the flat n/64 — the regime for
+      // corpora where the flat centroid table itself stops broadcasting.
+      // Same keep/attribution semantics and determinism as
+      // sim_semantic_dedup: drop iff an earlier (lower-id) LEAF-mate sits
+      // at cosine >= 0.4, kept_by = smallest claimant, lowest id of any
+      // leaf dup group always survives, MIN/MAX-only aggregates
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+          .withColumn("n2", Vectors.norm2Exact(col("embedding")))
+        val k = graft.ml.IvfQuantizer.hierK(t(s, d, "embeddings").count(), 64)
+        val leaf = Caches.trackPersist(graft.ml.IvfQuantizer.fitAssignHier(
+          e, "vec_id", "embedding", "n2", k, 1, se1 = 4, se2 = 2))
+        val m = Caches.trackPersist(e.join(leaf, "vec_id"))
+        val a = m.select(col("ccell"), col("scell"), col("vec_id").as("query_id"),
+          col("embedding").as("qe"), col("n2").as("qn2"))
+        val c = m.select(col("ccell"), col("scell"), col("vec_id"),
+          col("embedding").as("ce"), col("n2").as("cn2"))
+        val dup = c.join(a, Seq("ccell", "scell"))
+          .filter(col("vec_id") < col("query_id"))
+          .withColumn("cos",
+            Vectors.cosineFrom(Vectors.dotExact(col("qe"), col("ce")), col("qn2"), col("cn2")))
+          .filter(col("cos") >= lit(0.4))
+          .groupBy("query_id")
+          .agg(
+            min(col("vec_id")).as("kept_by"),
+            count(lit(1)).as("n_dup"),
+            max(col("cos")).as("max_cos"))
+          .withColumnRenamed("query_id", "vec_id")
+        m.select(col("vec_id"))
+          .join(dup, Seq("vec_id"), "left")
+          .select(
+            col("vec_id"),
+            col("kept_by").isNull.cast("long").as("keep"),
+            col("kept_by"), col("n_dup"), col("max_cos"))
+      },
+      Some(s"""WITH $normSql,
+           kparam_h AS (${graft.ml.IvfQuantizer.sqlHierK("embeddings", 64)}),
+           nh1 AS (SELECT vec_id, n2 FROM n),
+           ${graft.ml.IvfQuantizer.lloydSqlAtExpr(
+        "(SELECT k FROM kparam_h)", 1, 64, sampleEvery = 4, sfx = "h1", dimOffset = 0)},
+           gmap AS (SELECT vec_id, cell AS grp FROM assignedh1),
+           ${graft.ml.IvfQuantizer.lloydSqlGrouped(
+        "(SELECT k FROM kparam_h)", 1, 64, sampleEvery = 2, sfx = "h2",
+        gmapCte = "gmap", normCte = "n")},
+           m AS (SELECT a.vec_id, a.grp AS ccell, a.cell AS scell, e.embedding
+                 FROM assignedh2 a JOIN embeddings e ON e.vec_id = a.vec_id),
+           d AS (SELECT q.vec_id AS query_id, c.vec_id,
+                   ${Vectors.sqlDotExact("q.embedding", "c.embedding", "i.i")} AS dot
+                 FROM m q JOIN m c ON c.ccell = q.ccell AND c.scell = q.scell
+                      AND c.vec_id < q.vec_id,
+                      unnest(generate_series(1, 64)) AS i(i)
+                 GROUP BY 1, 2),
+           s AS (SELECT d.query_id, d.vec_id,
+                   d.dot / nullif(sqrt(nq.n2) * sqrt(nc.n2), CAST(0.0 AS DOUBLE)) AS cos
+                 FROM d JOIN n nq ON nq.vec_id = d.query_id
+                      JOIN n nc ON nc.vec_id = d.vec_id),
+           dup AS (SELECT query_id, CAST(min(vec_id) AS BIGINT) AS kept_by,
+                     CAST(count(*) AS BIGINT) AS n_dup, max(cos) AS max_cos
+                   FROM s WHERE cos >= CAST(0.4 AS DOUBLE) GROUP BY 1)
+           SELECT m.vec_id,
+             CAST(CASE WHEN dup.query_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep,
+             dup.kept_by, dup.n_dup, dup.max_cos
+           FROM m LEFT JOIN dup ON dup.query_id = m.vec_id""")),
+
+    QDef(
       "sim_rrf_fusion",
       // hybrid retrieval: reciprocal-rank fusion of a DENSE ranker (exact
       // cosine over embeddings) and a SPARSE ranker (distinct-token Jaccard
