@@ -98,6 +98,47 @@ object Sampling {
     df.filter(hashU24(col(keyCol)) % 10000L < threshold)
   }
 
+  /** Token-budget mixture selection — the "take N tokens from each source"
+    * op actual training mixes are built with (rate-based [[mixtureSample]]
+    * fixes a FRACTION; this fixes a TOKEN total): within each stratum,
+    * docs are ordered by (hash, key) and kept while the inclusive running
+    * token total stays within `budget`. The kept set is the maximal
+    * hash-order PREFIX fitting the budget: a pure function of the corpus
+    * CONTENTS — re-ingests, retries, and repartitionings never flip a row
+    * (no `rand()`), though unlike [[mixtureSample]]'s per-row rates, corpus
+    * GROWTH does shift the prefix boundary (new docs hash into the order
+    * ahead of old ones — inherent to any exact-total contract). Emits the
+    * full ledger (key, stratum, tokensCol, cum_tokens, keep), not just
+    * survivors, so the rejected tail is auditable.
+    *
+    * Scale shape: strata are source/language-grade keys — few keys × very
+    * long series, exactly the hot-key regime where a per-stratum ordered
+    * window serializes the whole stratum through one task. The cumsum
+    * rides [[Windows.chunkedScan]] (two-phase prefix scan, bit-identical
+    * to the direct window — integer deltas), chunked on the high bits of
+    * the 24-bit hash, so parallelism is strata × 256 regardless of
+    * stratum size.
+    */
+  def tokenBudgetLedger(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      tokensCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    Windows.chunkedScan(
+      df.withColumn("__u", hashU24(col(keyCol))),
+      keys = Seq(strataCol),
+      orderCols = Seq(col("__u"), col(keyCol)),
+      deltaCol = tokensCol,
+      chunk = expr("__u DIV 65536"),
+      sumOut = "cum_tokens")
+      .select(
+        col(keyCol), col(strataCol), col(tokensCol),
+        col("cum_tokens"),
+        (col("cum_tokens") <= budget).cast("long").as("keep"))
+  }
+
   /** Temperature-smoothed mixture weights at α = 0.5 — the multilingual /
     * multi-source rebalancing move (T5 / UniMax shape): target share of
     * stratum ℓ ∝ p_ℓ^α, flattening the head and lifting the tail. α is

@@ -451,6 +451,52 @@ object Text {
       .drop("__cb")
   }
 
+  /** RAG-style overlapping chunking — split each document into fixed-size
+    * token windows at stride `strideTokens` (overlap = chunk − stride),
+    * the retrieval-index segmentation every RAG/embedding pipeline runs
+    * ahead of encoding. Chunk i covers tokens [i·stride, i·stride+chunk);
+    * the doc yields `1 + ceil(max(0, n − chunk) / stride)` chunks, so the
+    * LAST chunk is the first one whose end reaches the doc end — no
+    * trailing chunk that is a pure suffix of its predecessor (every chunk
+    * past the first contributes ≥1 new token). A doc shorter than one
+    * chunk yields exactly its own text.
+    *
+    * Output: (id, chunk_id, start_tok, n_chunk_tokens, chunk_text) —
+    * chunk_id is the 0-based ordinal, start_tok its token offset, and
+    * n_chunk_tokens the actual (end-clamped) token count.
+    *
+    * Scale shape: tokenize + explode + slice is one codegen'd stage — no
+    * shuffle, no state; output rows ≈ n_tokens/stride per doc. All
+    * arithmetic integral (counts, offsets, integer ceil-div).
+    */
+  def chunkOverlap(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int,
+      strideTokens: Int): DataFrame = {
+    require(chunkTokens > 0 && strideTokens > 0 && strideTokens <= chunkTokens,
+      "need 0 < strideTokens <= chunkTokens")
+    val toks = tokens(col(textCol))
+    spread(df, idCol)
+      .select(col(idCol), toks.as("__toks"), size(toks).cast("long").as("__n"))
+      .withColumn(
+        "__nchunks",
+        expr(s"1L + (greatest(__n - $chunkTokens, 0L) + ${strideTokens - 1}) DIV $strideTokens"))
+      .select(
+        col(idCol), col("__toks"), col("__n"),
+        explode(sequence(lit(0L), col("__nchunks") - 1L)).as("chunk_id"))
+      .withColumn("start_tok", col("chunk_id") * strideTokens)
+      .select(
+        col(idCol),
+        col("chunk_id"),
+        col("start_tok"),
+        least(lit(chunkTokens.toLong), col("__n") - col("start_tok")).as("n_chunk_tokens"),
+        array_join(
+          slice(col("__toks"), (col("start_tok") + 1L).cast("int"), lit(chunkTokens)),
+          " ").as("chunk_text"))
+  }
+
   /** PII-scrub-shaped redaction: apply `rules` (regex → replacement) to
     * `textCol` IN ORDER, and count how many spans each rule matches in the
     * ORIGINAL text (counts are pre-replacement, so a replacement string can

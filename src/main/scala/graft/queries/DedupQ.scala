@@ -460,6 +460,41 @@ object DedupQ {
                                      ELSE 2500 END""")),
 
     QDef(
+      "mix_token_budget",
+      // token-budget mixture selection: 2000 tokens per language, docs
+      // admitted in (hash, doc_id) order while the inclusive running token
+      // total fits — the "take N tokens per source" op training mixes are
+      // built with (mixture_sample fixes a FRACTION; this fixes a TOKEN
+      // total; the kept prefix is a pure function of corpus contents —
+      // stable under re-ingest, boundary shifts under growth as any exact
+      // total must). Full ledger emitted so the rejected tail is auditable.
+      // The per-language cumsum rides Windows.chunkedScan (two-phase
+      // prefix scan chunked on the hash high bits — language strata are
+      // the few-hot-keys regime where a direct ordered window serializes);
+      // the oracle runs the direct window, bit-identical by integer
+      // associativity
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Sampling.tokenBudgetLedger(
+          docs.select(
+            col("doc_id"), col("lang"),
+            size(Text.tokens(col("text"))).cast("long").as("n_tokens")),
+          "doc_id", "lang", "n_tokens", 2000L)
+      },
+      Some(s"""WITH g AS (SELECT doc_id, lang,
+                  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+                  ${Sampling.sqlHashU24("doc_id")} AS u
+                FROM documents)
+              SELECT doc_id, lang, n_tokens,
+                CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY u, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                  AS cum_tokens,
+                CAST(CASE WHEN sum(n_tokens) OVER (PARTITION BY lang ORDER BY u, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= 2000
+                  THEN 1 ELSE 0 END AS BIGINT) AS keep
+              FROM g""")),
+
+    QDef(
       "temperature_mix",
       // temperature-smoothed mixture weights at α = 0.5 over the corpus
       // languages (the T5/UniMax multilingual rebalance): target share ∝

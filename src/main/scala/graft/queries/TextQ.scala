@@ -386,6 +386,30 @@ object TextQ {
               FROM c""")),
 
     QDef(
+      "t23_chunk_overlap",
+      // RAG chunking: 32-token chunks at stride 24 (8-token overlap) —
+      // the retrieval-index segmentation run ahead of embedding encoding.
+      // Chunk count = 1 + ceil(max(0, n-32)/24) per doc, so the last
+      // chunk is the first whose end reaches the doc end (no pure-suffix
+      // trailing chunk); docs shorter than 32 tokens yield themselves.
+      // Pure tokenize+explode+slice projection — no shuffle, all-integer
+      // offsets, chunk_text hashed by the gate so the slicing itself is
+      // pinned bit-exact
+      (s, d) => Text.chunkOverlap(t(s, d, "documents"), "doc_id", "text", 32, 24),
+      Some("""WITH g AS (SELECT doc_id, string_split(trim(text), ' ') AS toks,
+                  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+                FROM documents),
+              c AS (SELECT doc_id, toks, n_tokens,
+                      1 + (greatest(n_tokens - 32, 0) + 23) // 24 AS n_chunks
+                    FROM g)
+              SELECT doc_id, CAST(i.i AS BIGINT) AS chunk_id,
+                CAST(i.i * 24 AS BIGINT) AS start_tok,
+                CAST(least(32, n_tokens - i.i * 24) AS BIGINT) AS n_chunk_tokens,
+                array_to_string(list_slice(toks, i.i * 24 + 1, i.i * 24 + 32), ' ')
+                  AS chunk_text
+              FROM c, unnest(generate_series(0, n_chunks - 1)) AS i(i)""")),
+
+    QDef(
       "split_assign",
       // reproducible 80/10/10 split: bucket = md5-hex-prefix(doc_id) % 10;
       // membership depends only on the key, so rows never migrate between

@@ -43,6 +43,44 @@ class SamplingPackingSpec extends SparkSpec {
     assert(tiny.count() == 3)
   }
 
+  test("tokenBudgetLedger keeps the maximal hash-order prefix, bit-equal to the direct window") {
+    // skewed strata: 'en' holds 180 of 200 docs (the hot-key regime the
+    // chunked scan exists for), token counts vary 1..40
+    val df = (0L until 200L)
+      .map(i => (i, if (i % 10 == 0) "de" else "en", 1L + i % 40L))
+      .toDF("doc_id", "lang", "n_tokens")
+    val out = Sampling.tokenBudgetLedger(df, "doc_id", "lang", "n_tokens", 150L)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.length == 200) // full ledger, rejected tail included
+    // bit-equal to the direct per-stratum ordered window (integer sums are
+    // associative, so the two-phase chunked scan must agree exactly)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(Sampling.hashU24(col("doc_id")), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val direct = df.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("keep", (col("cum_tokens") <= 150L).cast("long"))
+      .select("doc_id", "lang", "n_tokens", "cum_tokens", "keep")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.sortBy(_._1).toSeq == direct.sortBy(_._1).toSeq)
+    // the kept set is the MAXIMAL prefix: every stratum's kept total fits
+    // the budget and its first rejected doc would overflow it
+    for ((lang, rows) <- out.groupBy(_._2)) {
+      val ordered = rows.sortBy(r => (r._4, r._1)) // cum_tokens is the order
+      val (kept, dropped) = ordered.span(_._5 == 1L)
+      assert(dropped.forall(_._5 == 0L), s"$lang keep set is not a prefix")
+      assert(kept.nonEmpty && kept.last._4 <= 150L, s"$lang budget exceeded")
+      dropped.headOption.foreach(d =>
+        assert(d._4 > 150L, s"$lang first rejected doc still fits: $d"))
+    }
+    // determinism under repartitioning: same ledger from a shuffled input
+    val re = Sampling.tokenBudgetLedger(df.repartition(13), "doc_id", "lang", "n_tokens", 150L)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(re.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+  }
+
   test("contaminationCheck flags shared shingles against the benchmark, keeps clean docs") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"), // contains bench 5-gram
