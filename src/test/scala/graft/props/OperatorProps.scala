@@ -533,4 +533,43 @@ object OperatorProps extends Properties("graft.ops") {
         .as[(Long, Long, Long)].collect().toSet
       Prop(got == expect) :| s"maxDist=$maxDist maxBlock=$maxBlock got=${got.size} want=${expect.size}"
     }
+
+  property("chunkOverlap: cover-exactly-once reassembly and chunk-count law on random configs") =
+    Prop.forAll(Gen.choose(1, 60), Gen.choose(1, 12), Gen.choose(1, 12)) { (n, c0, s0) =>
+      val (chunk, stride) = (math.max(c0, s0), math.min(c0, s0)) // stride <= chunk
+      val words = (1 to n).map(i => s"w$i")
+      val df = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val out = Text.chunkOverlap(df, "doc_id", "text", chunk, stride)
+        .select("chunk_id", "start_tok", "n_chunk_tokens", "chunk_text")
+        .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+      val wantChunks = 1 + math.ceil(math.max(0, n - chunk).toDouble / stride).toLong
+      val countLaw = out.size.toLong == wantChunks
+      // chunk i is exactly tokens [i*stride, min(i*stride+chunk, n))
+      val sliceLaw = out.forall { case (i, st, len, txt) =>
+        st == i * stride && len == math.min(chunk.toLong, n - st) &&
+          txt == words.slice(st.toInt, (st + len).toInt).mkString(" ")
+      }
+      // stride-prefix of every non-final chunk + the final chunk = the doc
+      val rebuilt = (out.init.map(_._4.split(" ").take(stride).mkString(" ")) :+ out.last._4)
+        .mkString(" ")
+      Prop(countLaw && sliceLaw && rebuilt == words.mkString(" ")) :|
+        s"n=$n chunk=$chunk stride=$stride got=${out.size} want=$wantChunks"
+    }
+
+  property("tokenBudgetLedger == direct per-stratum window for any budget and skew") =
+    Prop.forAll(
+      Gen.choose(1, 80), Gen.choose(1L, 400L), Gen.choose(2, 5)) { (rows, budget, nStrata) =>
+      val df = (0L until rows.toLong)
+        .map(i => (i, s"s${i % nStrata}", 1L + (i * 7) % 23L))
+        .toDF("doc_id", "lang", "n_tokens")
+      val got = Sampling.tokenBudgetLedger(df, "doc_id", "lang", "n_tokens", budget)
+        .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(Sampling.hashU24(col("doc_id")), col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val want = df.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .withColumn("keep", (col("cum_tokens") <= budget).cast("long"))
+        .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      Prop(got == want) :| s"rows=$rows budget=$budget strata=$nStrata"
+    }
 }
