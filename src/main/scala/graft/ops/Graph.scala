@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over candidate-pair graphs — the companion to
@@ -208,5 +209,48 @@ object Graph {
     }
     degrees(e).filter(col("d") >= k)
       .select(col("v"), col("d").as("core_degree"))
+  }
+
+  /** Fixed-round synchronous label propagation — community detection over
+    * the near-dup pair graph (the cluster-refinement complement of
+    * [[graft.ops.Dedup.connectedComponents]]: CC merges everything
+    * reachable; LPA splits a component along its dense regions, so a
+    * bridge edge between two template families doesn't fuse them). Every
+    * node starts labeled with its own id; each round it adopts the MODE of
+    * its neighbors' labels, ties broken by the smallest label — integer
+    * counts and a total (count desc, label asc) order, so every round is
+    * deterministic in both engines.
+    *
+    * FIXED rounds by contract, not run-to-convergence: synchronous LPA can
+    * 2-cycle on bipartite structures, so "the rounds-th iterate" is the
+    * well-defined cross-engine semantic (the same move as the unrolled
+    * PageRank chain and the fixed-round k-core peel); a diameter-ish
+    * `rounds` settles real dup webs, whose communities are small and
+    * dense.
+    *
+    * Scale shape: per round one edge-sized join on the node id + one
+    * (node, label) groupBy + a per-node `row_number = 1` argmax that plans
+    * as Partial+Final WindowGroupLimit (map-side pre-prune — a hot node
+    * never ships all its candidate labels through one task); edges persist
+    * once, `localCheckpoint` per round bounds the nested-plan growth
+    * exactly like [[pagerankScaled]]. Isolated nodes have no edges and are
+    * absent by construction (stated; CC makes them singletons instead).
+    */
+  def labelPropagation(pairs: DataFrame, aCol: String, bCol: String, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, s"bad lpa config: rounds=$rounds")
+    val e = Caches.trackPersist(
+      pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+        .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst"))))
+    var lbl = e.select(col("src").as("id")).distinct().withColumn("lbl", col("id"))
+    for (_ <- 1 to rounds) {
+      val cnt = e.join(lbl.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("id").orderBy(col("c").desc, col("lbl"))
+      lbl = cnt.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("id", "lbl")
+        .localCheckpoint(true)
+    }
+    lbl.select(col("id").as("v"), col("lbl").as("community"))
   }
 }

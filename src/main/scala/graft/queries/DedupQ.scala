@@ -795,6 +795,50 @@ object DedupQ {
       }),
 
     QDef(
+      "g4_lpa",
+      // community detection inside the same Jaccard >= 0.5 pair graph:
+      // 3-round synchronous label propagation — each node adopts the MODE
+      // of its neighbors' labels (smallest label on ties), splitting a
+      // connected component along its dense regions where CC (d7) would
+      // fuse template families across one bridge edge. Fixed rounds by
+      // contract (sync LPA can 2-cycle; the rounds-th iterate is the
+      // deterministic cross-engine semantic, like the g3 peel); integer
+      // counts + (count desc, label asc) total order per round. Isolated
+      // docs have no edges and are absent (stated; d7 covers them)
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Graph.labelPropagation(
+          Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5, maxShingleDf = shCapDf)
+            .select("a_id", "b_id"),
+          "a_id", "b_id", rounds = 3)
+          .withColumnRenamed("v", "doc_id")
+      },
+      Some {
+        val rounds = (1 to 3).map { i =>
+          s"""l$i AS MATERIALIZED (SELECT id, lbl FROM (
+                SELECT id, lbl, row_number() OVER (PARTITION BY id
+                  ORDER BY c DESC, lbl) AS rn
+                FROM (SELECT e.dst AS id, p.lbl, CAST(count(*) AS BIGINT) AS c
+                      FROM e JOIN l${i - 1} p ON p.id = e.src GROUP BY 1, 2))
+              WHERE rn = 1)"""
+        }.mkString(",\n")
+        s"""WITH $shCappedSql,
+            sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+            pp AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS shared
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+            jp AS (SELECT a_id, b_id FROM pp
+                   JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+                   WHERE CAST(shared AS DOUBLE) / CAST(sa.n + sb.n - shared AS DOUBLE)
+                         >= CAST(0.5 AS DOUBLE)),
+            e AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM jp
+                  UNION ALL SELECT b_id, a_id FROM jp),
+            l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM e),
+            $rounds
+            SELECT id AS doc_id, lbl AS community FROM l3"""
+      }),
+
+    QDef(
       "d11_bloom_decontaminate",
       // d9's contamination scan behind a 2^20-bit bloom prefilter: the
       // benchmark's 7-gram keys compact into ONE broadcast map of bit-or'd

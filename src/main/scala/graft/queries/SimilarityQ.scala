@@ -984,6 +984,60 @@ object SimilarityQ {
             FROM per""")),
 
     QDef(
+      "sim_mrr",
+      // MRR@10 of the exact cosine ranking under same-LABEL relevance —
+      // the first-relevant-hit eval that completes the retrieval audit
+      // family (recall@k counts hits, nDCG charges for order, MRR scores
+      // only how soon the FIRST relevant result appears — the metric for
+      // known-item search / RAG context pick). Relevance = the hard-
+      // negative convention inverted: a hit is a top-10 neighbor sharing
+      // the query's label. Per query: first_rank = min rank of a hit
+      // (NULL when no hit in the window), rr = 1/first_rank else 0 — one
+      // IEEE division off an integer. The corpus row (query_id = -1) sums
+      // the 5 per-query rr values scale-9-TRUNCATED as integers (the
+      // m13/ndcg mean recipe: a bare double SUM over a handful of rows is
+      // partition-order-dependent)
+      (s, d) => {
+        val ex = exactTopk(s, d, k = 10)
+        val lab = t(s, d, "embeddings").select(col("vec_id"), col("label"))
+        val q = lab.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("label").as("qlabel"))
+        val hit = ex
+          .join(lab, "vec_id")
+          .join(broadcast(q), "query_id")
+          .filter(col("label") === col("qlabel"))
+          .groupBy("query_id")
+          .agg(min(col("rnk")).as("first_rank"))
+        val per = q.select("query_id").join(hit, Seq("query_id"), "left")
+          .select(
+            col("query_id"), col("first_rank"),
+            coalesce(lit(1.0d) / col("first_rank").cast("double"), lit(0.0d)).as("rr"))
+        val corpus = per.groupBy()
+          .agg(
+            (sum(floor(col("rr") * lit(1.0e9d)).cast("long")).cast("double")
+              / (lit(1.0e9d) * count(lit(1)).cast("double"))).as("rr"))
+          .select(lit(-1L).as("query_id"), lit(null).cast("long").as("first_rank"), col("rr"))
+        per.unionByName(corpus)
+      },
+      Some(s"""WITH exact AS (${exactSqlK(10)}),
+            q AS (SELECT vec_id AS query_id, label AS qlabel
+                  FROM embeddings WHERE vec_id < 5),
+            hit AS (SELECT e.query_id, CAST(min(e.rnk) AS BIGINT) AS first_rank
+                    FROM exact e JOIN embeddings c ON c.vec_id = e.vec_id
+                         JOIN q ON q.query_id = e.query_id
+                    WHERE c.label = q.qlabel GROUP BY 1),
+            per AS (SELECT q.query_id, h.first_rank,
+                      coalesce(CAST(1.0 AS DOUBLE) / CAST(h.first_rank AS DOUBLE),
+                        CAST(0.0 AS DOUBLE)) AS rr
+                    FROM q LEFT JOIN hit h ON h.query_id = q.query_id)
+            SELECT query_id, first_rank, rr FROM per
+            UNION ALL
+            SELECT CAST(-1 AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS first_rank,
+              CAST(sum(CAST(floor(rr * CAST(1000000000 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+                / (CAST(1000000000 AS DOUBLE) * CAST(count(*) AS DOUBLE)) AS rr
+            FROM per""")),
+
+    QDef(
       "sim_mmr_rerank",
       // diversity-aware reranking — Maximal Marginal Relevance (the
       // search/RAG staple): from each query's exact top-10, greedily pick

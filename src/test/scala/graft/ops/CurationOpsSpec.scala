@@ -144,6 +144,46 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("labelPropagation equals the brute-force synchronous iterate; a bridge never fuses cliques") {
+    def brute(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+      val adj = (edges ++ edges.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var lbl = adj.keySet.map(v => v -> v).toMap
+      for (_ <- 1 to rounds) {
+        lbl = adj.map { case (v, ns) =>
+          v -> ns.groupBy(lbl).toSeq.map { case (l, m) => (l, m.size) }
+            .sortBy { case (l, c) => (-c, l) }.head._1
+        }
+      }
+      lbl
+    }
+    // planted: two 4-cliques joined by ONE bridge edge — the shape where
+    // connected components fuse and community detection must not
+    val clique = for {
+      base <- Seq(0L, 10L); i <- 0 to 3; j <- (i + 1) to 3
+    } yield (base + i, base + j)
+    val planted = clique :+ (3L -> 10L)
+    val gotP = Graph.labelPropagation(planted.toDF("a", "b"), "a", "b", rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    Caches.releaseAll()
+    assert(gotP == brute(planted, 3))
+    assert(
+      Set(0L, 1L, 2L, 3L).map(gotP).size == 1 &&
+        Set(10L, 11L, 12L, 13L).map(gotP).size == 1 &&
+        gotP(0L) != gotP(10L),
+      s"bridged cliques not split into two communities: $gotP")
+    // random graphs: the fixed-round iterate, whatever it is, must match
+    val rng = new Random(17)
+    val edges = (for {
+      a <- 0L until 40L; b <- (a + 1) until 40L if rng.nextDouble() < 0.08
+    } yield (a, b)).toList
+    for (rounds <- Seq(1, 3)) {
+      val got = Graph.labelPropagation(edges.toDF("a", "b"), "a", "b", rounds)
+        .as[(Long, Long)].collect().toMap
+      Caches.releaseAll()
+      assert(got == brute(edges, rounds), s"rounds=$rounds")
+    }
+  }
+
   test("peakConcurrency equals brute force on random intervals, any chunk width") {
     val rng = new Random(67)
     val iv = (0 until 300).map { i =>
