@@ -11,6 +11,9 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Spread {
   def byKey(df: DataFrame, key: Column): DataFrame = {
+    // streaming frames can't be probed via .rdd (batch planning) — and a
+    // micro-batch's partitioning is the source's concern, so pass through
+    if (df.isStreaming) return df
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < parallelism) df.repartition(parallelism, key) else df
   }

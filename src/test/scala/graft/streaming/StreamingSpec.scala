@@ -346,6 +346,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("chunkOverlap is streaming-safe: ingest-time RAG chunking in append mode") {
+    // the chunker is a stateless tokenize+explode+slice projection, so it
+    // runs unchanged on an unbounded stream (append mode, no watermark, no
+    // state) — ingest-time chunking ahead of a streaming embedding index.
+    // Batch parity pins that the streamed chunks are the batch chunks.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("doc_id", "text")
+    val chunks = graft.ops.Text.chunkOverlap(df, "doc_id", "text", 4, 3)
+    val q = chunks.writeStream
+      .format("memory")
+      .queryName("chunk_test")
+      .outputMode("append")
+      .start()
+    try {
+      val docs = Seq(
+        1L -> "a b c d e f g h i",
+        2L -> "x y",
+        3L -> (1 to 11).map(i => s"t$i").mkString(" "))
+      input.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(2): _*) // a second micro-batch appends more chunks
+      q.processAllAvailable()
+      val got = spark.table("chunk_test")
+        .select("doc_id", "chunk_id", "start_tok", "n_chunk_tokens", "chunk_text")
+        .as[(Long, Long, Long, Long, String)].collect().toSet
+      val want = graft.ops.Text.chunkOverlap(
+        docs.toDF("doc_id", "text"), "doc_id", "text", 4, 3)
+        .as[(Long, Long, Long, Long, String)].collect().toSet
+      assert(got == want, s"stream/batch chunk mismatch: ${got.diff(want)} ${want.diff(got)}")
+    } finally q.stop()
+  }
+
   test("sessionWindowAgg merges and emits sessions as the watermark passes them") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
