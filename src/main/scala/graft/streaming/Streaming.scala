@@ -295,6 +295,67 @@ object Streaming {
         min(col("value")).as("min_value"),
         max(col("value")).as("max_value"))
 
+  /** Input/state/output rows of [[tokenBudgetStream]] (top-level case
+    * classes — Spark's state encoder cannot reflect method-local ones).
+    */
+  final case class BudgetIn(stratum: String, docId: Long, nTokens: Long)
+  final case class BudgetState(seen: Long)
+  final case class BudgetOut(
+      stratum: String, docId: Long, nTokens: Long, cumTokens: Long, keep: Long)
+
+  /** Token-budget admission as a stream — the ingest-time analog of
+    * [[graft.ops.Sampling.tokenBudgetLedger]]: per stratum, a document is
+    * ADMITTED iff the inclusive running token total still fits `budget`,
+    * and every document ships in the ledger either way (keep = 0 rows are
+    * the auditable rejected tail, same shape as batch). Once the running
+    * total crosses the budget the stratum is closed for good — the
+    * inclusive-prefix formula counts REJECTED tokens too, exactly like the
+    * batch ledger, so a later small doc cannot sneak under a big rejected
+    * one (an exact-total quota, not best-fit packing).
+    *
+    * Contract vs batch (stated): the batch ledger orders by (hash24, key)
+    * — a pure function of corpus contents; a stream has no corpus order,
+    * so admission is in ARRIVAL order, with (docId)-sorted determinism
+    * within each micro-batch. Replaying the same micro-batch slicing
+    * reproduces the same ledger; a different slicing may admit a different
+    * prefix (inherent to streaming quotas — the budget total spent is
+    * identical either way, up to the partial final doc).
+    *
+    * Scale shape: state is ONE long (tokens seen) per stratum —
+    * source/language-grade keys, so state is bytes regardless of corpus
+    * size and never expires (a budget is a corpus-lifetime quota:
+    * NoTimeout by design, not omission). `flatMapGroupsWithState` is
+    * terminal here (Spark cannot chain another stateful op after it).
+    */
+  def tokenBudgetStream(
+      docs: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      tokensCol: String,
+      budget: Long): Dataset[BudgetOut] = {
+    require(budget > 0, "budget must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(
+        col(stratumCol).cast("string").as("stratum"),
+        col(idCol).cast("long").as("docId"),
+        col(tokensCol).cast("long").as("nTokens"))
+      .as[BudgetIn]
+      .groupByKey(_.stratum)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (stratum: String, rows: Iterator[BudgetIn], state: GroupState[BudgetState]) =>
+          var seen = state.getOption.map(_.seen).getOrElse(0L)
+          val out = rows.toSeq.sortBy(_.docId).map { r =>
+            seen += r.nTokens
+            BudgetOut(stratum, r.docId, r.nTokens, seen,
+              if (seen <= budget) 1L else 0L)
+          }
+          state.update(BudgetState(seen))
+          out.iterator
+      }
+  }
+
   /** J2-as-stream: stream-stream INTERVAL join — enrich each left event
     * with right-stream events for the same key whose event time falls in
     * [left − before, left + after]. Both sides carry watermarks, and the

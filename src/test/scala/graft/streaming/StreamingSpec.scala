@@ -379,6 +379,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("tokenBudgetStream admits the arrival-order prefix and closes the stratum for good") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Long)]
+    val df = input.toDF().toDF("lang", "doc_id", "n_tokens")
+    val out = Streaming.tokenBudgetStream(df, "lang", "doc_id", "n_tokens", budget = 100L)
+    val q = out.writeStream.format("memory").queryName("budget_test")
+      .outputMode("append").start()
+    try {
+      // batch 1: en fills 90 of 100; de fills 60
+      input.addData(("en", 1L, 50L), ("en", 2L, 40L), ("de", 3L, 60L))
+      q.processAllAvailable()
+      // batch 2: en doc 4 (20 tok) crosses the budget — rejected, and its
+      // tokens still COUNT (inclusive prefix), so the tiny doc 5 after it
+      // is rejected too even though 90 + 5 would fit
+      input.addData(("en", 4L, 20L), ("en", 5L, 5L), ("de", 6L, 40L))
+      q.processAllAvailable()
+      val got = spark.table("budget_test")
+        .select("stratum", "docId", "nTokens", "cumTokens", "keep")
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      val want = Set(
+        ("en", 1L, 50L, 50L, 1L), ("en", 2L, 40L, 90L, 1L), ("de", 3L, 60L, 60L, 1L),
+        ("en", 4L, 20L, 110L, 0L), ("en", 5L, 5L, 115L, 0L), ("de", 6L, 40L, 100L, 1L))
+      assert(got == want, s"ledger mismatch: ${got.diff(want)} vs ${want.diff(got)}")
+    } finally q.stop()
+  }
+
   test("sessionWindowAgg merges and emits sessions as the watermark passes them") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
