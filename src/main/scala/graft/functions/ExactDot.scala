@@ -137,6 +137,32 @@ object ExactDot {
       new java.math.BigDecimal(java.math.BigInteger.valueOf(sum), scale).doubleValue())
   }
 
+  /** Plain-JVM-array twin of [[compute]] — IDENTICAL quantize-and-sum
+    * arithmetic (same [[quantize]], same unscaled-long accumulator, same
+    * BigDecimal.doubleValue conversion), for call sites that score against
+    * a broadcast model driver/executor-side in a closure (e.g.
+    * [[graft.streaming.Streaming.semanticDedupStream]]'s centroid routing)
+    * rather than through the Catalyst expression. Inputs are already-
+    * widened doubles (float→double widening is exact, so an upstream
+    * `cast(array<double>)` preserves bit parity with the float element
+    * path of [[compute]]). Returns null on length mismatch or non-finite
+    * products, mirroring [[compute]].
+    */
+  def computeArrays(a: Array[Double], b: Array[Double], scale: Int): java.lang.Double = {
+    val n = a.length
+    if (n != b.length) return null
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      val p = a(i) * b(i)
+      if (!java.lang.Double.isFinite(p)) return null
+      sum += quantize(p, scale)
+      i += 1
+    }
+    java.lang.Double.valueOf(
+      new java.math.BigDecimal(java.math.BigInteger.valueOf(sum), scale).doubleValue())
+  }
+
   /** Column-level entry point (scale 9 — see [[graft.ops.Vectors]]). */
   def apply(a: Column, b: Column): Column = ofScale(a, b, 9)
 

@@ -171,6 +171,99 @@ object IvfQuantizer {
       sampleEvery: Int = 1,
       grpCols: Seq[String] = Nil,
       seedPerGroup: Boolean = false): DataFrame = {
+    val f = lloydFit(e, idCol, vecCol, n2Col, k, iters, sampleEvery, grpCols, seedPerGroup)
+    f.rank(f.src, f.cent).select(
+      grpCols.map(col) ++ Seq(
+        col("__id").as(idCol), col("cell"), col("__rn").cast("long").as("cell_rank")): _*)
+  }
+
+  /** The FITTED centroid table of the flat (ungrouped) quantizer —
+    * `(cell, centroid array<double>)`, exactly the `cent` frame
+    * [[fitRanked]]'s final full-corpus assignment ranks against (same
+    * Lloyd loop, same seeds, same exact-decimal sums; pinned by
+    * `IvfQuantizerSpec`: routing a corpus through this table by
+    * argmax-cosine with (cos desc, cell asc) tie-break reproduces
+    * [[fitAssign]]'s assignment bit-for-bit). This is the batch half of
+    * the stream split: a streaming admission
+    * ([[graft.streaming.Streaming.semanticDedupStream]]) routes arriving
+    * vectors through this broadcast table — the fit is batch by contract,
+    * the routing is per-row and stateless.
+    */
+  def fitCentroids(
+      e: DataFrame,
+      idCol: String,
+      vecCol: String,
+      n2Col: String,
+      k: Int,
+      iters: Int,
+      sampleEvery: Int = 1): DataFrame =
+    lloydFit(e, idCol, vecCol, n2Col, k, iters, sampleEvery, Nil, seedPerGroup = false)
+      .cent.select(col("cell").cast("long").as("cell"), col("__sv").as("centroid"))
+
+  /** [[fitCentroids]]'s output collected into the driver-side routing
+    * table `(cell, centroid, ns2)` ascending by cell — ns2 is the scale-4
+    * exact self-dot, exactly the batch ranking's `__ns2`. Sub-linear by
+    * the quantizer contract (k rows); broadcast it and route per row via
+    * [[routeVector]].
+    */
+  def collectCentroids(centroids: DataFrame): Array[(Long, Array[Double], Double)] =
+    centroids
+      .select(col("cell").cast("long"), col("centroid").cast("array<double>"))
+      .collect()
+      .map { r =>
+        val sv = r.getSeq[Double](1).toArray
+        (r.getLong(0), sv,
+          graft.functions.ExactDot.computeArrays(sv, sv, 4): Double)
+      }
+      .sortBy(_._1)
+
+  /** Route one vector through a [[collectCentroids]] table: argmax cosine
+    * with ties to the LOWEST cell — BIT-IDENTICAL to [[fitAssign]]'s
+    * `(cos desc, cell)` row_number over the same centroids (pinned in
+    * `IvfQuantizerSpec`): the scale-9 exact dot and the sqrt/divide run
+    * through the same arithmetic as the batch `ExactDot` expression, an
+    * ascending-cell scan with strict `>` reproduces the tie-break, a
+    * null/0-norm cosine ranks below every real one (batch desc = nulls
+    * last), and a vector with NO real cosine lands in the lowest cell like
+    * the batch all-null ordering. `n2` must be the scale-9 exact squared
+    * norm ([[graft.functions.ExactDot.computeArrays]] of v with itself).
+    */
+  def routeVector(v: Array[Double], n2: Double, cents: Array[(Long, Array[Double], Double)]): Long = {
+    var bestCell = -1L
+    var bestCos: java.lang.Double = null
+    cents.foreach { case (cell, sv, ns2) =>
+      val dot = graft.functions.ExactDot.computeArrays(v, sv, 9)
+      val den = math.sqrt(n2) * math.sqrt(ns2)
+      val cos: java.lang.Double =
+        if (dot == null || den == 0.0) null else dot.doubleValue() / den
+      if (bestCell == -1L ||
+          (cos != null && (bestCos == null || cos.doubleValue() > bestCos.doubleValue()))) {
+        bestCell = cell
+        bestCos = cos
+      }
+    }
+    bestCell
+  }
+
+  /** Internal Lloyd-fit result: the persisted corpus view, the fitted
+    * centroid frame, and the ranking closure binding the fit's group
+    * columns.
+    */
+  private final case class LloydFitted(
+      src: DataFrame,
+      cent: DataFrame,
+      rank: (DataFrame, DataFrame) => DataFrame)
+
+  private def lloydFit(
+      e: DataFrame,
+      idCol: String,
+      vecCol: String,
+      n2Col: String,
+      k: Int,
+      iters: Int,
+      sampleEvery: Int,
+      grpCols: Seq[String],
+      seedPerGroup: Boolean): LloydFitted = {
     require(sampleEvery >= 1, "sampleEvery must be >= 1")
     require(!seedPerGroup || grpCols.nonEmpty, "seedPerGroup needs grpCols")
     val g = grpCols.map(col)
@@ -250,8 +343,7 @@ object IvfQuantizer {
     // only `src` (scanned by every assignment and update) is cached
     var cent = cent0
     for (_ <- 1 to iters) cent = update(assignFrom(rankCells(fit, cent)))
-    rankCells(src, cent).select(
-      g ++ Seq(col("__id").as(idCol), col("cell"), col("__rn").cast("long").as("cell_rank")): _*)
+    LloydFitted(src, cent, rankCells)
   }
 
   /** DuckDB CTE chain mirroring [[fitRanked]] exactly: comp → cent0 →

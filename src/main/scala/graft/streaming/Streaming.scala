@@ -326,6 +326,13 @@ object Streaming {
     * size and never expires (a budget is a corpus-lifetime quota:
     * NoTimeout by design, not omission). `flatMapGroupsWithState` is
     * terminal here (Spark cannot chain another stateful op after it).
+    * Memory note: each stratum's micro-batch SLICE is materialized and
+    * docId-sorted in the group function (`rows.toSeq.sortBy`) — that sort
+    * is what makes replay deterministic, and the buffer is bounded by
+    * rows-per-stratum-per-micro-batch, NOT by corpus size; if a stratum
+    * can receive very large batches, bound the slice via the source
+    * admission knobs (`maxOffsetsPerTrigger` / `maxFilesPerTrigger`)
+    * rather than dropping the sort.
     */
   def tokenBudgetStream(
       docs: DataFrame,
@@ -352,6 +359,123 @@ object Streaming {
               if (seen <= budget) 1L else 0L)
           }
           state.update(BudgetState(seen))
+          out.iterator
+      }
+  }
+
+  /** A routed vector awaiting the per-cell admission decision. */
+  final case class SemRouted(vecId: Long, cell: Long, vec: Array[Double], n2: Double)
+
+  /** One admitted vector retained in a cell's state. */
+  final case class SemKept(vecId: Long, vec: Array[Double], n2: Double)
+
+  /** Per-cell state of [[semanticDedupStream]]: the admitted vectors. */
+  final case class SemState(kept: List[SemKept])
+
+  /** One ledger row of [[semanticDedupStream]] — same field meaning as the
+    * batch `sim_semantic_dedup` ledger (keptBy/nDup/maxCos null for keeps).
+    */
+  final case class SemOut(
+      vecId: Long, cell: Long, keep: Long,
+      keptBy: Option[Long], nDup: Option[Long], maxCos: Option[Double])
+
+  /** Streaming SemDeDup admission — the embedding-space analog of
+    * [[nearDupDedupStream]]'s ingest decision and the streaming half of the
+    * batch `sim_semantic_dedup` keep ledger: arriving vectors route through
+    * a PRE-FITTED broadcast quantizer (the fit is batch by contract — the
+    * same fit/route split as `nearDupDedupStream`'s batch-shaped
+    * signatures; pass [[graft.ml.IvfQuantizer.fitCentroids]]'s output), and
+    * a vector is ADMITTED iff no already-kept cell-mate sits at cosine
+    * ≥ `tau`. Every vector ships in the ledger either way: keep = 0 rows
+    * carry the smallest KEPT claimant (`keptBy`), the kept-claimant count
+    * (`nDup`) and the tightest claimant cosine (`maxCos`) — the auditable
+    * rejected tail, same shape as batch.
+    *
+    * Routing is BIT-IDENTICAL to the batch assignment (pinned in
+    * `IvfQuantizerSpec`): per-vector n2 and per-centroid dots run through
+    * [[graft.functions.ExactDot.computeArrays]] — the same scale-9
+    * quantize-and-sum as the batch `ExactDot` expression — centroid norms
+    * are scale-4 self-dots like the batch `__ns2`, and ties break to the
+    * lowest cell id exactly like the batch `(cos desc, cell)` row_number.
+    * The routing map is a closure over the broadcast centroid table (the
+    * MLlib-transform idiom): stateless, partition-local, no shuffle; the
+    * only shuffle is the groupByKey on the cell id.
+    *
+    * Contract vs batch (stated, not hidden): batch drops a vector iff ANY
+    * lower-id cell-mate sits at ≥ tau — the claimant need not itself be a
+    * keeper; the stream checks only KEPT cell-mates (dropped vectors leave
+    * no state — that is what bounds it). When arrival order is id order,
+    * every stream drop has a kept lower-id claimant, so the STREAM KEEP SET
+    * CONTAINS THE BATCH KEEP SET, with equality exactly when every
+    * batch-dropped vector has a kept claimant (always true for coherent
+    * duplicate clusters; a chain A~B~C where C clears tau only against the
+    * dropped B diverges — the stream keeps C). `nDup` counts kept claimants
+    * only, so it reads "how many admitted vectors this one collided with",
+    * not batch's "how many earlier cell-mates". The admission sequence is
+    * arrival-order with (vecId)-sorted determinism within each micro-batch,
+    * like [[tokenBudgetStream]]: id-ordered arrival reproduces the greedy
+    * sequential SemDeDup pass regardless of micro-batch slicing (pinned in
+    * `StreamingSpec`).
+    *
+    * State bound (the 100 TB contract): kept vectors per cell. Admitted
+    * vectors are pairwise < tau by construction, so a cell's state is
+    * capped by the tau-packing number of its cone — independent of how many
+    * vectors ARRIVE; with an adaptive-k fit (~64-vector target cells) the
+    * kept list stays O(cell target). State never expires: a dedup ledger is
+    * a corpus-lifetime admission (NoTimeout by design, like
+    * [[tokenBudgetStream]]'s quota — bound ingest via the source admission
+    * knobs, not state eviction). `flatMapGroupsWithState` is terminal
+    * (nothing stateful can follow).
+    */
+  def semanticDedupStream(
+      vecs: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tau: Double): Dataset[SemOut] = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    import graft.functions.ExactDot
+    val cents = graft.ml.IvfQuantizer.collectCentroids(centroids)
+    require(cents.nonEmpty, "semanticDedupStream needs a fitted centroid table")
+    val bc = spark.sparkContext.broadcast(cents)
+    vecs
+      .select(
+        col(idCol).cast("long").as("vecId"),
+        col(vecCol).cast("array<double>").as("vec"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        val n2: Double = ExactDot.computeArrays(v, v, 9)
+        SemRouted(id, graft.ml.IvfQuantizer.routeVector(v, n2, bc.value), v, n2)
+      }
+      .groupByKey(_.cell)
+      .flatMapGroupsWithState[SemState, SemOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (cell: Long, rows: Iterator[SemRouted], state: GroupState[SemState]) =>
+          var kept = state.getOption.map(_.kept).getOrElse(Nil)
+          val out = rows.toSeq.sortBy(_.vecId).map { r =>
+            var keptBy = Option.empty[Long]
+            var maxCos = Option.empty[Double]
+            var nDup = 0L
+            kept.foreach { km =>
+              val dot = ExactDot.computeArrays(r.vec, km.vec, 9)
+              val den = math.sqrt(r.n2) * math.sqrt(km.n2)
+              if (dot != null && den != 0.0) {
+                val cos = dot.doubleValue() / den
+                if (cos >= tau) {
+                  nDup += 1
+                  if (keptBy.forall(_ > km.vecId)) keptBy = Some(km.vecId)
+                  if (maxCos.forall(_ < cos)) maxCos = Some(cos)
+                }
+              }
+            }
+            if (keptBy.isEmpty) {
+              kept = kept :+ SemKept(r.vecId, r.vec, r.n2)
+              SemOut(r.vecId, cell, 1L, None, None, None)
+            } else SemOut(r.vecId, cell, 0L, keptBy, Some(nDup), maxCos)
+          }
+          state.update(SemState(kept))
           out.iterator
       }
   }

@@ -72,6 +72,33 @@ class IvfQuantizerSpec extends SparkSpec {
     assert(r1 == r2)
   }
 
+  test("fitCentroids + routeVector reproduce fitAssign's assignment bit-for-bit") {
+    // the batch/stream split contract: routing a corpus through the
+    // exported centroid table with the closure-side exact arithmetic
+    // (ExactDot.computeArrays + ascending-cell strict-> tie-break) must
+    // equal the in-plan rankCells argmax — this pin is what lets
+    // semanticDedupStream claim batch-identical cell routing
+    val e = corpus(60, seed = 41)
+    val batch = IvfQuantizer
+      .fitAssign(e, "vec_id", "embedding", "n2", k, iters, sampleEvery = 2)
+      .select(col("vec_id").cast("long"), col("cell").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val cents = IvfQuantizer.collectCentroids(
+      IvfQuantizer.fitCentroids(e, "vec_id", "embedding", "n2", k, iters, sampleEvery = 2))
+    graft.ops.Caches.releaseAll()
+    assert(cents.map(_._1).toSeq == cents.map(_._1).toSeq.sorted && cents.length == k)
+    val routed = e.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, vf) =>
+        val v = vf.map(_.toDouble)
+        val n2: Double = graft.functions.ExactDot.computeArrays(v, v, 9)
+        id -> IvfQuantizer.routeVector(v, n2, cents)
+      }.toMap
+    assert(routed == batch,
+      s"closure routing diverged from the in-plan assignment for ids " +
+        s"${routed.collect { case (id, c) if batch(id) != c => id }.toSeq.sorted}")
+  }
+
   test("IVF routing recall: on clustered data every exact neighbor is in a probed cell") {
     // 8 well-separated clusters of 25 vectors in 16 dims: exact cosine
     // top-3 of any vector is inside its own cluster, so nprobe=2 routing

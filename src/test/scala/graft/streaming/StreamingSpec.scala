@@ -405,6 +405,157 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("semanticDedupStream admits against kept cell-mates with first-kept attribution") {
+    // one obvious cell (single centroid): A and C are orthogonal keepers;
+    // B arrives later on A's direction (cos ≈ 1 ≥ τ) and drops attributed
+    // to A; D likewise drops against C — across micro-batches, so the
+    // admission state carries
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val centroids = Seq((0L, Array(1.0, 1.0, 0.0))).toDF("cell", "centroid")
+    val input = MemoryStream[(Long, Array[Double])]
+    val df = input.toDF().toDF("vec_id", "embedding")
+    val out = Streaming.semanticDedupStream(df, centroids, "vec_id", "embedding", tau = 0.9)
+    val q = out.writeStream.format("memory").queryName("semdedup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, Array(1.0, 0.0, 0.0)), (2L, Array(0.0, 1.0, 0.0)))
+      q.processAllAvailable()
+      input.addData((3L, Array(2.0, 0.001, 0.0)), (4L, Array(0.001, 3.0, 0.0)))
+      q.processAllAvailable()
+      val got = spark.table("semdedup_stream")
+        .select("vecId", "keep", "keptBy").as[(Long, Long, Option[Long])]
+        .collect().map { case (id, k, by) => id -> ((k, by)) }.toMap
+      assert(got(1L) == ((1L, None)) && got(2L) == ((1L, None)),
+        s"orthogonal keepers mangled: $got")
+      assert(got(3L) == ((0L, Some(1L))) && got(4L) == ((0L, Some(2L))),
+        s"later near-dups not dropped against their kept mates: $got")
+    } finally q.stop()
+  }
+
+  test("semanticDedupStream: id-ordered ingest == the greedy SemDeDup pass, slice-invariant, keep ⊇ batch") {
+    // the full sf0.001 embeddings corpus through the PRE-FITTED quantizer
+    // (exactly sim_semantic_dedup's fit: k = adaptiveK(n, 64), 2 Lloyd
+    // iters, se=4). Three contracts at once:
+    //   (1) the streamed ledger equals a driver-side reference of the
+    //       greedy sequential SemDeDup pass (same routing, same exact
+    //       arithmetic) — the stream IS the greedy algorithm;
+    //   (2) re-running with different micro-batch slicing (1 slice vs 3)
+    //       yields the identical ledger — admission is a function of the
+    //       id order, not the slicing;
+    //   (3) the stream keep set CONTAINS the batch sim_semantic_dedup keep
+    //       set (stream drops need a KEPT claimant; batch drops accept any
+    //       lower-id claimant — the documented containment direction).
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val tau = 0.4
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("n2", graft.ops.Vectors.norm2Exact(col("embedding")))
+    val n = e.count()
+    val k = graft.ml.IvfQuantizer.adaptiveK(n, 64)
+    val centDf = graft.ml.IvfQuantizer
+      .fitCentroids(e, "vec_id", "embedding", "n2", k, 2, sampleEvery = 4)
+    val cents = graft.ml.IvfQuantizer.collectCentroids(centDf)
+    val vecs = e.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+      .map { case (id, vf) => (id, vf.map(_.toDouble)) }
+    graft.ops.Caches.releaseAll()
+
+    // driver-side greedy reference: route, then admit in id order per cell
+    import graft.functions.ExactDot
+    val routed = vecs.map { case (id, v) =>
+      val vN2: Double = ExactDot.computeArrays(v, v, 9)
+      (id, graft.ml.IvfQuantizer.routeVector(v, vN2, cents), v, vN2)
+    }
+    val keptPerCell = scala.collection.mutable.Map
+      .empty[Long, List[(Long, Array[Double], Double)]]
+    val expected = routed.map { case (id, cell, v, vN2) =>
+      val kept = keptPerCell.getOrElse(cell, Nil)
+      val claims = kept.flatMap { case (kid, kv, kn2) =>
+        val dot = ExactDot.computeArrays(v, kv, 9)
+        val den = math.sqrt(vN2) * math.sqrt(kn2)
+        if (dot != null && den != 0.0 && dot.doubleValue() / den >= tau)
+          Some((kid, dot.doubleValue() / den))
+        else None
+      }
+      if (claims.isEmpty) {
+        keptPerCell(cell) = kept :+ ((id, v, vN2))
+        (id, cell, 1L, None: Option[Long], None: Option[Long], None: Option[Double])
+      } else
+        (id, cell, 0L, Some(claims.map(_._1).min), Some(claims.size.toLong),
+          Some(claims.map(_._2).max))
+    }.toSet
+
+    def runStream(slices: Int, name: String): Set[(Long, Long, Long, Option[Long], Option[Long], Option[Double])] = {
+      val input = MemoryStream[(Long, Array[Double])]
+      val df = input.toDF().toDF("vec_id", "embedding")
+      val out = Streaming.semanticDedupStream(df, centDf, "vec_id", "embedding", tau)
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        vecs.grouped(math.max(1, vecs.length / slices)).foreach { chunk =>
+          input.addData(chunk.toSeq); q.processAllAvailable()
+        }
+        spark.table(name)
+          .select("vecId", "cell", "keep", "keptBy", "nDup", "maxCos")
+          .as[(Long, Long, Long, Option[Long], Option[Long], Option[Double])]
+          .collect().toSet
+      } finally q.stop()
+    }
+    val one = runStream(1, "semdedup_par1")
+    val three = runStream(3, "semdedup_par3")
+    graft.ops.Caches.releaseAll()
+    assert(one == three, "micro-batch slicing changed the ledger")
+    assert(one == expected,
+      s"stream diverged from the greedy reference: ${one.diff(expected).take(5)} vs ${expected.diff(one).take(5)}")
+
+    val batchKeep = graft.SparkEntry.queries("sim_semantic_dedup")(spark, sfDir)
+      .filter(col("keep") === 1L).select(col("vec_id"))
+      .as[Long].collect().toSet
+    graft.ops.Caches.releaseAll()
+    val streamKeep = one.collect { case (id, _, 1L, _, _, _) => id }
+    assert(batchKeep.subsetOf(streamKeep),
+      s"stream keep set lost batch keeps: ${batchKeep.diff(streamKeep).take(10)}")
+  }
+
+  test("semanticDedupStream: green under the RocksDB state-store provider (the cluster pick)") {
+    // same provider pin as nearDupDedupStream's: the per-cell kept-vector
+    // state (case class with an Array[Double] payload) must round-trip the
+    // RocksDB provider unchanged, so the cluster config is supported, not
+    // hoped — semantics identical to the HDFS-provider run above
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val centroids = Seq((0L, Array(1.0, 1.0, 0.0))).toDF("cell", "centroid")
+      val input = MemoryStream[(Long, Array[Double])]
+      val df = input.toDF().toDF("vec_id", "embedding")
+      val out = Streaming.semanticDedupStream(df, centroids, "vec_id", "embedding", tau = 0.9)
+      val q = out.writeStream.format("memory").queryName("semdedup_rocks")
+        .outputMode("append").start()
+      try {
+        input.addData((1L, Array(1.0, 0.0, 0.0)), (2L, Array(0.0, 1.0, 0.0)))
+        q.processAllAvailable()
+        input.addData((3L, Array(2.0, 0.001, 0.0)), (4L, Array(0.001, 3.0, 0.0)))
+        q.processAllAvailable()
+        val got = spark.table("semdedup_rocks")
+          .select("vecId", "keep", "keptBy").as[(Long, Long, Option[Long])]
+          .collect().map { case (id, k, by) => id -> ((k, by)) }.toMap
+        assert(got == Map(
+          1L -> ((1L, None)), 2L -> ((1L, None)),
+          3L -> ((0L, Some(1L))), 4L -> ((0L, Some(2L)))), s"got $got")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("sessionWindowAgg merges and emits sessions as the watermark passes them") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
