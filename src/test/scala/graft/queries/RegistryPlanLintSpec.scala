@@ -157,6 +157,18 @@ class RegistryPlanLintSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("COVERAGE.md header count matches the live registry size") {
+    // the r9 round shipped a stale header (191 documented vs 193 live) —
+    // tie the doc to SparkEntry.queries.size so registry growth without a
+    // COVERAGE.md refresh fails loudly instead of drifting silently
+    val header = scala.io.Source.fromFile("COVERAGE.md", "UTF-8").getLines().take(20).mkString(" ")
+    val m = """\*\*(\d+) registered\b""".r.findFirstMatchIn(header)
+    assert(m.nonEmpty, "COVERAGE.md header lost its '**N registered' count marker")
+    assert(m.get.group(1).toInt == graft.SparkEntry.queries.size,
+      s"COVERAGE.md header says ${m.get.group(1)} registered queries but the " +
+        s"registry has ${graft.SparkEntry.queries.size} — refresh the header counts")
+  }
+
   test("every registered query plans successfully; none plans a CartesianProduct") {
     assert(sweep.failures.isEmpty,
       s"planning failed for:\n${sweep.failures.mkString("\n")}")
