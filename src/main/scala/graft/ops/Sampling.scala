@@ -293,4 +293,86 @@ object Sampling {
     df.withColumn(cumCol, sum(wChecked).over(w))
       .filter(col(cumCol) <= budget)
   }
+
+  /** DSIR-style importance ranking for targeted data selection (Xie et
+    * al. 2023, "Data Selection for Language Models via Importance
+    * Resampling"): score every POOL document by how much more likely its
+    * hashed n-gram profile is under the TARGET distribution than under the
+    * raw pool distribution, and rank per stratum. Features are word
+    * unigrams + ordered bigrams hashed into `buckets` buckets (the paper's
+    * hashed n-gram feature map); both distributions are Laplace-smoothed
+    * bucket unigram models, so a document's importance log-weight is
+    * Σ_features [ln p_target(b(f)) − ln p_raw(b(f))]. The paper resamples
+    * with Gumbel noise; this engine is deterministic by contract, so
+    * selection is the top-`kPerStratum` by (log-weight desc, id) per
+    * stratum — the paper's own top-k variant — and the FULL ledger ships
+    * (rank + selected flag) so the rejected tail is auditable, like
+    * [[tokenBudgetLedger]].
+    *
+    * Target = rows with `strataCol === targetValue`; the pool = every
+    * other stratum (target rows contribute to BOTH fitted distributions —
+    * raw counts cover the whole corpus, exactly the paper's raw side —
+    * but are not themselves scored). Determinism recipe: integer bucket
+    * counts → exact double ratios → [[graft.functions.MathLn]] (libm
+    * parity) per BUCKET (not per feature instance), and the per-doc sum
+    * of bucket log-ratios runs through [[Exact.dsumTrunc9]], so the score
+    * — and therefore the selected SET — is engine- and partition-exact.
+    *
+    * Scale shape: the feature explode is a stateless projection; the two
+    * bucket histograms aggregate with map-side partial combine into at
+    * most `buckets` rows each, and the fitted log-ratio table is a
+    * `buckets`-row BROADCAST (the planner has no stats on a fresh
+    * aggregate — same explicit-broadcast lesson as `unigramLogProb`), so
+    * scoring is one shuffle on the doc id. Ranking is a window per
+    * stratum over the scored docs (the ledger variant; a selection-only
+    * consumer should filter `sel_rank <= k` directly over the window to
+    * get the WindowGroupLimit map-side pre-prune).
+    */
+  def dsirLedger(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      strataCol: String,
+      targetValue: String,
+      buckets: Int,
+      kPerStratum: Int): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    require(kPerStratum > 0, "kPerStratum must be positive")
+    val toks = Text.tokens(col(textCol))
+    val base = Spread.byKey(docs, col(idCol))
+      .select(col(idCol), col(strataCol), col(textCol))
+    val uni = base.select(col(idCol), col(strataCol), explode(toks).as("__f"))
+    val big = base.filter(size(toks) >= 2)
+      .select(col(idCol), col(strataCol), explode(Text.shingles(toks, 2)).as("__f"))
+    val fb = uni.unionByName(big)
+      .select(col(idCol), col(strataCol), (hashU24(col("__f")) % buckets).as("__b"))
+    val cr = fb.groupBy("__b").agg(count(lit(1)).as("__cr"))
+    val ct = fb.filter(col(strataCol) === targetValue)
+      .groupBy("__b").agg(count(lit(1)).as("__ct"))
+    val nt = ct.agg(coalesce(sum("__ct"), lit(0L)).as("__nt"))
+    val nr = cr.agg(sum("__cr").as("__nr"))
+    // every bucket any document hits is present in cr (raw counts span the
+    // whole corpus), so cr is the bucket domain; ct left-joins onto it and
+    // Laplace +1 smooths the target-unseen buckets
+    val lr = cr.join(ct, Seq("__b"), "left")
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+      .select(
+        col("__b"),
+        (graft.functions.MathLn(
+          (coalesce(col("__ct"), lit(0L)) + 1L).cast("double") /
+            (col("__nt") + buckets).cast("double"))
+          - graft.functions.MathLn(
+            (col("__cr") + 1L).cast("double") /
+              (col("__nr") + buckets).cast("double"))).as("__lw"))
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col("dsir_logweight").desc, col(idCol))
+    fb.filter(col(strataCol) =!= targetValue)
+      .join(broadcast(lr), Seq("__b"))
+      .groupBy(col(idCol), col(strataCol))
+      .agg(
+        count(lit(1)).as("n_feats"),
+        Exact.dsumTrunc9(col("__lw")).as("dsir_logweight"))
+      .withColumn("sel_rank", row_number().over(w).cast("long"))
+      .withColumn("selected", (col("sel_rank") <= kPerStratum).cast("long"))
+  }
 }

@@ -391,7 +391,12 @@ object Text {
     * fit — one codegen'd expression chain, no shuffle, ingest-line-rate at
     * 100 TB. The fitted rules are a collected plan-time table (six rows).
     */
-  def bpeEncode(df: DataFrame, idCol: String, textCol: String, rounds: Int): DataFrame = {
+  def bpeEncode(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      rounds: Int,
+      carry: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.functions.{replace => sreplace}
     val rules = bpeMerges(df, textCol, rounds)
       .orderBy("merge_rank")
@@ -411,14 +416,103 @@ object Text {
     val nWords = size(toks).cast("long")
     val nTokens = (size(split(symFinal, " ")).cast("long") - (nWords - 1L)).as("n_bpe_tokens")
     df.select(
-      col(idCol),
-      length(sreplace(col(textCol), lit(" "), lit(""))).cast("long").as("n_chars"),
-      nWords.as("n_words"),
-      nTokens)
+      (col(idCol) +: carry.map(col)) ++ Seq(
+        length(sreplace(col(textCol), lit(" "), lit(""))).cast("long").as("n_chars"),
+        nWords.as("n_words"),
+        nTokens): _*)
       .withColumn(
         "chars_per_token",
         col("n_chars").cast("double") / col("n_bpe_tokens").cast("double"))
   }
+
+  /** WITHIN-document repetition metrics — the Gopher repetition quality
+    * rules (Rae et al. 2021 §A1.1, the filter family every modern pipeline
+    * applies before training), in token-gram form: per document,
+    * `top2gram_share` = the share of the doc's bigram slots taken by its
+    * single most frequent bigram (boilerplate/chant detector — a doc that
+    * is one phrase over and over scores → 1), and `dup3gram_frac` = the
+    * fraction of trigram occurrences whose trigram appears ≥ 2× in the
+    * SAME doc (internal copy-paste detector). Both are pure integer-count
+    * ratios, so the row set is engine-exact; `flagged` applies the
+    * literal thresholds (top2gram_share > 0.2 OR dup3gram_frac > 0.15 —
+    * Gopher's 0.20/0.15 tier for this gram range). These are WITHIN-doc
+    * rules: corpus-level repetition is `t17_topgram_share`'s job, and
+    * cross-doc duplication is the dedup family's.
+    *
+    * Docs with fewer than 3 tokens emit no row (no trigram support — the
+    * same short-doc contract as `bigramLogProb`).
+    *
+    * Scale shape: per-doc gram bags explode statelessly; the counts are
+    * two (id, gram)-keyed aggregations with map-side combine and two
+    * doc-keyed roll-ups — output is doc-sized, no fitted state, no join
+    * against anything corpus-wide.
+    */
+  def gopherRepetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toksC = tokens(col(textCol))
+    val base = spread(df, idCol).filter(size(toksC) >= 3)
+    val bg = base.select(col(idCol), explode(shingles(toksC, 2)).as("__g"))
+      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))
+      .groupBy(idCol)
+      .agg(sum("__c").as("n_bigrams"), max("__c").as("top_bigram_count"))
+    val tg = base.select(col(idCol), explode(shingles(toksC, 3)).as("__g"))
+      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))
+      .groupBy(idCol)
+      .agg(
+        sum("__c").as("n_trigrams"),
+        sum(when(col("__c") >= 2, col("__c")).otherwise(0L)).as("dup_trigram_occ"))
+    bg.join(tg, Seq(idCol))
+      .select(
+        col(idCol),
+        col("n_bigrams").cast("long").as("n_bigrams"),
+        col("top_bigram_count").cast("long").as("top_bigram_count"),
+        col("n_trigrams").cast("long").as("n_trigrams"),
+        col("dup_trigram_occ").cast("long").as("dup_trigram_occ"))
+      .withColumn(
+        "top2gram_share",
+        col("top_bigram_count").cast("double") / col("n_bigrams").cast("double"))
+      .withColumn(
+        "dup3gram_frac",
+        col("dup_trigram_occ").cast("double") / col("n_trigrams").cast("double"))
+      .withColumn(
+        "flagged",
+        (col("top2gram_share") > 0.2 || col("dup3gram_frac") > 0.15).cast("long"))
+  }
+
+  /** Per-group tokenizer FERTILITY audit over [[bpeEncode]] — the standard
+    * multilingual tokenizer-equity table (XLM-R / NLLB style): per group
+    * (typically language), BPE tokens per word (`fertility` — how many
+    * subwords the tokenizer splits an average word into; a high-fertility
+    * language pays more sequence length for the same text) and characters
+    * per BPE token (`chars_per_token` — the compression view of the same
+    * inequity). A tokenizer fitted on a skewed corpus shows it here first.
+    *
+    * Determinism: the per-doc counts are integral, the group sums are
+    * integral, and the two closing divisions are single exact double ops —
+    * the whole table is engine-exact. Scale shape: [[bpeEncode]]'s encode
+    * is a stateless projection under broadcast-folded rules; the audit
+    * adds ONE aggregation with map-side partial combine into
+    * #groups rows. `grpCol` rides through the encode projection (the
+    * `carry` hook) — no self-join back onto the corpus.
+    */
+  def bpeFertility(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      grpCol: String,
+      rounds: Int): DataFrame =
+    bpeEncode(df, idCol, textCol, rounds, carry = Seq(grpCol))
+      .groupBy(grpCol)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("n_chars"),
+        sum("n_words").as("n_words"),
+        sum("n_bpe_tokens").as("n_bpe_tokens"))
+      .withColumn(
+        "fertility",
+        col("n_bpe_tokens").cast("double") / col("n_words").cast("double"))
+      .withColumn(
+        "chars_per_token",
+        col("n_chars").cast("double") / col("n_bpe_tokens").cast("double"))
 
   /** Sequence packing — assign documents to fixed-capacity token packs
     * (context windows), the concat-and-chunk layout LLM training shards

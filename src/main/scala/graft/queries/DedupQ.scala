@@ -495,6 +495,54 @@ object DedupQ {
               FROM g""")),
 
     QDef(
+      "mix_dsir",
+      // DSIR importance ranking (Xie et al. 2023): score every non-English
+      // doc by how much more likely its hashed unigram+bigram profile is
+      // under the ENGLISH bucket distribution than under the raw corpus
+      // one (256 hashed buckets, Laplace-smoothed), rank per language,
+      // select the top 25 — "find the most target-like docs in the pool",
+      // the published recipe for targeted pre-training selection. Full
+      // ledger (rank + selected flag) so the rejected tail is auditable.
+      // Engine-exact: integer bucket counts, MathLn per bucket,
+      // dsumTrunc9 per doc, (weight desc, doc_id) total order
+      (s, d) => Sampling.dsirLedger(
+        t(s, d, "documents").select("doc_id", "lang", "text"),
+        "doc_id", "text", "lang", "en", buckets = 256, kPerStratum = 25),
+      Some(s"""WITH tk AS (SELECT doc_id, lang, string_split(trim(text), ' ') AS toks
+                           FROM documents),
+               ft AS (SELECT doc_id, lang, unnest(toks) AS f FROM tk
+                      UNION ALL
+                      SELECT doc_id, lang, toks[i] || ' ' || toks[i+1] AS f
+                      FROM tk, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+                      WHERE len(toks) >= 2),
+               fb AS (SELECT doc_id, lang, ${Sampling.sqlHashU24("f")} % 256 AS b
+                      FROM ft),
+               cr AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM fb GROUP BY 1),
+               ct AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM fb
+                      WHERE lang = 'en' GROUP BY 1),
+               nt AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS nt FROM ct),
+               nr AS (SELECT CAST(sum(cr) AS BIGINT) AS nr FROM cr),
+               lr AS (SELECT cr.b,
+                        ln(CAST(coalesce(ct.ct, 0) + 1 AS DOUBLE)
+                           / CAST(nt.nt + 256 AS DOUBLE))
+                      - ln(CAST(cr.cr + 1 AS DOUBLE)
+                           / CAST(nr.nr + 256 AS DOUBLE)) AS lw
+                      FROM cr LEFT JOIN ct ON ct.b = cr.b
+                      CROSS JOIN nt CROSS JOIN nr),
+               sc AS (SELECT fb.doc_id, fb.lang,
+                        CAST(count(*) AS BIGINT) AS n_feats,
+                        ${graft.ops.Exact.sqlDsumTrunc9("lw")} AS dsir_logweight
+                      FROM fb JOIN lr ON lr.b = fb.b
+                      WHERE fb.lang <> 'en' GROUP BY 1, 2)
+               SELECT doc_id, lang, n_feats, dsir_logweight,
+                 CAST(row_number() OVER (PARTITION BY lang
+                   ORDER BY dsir_logweight DESC, doc_id) AS BIGINT) AS sel_rank,
+                 CAST(CASE WHEN row_number() OVER (PARTITION BY lang
+                   ORDER BY dsir_logweight DESC, doc_id) <= 25
+                   THEN 1 ELSE 0 END AS BIGINT) AS selected
+               FROM sc""")),
+
+    QDef(
       "temperature_mix",
       // temperature-smoothed mixture weights at α = 0.5 over the corpus
       // languages (the T5/UniMax multilingual rebalance): target share ∝

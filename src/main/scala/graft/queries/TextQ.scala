@@ -1082,31 +1082,81 @@ object TextQ {
       // encode every doc under the 6 learned merges and report the
       // token-budget numbers — symbol count + chars-per-token compression
       (s, d) => Text.bpeEncode(t(s, d, "documents"), "doc_id", "text", bpeRounds),
-      Some {
-        // e_r = per-doc symbol strings after rule r; word boundaries are a
-        // ' | ' guard symbol no word-internal rule can match across
-        val encCtes = (1 to bpeRounds).map { r =>
-          s"""e$r AS (SELECT doc_id, trim(replace(replace(' ' || replace(sym, ' ', '  ') || ' ',
-                   ' ' || replace(t$r.pair, ' ', '  ') || ' ',
-                   ' ' || t$r.merged || ' '), '  ', ' ')) AS sym
-               FROM e${r - 1}, t$r)"""
-        }.mkString(",\n")
-        val nTok = s"""CAST(len(string_split(e.sym, ' ')) AS BIGINT)
-                       - (CAST(len(string_split(trim(d.text), ' ')) AS BIGINT) - 1)"""
-        s"""WITH ${bpeFitSql(bpeRounds)},
-            e0 AS (SELECT doc_id, array_to_string(
-                     list_transform(string_split(trim(text), ' '),
-                       w -> trim(regexp_replace(w, '(.)', '\\1 ', 'g'))), ' | ') AS sym
-                   FROM documents),
-            $encCtes
+      Some(s"""WITH ${bpeFitSql(bpeRounds)},
+            ${bpeEncodeCtes(bpeRounds)}
             SELECT d.doc_id,
               CAST(length(replace(d.text, ' ', '')) AS BIGINT) AS n_chars,
               CAST(len(string_split(trim(d.text), ' ')) AS BIGINT) AS n_words,
-              $nTok AS n_bpe_tokens,
-              CAST(length(replace(d.text, ' ', '')) AS DOUBLE) / CAST($nTok AS DOUBLE)
+              $bpeNTokExpr AS n_bpe_tokens,
+              CAST(length(replace(d.text, ' ', '')) AS DOUBLE) / CAST($bpeNTokExpr AS DOUBLE)
                 AS chars_per_token
-            FROM documents d JOIN e$bpeRounds e ON e.doc_id = d.doc_id"""
-      }),
+            FROM documents d JOIN e$bpeRounds e ON e.doc_id = d.doc_id""")),
+
+    QDef(
+      "t24_bpe_fertility",
+      // per-language tokenizer EQUITY audit over the fitted BPE (the
+      // XLM-R/NLLB-style fertility table): BPE tokens per word and chars
+      // per token, per lang — a tokenizer fitted on a skewed corpus makes
+      // some languages pay more sequence length for the same text, and
+      // this is the table that shows it. Integral group sums + two exact
+      // closing divisions; lang rides the encode projection (no self-join)
+      (s, d) => Text.bpeFertility(
+        t(s, d, "documents"), "doc_id", "text", "lang", bpeRounds),
+      Some(s"""WITH ${bpeFitSql(bpeRounds)},
+            ${bpeEncodeCtes(bpeRounds)},
+            pd AS (SELECT d.doc_id, d.lang,
+                     CAST(length(replace(d.text, ' ', '')) AS BIGINT) AS n_chars,
+                     CAST(len(string_split(trim(d.text), ' ')) AS BIGINT) AS n_words,
+                     $bpeNTokExpr AS n_bpe_tokens
+                   FROM documents d JOIN e$bpeRounds e ON e.doc_id = d.doc_id)
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS n_chars,
+              CAST(sum(n_words) AS BIGINT) AS n_words,
+              CAST(sum(n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+              CAST(sum(n_bpe_tokens) AS DOUBLE) / CAST(sum(n_words) AS DOUBLE)
+                AS fertility,
+              CAST(sum(n_chars) AS DOUBLE) / CAST(sum(n_bpe_tokens) AS DOUBLE)
+                AS chars_per_token
+            FROM pd GROUP BY 1""")),
+
+    QDef(
+      "t25_gopher_rep",
+      // within-doc repetition quality rules (Gopher §A1.1, token-gram
+      // form): top-bigram slot share (boilerplate/chant) + duplicated-
+      // trigram occurrence fraction (internal copy-paste), with the
+      // literal 0.2/0.15 flag tier. Integer-count ratios end to end;
+      // corpus-level repetition is t17's job, cross-doc duplication the
+      // dedup family's. Docs under 3 tokens emit no row
+      (s, d) => Text.gopherRepetition(t(s, d, "documents"), "doc_id", "text"),
+      Some("""WITH tk AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+                          FROM documents),
+              bg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
+                     FROM tk, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+                     WHERE len(toks) >= 3),
+              tg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+                     FROM tk, unnest(generate_series(1, len(toks) - 2)) AS u(i)
+                     WHERE len(toks) >= 3),
+              bc AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+                     FROM bg GROUP BY 1, 2),
+              b AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                      CAST(max(c) AS BIGINT) AS top_bigram_count
+                    FROM bc GROUP BY 1),
+              tc AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+                     FROM tg GROUP BY 1, 2),
+              t AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_trigrams,
+                      CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+                        AS dup_trigram_occ
+                    FROM tc GROUP BY 1)
+              SELECT b.doc_id, b.n_bigrams, b.top_bigram_count,
+                t.n_trigrams, t.dup_trigram_occ,
+                CAST(b.top_bigram_count AS DOUBLE) / CAST(b.n_bigrams AS DOUBLE)
+                  AS top2gram_share,
+                CAST(t.dup_trigram_occ AS DOUBLE) / CAST(t.n_trigrams AS DOUBLE)
+                  AS dup3gram_frac,
+                CAST(CASE WHEN CAST(b.top_bigram_count AS DOUBLE) / CAST(b.n_bigrams AS DOUBLE) > 0.2
+                       OR CAST(t.dup_trigram_occ AS DOUBLE) / CAST(t.n_trigrams AS DOUBLE) > 0.15
+                     THEN 1 ELSE 0 END AS BIGINT) AS flagged
+              FROM b JOIN t ON t.doc_id = b.doc_id""")),
 
     QDef(
       "t20_langmix_entropy",
@@ -1236,4 +1286,29 @@ object TextQ {
         s0 AS (SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym, freq FROM wv),
         $roundCtes"""
   }
+
+  /** Per-doc encode CTE chain shared by t19/t24: e_r = per-doc symbol
+    * strings after rule r; word boundaries are a ' | ' guard symbol no
+    * word-internal rule can match across.
+    */
+  private def bpeEncodeCtes(rounds: Int): String = {
+    val encCtes = (1 to rounds).map { r =>
+      s"""e$r AS (SELECT doc_id, trim(replace(replace(' ' || replace(sym, ' ', '  ') || ' ',
+               ' ' || replace(t$r.pair, ' ', '  ') || ' ',
+               ' ' || t$r.merged || ' '), '  ', ' ')) AS sym
+           FROM e${r - 1}, t$r)"""
+    }.mkString(",\n")
+    s"""e0 AS (SELECT doc_id, array_to_string(
+             list_transform(string_split(trim(text), ' '),
+               w -> trim(regexp_replace(w, '(.)', '\\1 ', 'g'))), ' | ') AS sym
+           FROM documents),
+        $encCtes"""
+  }
+
+  /** Symbol count of the encoded doc minus its (n_words − 1) boundary
+    * guards — the BPE token count, for a row joining documents d × eN e.
+    */
+  private def bpeNTokExpr: String =
+    s"""(CAST(len(string_split(e.sym, ' ')) AS BIGINT)
+         - (CAST(len(string_split(trim(d.text), ' ')) AS BIGINT) - 1))"""
 }

@@ -345,4 +345,29 @@ class DedupTextSpec extends SparkSpec {
       .select("doc_id", "neardup_of").as[(Long, Option[Long])].collect().toMap
     assert(banded == brute)
   }
+
+  test("gopherRepetition: planted chant and copy-paste flag; clean doc passes; short doc emits no row") {
+    // doc 1: "a b" chanted — tokens a,b,a,b,a,b,a,b → 7 bigram slots of
+    // which "a b" takes 4 (share 4/7 > 0.2), and all 6 trigrams are
+    // duplicated ("a b a"×3, "b a b"×3 → frac 1.0 > 0.15) → flagged both
+    // ways. doc 2: all-distinct tokens → top share 1/6, dup frac 0 →
+    // clean. doc 3: 2 tokens → below trigram support, no row.
+    val docs = Seq(
+      (1L, "a b a b a b a b"),
+      (2L, "the quick brown fox jumps over dog"),
+      (3L, "a b")
+    ).toDF("doc_id", "text")
+    val got = Text.gopherRepetition(docs, "doc_id", "text")
+      .select("doc_id", "n_bigrams", "top_bigram_count", "n_trigrams",
+        "dup_trigram_occ", "top2gram_share", "dup3gram_frac", "flagged")
+      .as[(Long, Long, Long, Long, Long, Double, Double, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(1L, 2L))
+    val d1 = got(1L)
+    assert(d1._2 == 7L && d1._3 == 4L && d1._4 == 6L && d1._5 == 6L)
+    assert(d1._6 == 4.0 / 7.0 && d1._7 == 1.0 && d1._8 == 1L)
+    val d2 = got(2L)
+    assert(d2._2 == 6L && d2._3 == 1L && d2._4 == 5L && d2._5 == 0L)
+    assert(d2._6 == 1.0 / 6.0 && d2._7 == 0.0 && d2._8 == 0L)
+  }
 }

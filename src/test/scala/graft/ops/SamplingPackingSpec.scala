@@ -230,4 +230,44 @@ class SamplingPackingSpec extends SparkSpec {
     assert(e2.getMessage.contains("negative weight") ||
       Option(e2.getCause).exists(_.getMessage.contains("negative weight")))
   }
+
+  test("dsirLedger: target-like pool docs outrank off-target ones; ledger covers the pool; top-k selected") {
+    // target = 'en' docs built from one vocabulary; the pool's planted doc
+    // reuses that vocabulary verbatim, the rest of the pool uses disjoint
+    // tokens. DSIR's importance weight must put the planted doc at
+    // sel_rank 1 in its stratum: its buckets carry high target counts,
+    // the off-target buckets only the Laplace prior.
+    val docs = Seq(
+      (1L, "en", "the cat sat on the mat"),
+      (2L, "en", "the dog sat on the rug"),
+      (3L, "en", "a cat and a dog sat"),
+      (10L, "xx", "the cat sat on the rug"), // planted: target vocabulary
+      (11L, "xx", "zorp blif quux narg flib"),
+      (12L, "xx", "vex jum wib lorp snek"),
+      (13L, "yy", "the dog sat"), // planted for stratum yy
+      (14L, "yy", "grum thok plin zzed worv")
+    ).toDF("doc_id", "lang", "text")
+    val led = Sampling.dsirLedger(docs, "doc_id", "text", "lang", "en",
+      buckets = 64, kPerStratum = 1)
+      .select("doc_id", "lang", "dsir_logweight", "sel_rank", "selected")
+      .as[(Long, String, Double, Long, Long)].collect()
+    // ledger = pool only, every pool doc present
+    assert(led.map(_._1).sorted.toSeq == Seq(10L, 11L, 12L, 13L, 14L))
+    val byId = led.map(r => r._1 -> r).toMap
+    assert(byId(10L)._4 == 1L && byId(10L)._5 == 1L,
+      s"planted xx doc not top-ranked: ${led.toSeq}")
+    assert(byId(13L)._4 == 1L && byId(13L)._5 == 1L,
+      s"planted yy doc not top-ranked: ${led.toSeq}")
+    // the planted docs carry strictly higher weights than their stratum mates
+    assert(byId(10L)._3 > byId(11L)._3 && byId(10L)._3 > byId(12L)._3)
+    assert(byId(13L)._3 > byId(14L)._3)
+    // with kPerStratum = 1, exactly one selected per stratum
+    assert(led.count(_._5 == 1L) == 2)
+    // run-twice determinism (the selection-set contract)
+    val led2 = Sampling.dsirLedger(docs, "doc_id", "text", "lang", "en",
+      buckets = 64, kPerStratum = 1)
+      .select("doc_id", "lang", "dsir_logweight", "sel_rank", "selected")
+      .as[(Long, String, Double, Long, Long)].collect()
+    assert(led.sortBy(_._1).toSeq == led2.sortBy(_._1).toSeq)
+  }
 }
