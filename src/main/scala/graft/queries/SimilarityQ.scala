@@ -1038,6 +1038,100 @@ object SimilarityQ {
             FROM per""")),
 
     QDef(
+      "sim_margin_mine",
+      // margin-based parallel-pair mining (Artetxe & Schwenk 2019, the
+      // CCMatrix/LASER bitext-mining criterion): two sides simulated by
+      // vec_id parity, candidate pairs BLOCKED on label (the shard/topic
+      // block every production miner uses — candidates bounded per block,
+      // never corpus×corpus), ratio margin = cos(x,y) divided by the mean
+      // of both endpoints' k-NN cosines (k = 4; the margin discounts hubs
+      // whose neighborhood is uniformly close), mined pair = MUTUAL best
+      // by margin (forward ∩ backward argmax). Determinism: exact-decimal
+      // cosines, per-endpoint k-NN sums via dsumTrunc9, denominator mean
+      // divides by 2k = 8 (a power of two — exact), (margin desc, id)
+      // total order on both argmaxes. Scale shape: the pair enumeration is
+      // an equi-join on the block key (quadratic PER BLOCK by the mining
+      // contract, like er_blocked_pairs); the k-NN sums and both argmaxes
+      // ride per-endpoint windows whose rank filters sit directly over
+      // them (WindowGroupLimit map-side pre-prune); pairs persist once and
+      // feed all three consumers
+      (s, d) => {
+        val mk = 4
+        val e = t(s, d, "embeddings")
+          .withColumn("n2", Vectors.norm2Exact(col("embedding")))
+        val a = e.filter(pmod(col("vec_id"), lit(2)) === 0)
+          .select(col("label"), col("vec_id").as("src_id"),
+            col("embedding").as("ae"), col("n2").as("an2"))
+        val b = e.filter(pmod(col("vec_id"), lit(2)) === 1)
+          .select(col("label"), col("vec_id").as("tgt_id"),
+            col("embedding").as("be"), col("n2").as("bn2"))
+        val p = Caches.trackPersist(
+          a.join(b, "label")
+            .withColumn("cos", Vectors.cosineFrom(
+              Vectors.dotExact(col("ae"), col("be")), col("an2"), col("bn2")))
+            .select("label", "src_id", "tgt_id", "cos"))
+        val ka = p.withColumn("r", row_number().over(
+            Window.partitionBy("src_id").orderBy(col("cos").desc, col("tgt_id"))))
+          .filter(col("r") <= mk)
+          .groupBy("src_id").agg(Exact.dsumTrunc9(col("cos")).as("ka"))
+        val kb = p.withColumn("r", row_number().over(
+            Window.partitionBy("tgt_id").orderBy(col("cos").desc, col("src_id"))))
+          .filter(col("r") <= mk)
+          .groupBy("tgt_id").agg(Exact.dsumTrunc9(col("cos")).as("kb"))
+        // persisted: both argmax directions consume it — without the cache
+        // each would recompute the two k-NN sum aggregations
+        val m = Caches.trackPersist(
+          p.join(ka, "src_id").join(kb, "tgt_id")
+            .withColumn("margin",
+              col("cos") / ((col("ka") + col("kb")) / lit((2 * mk).toDouble))))
+        val fwd = m.withColumn("rf", row_number().over(
+            Window.partitionBy("src_id").orderBy(col("margin").desc, col("tgt_id"))))
+          .filter(col("rf") === 1)
+        val bwd = m.withColumn("rb", row_number().over(
+            Window.partitionBy("tgt_id").orderBy(col("margin").desc, col("src_id"))))
+          .filter(col("rb") === 1)
+          .select("src_id", "tgt_id")
+        fwd.join(bwd, Seq("src_id", "tgt_id"))
+          .select(col("src_id"), col("tgt_id"), col("label"), col("cos"), col("margin"))
+      },
+      Some(s"""WITH $normSql,
+            a AS (SELECT label, vec_id AS src_id, embedding AS ae
+                  FROM embeddings WHERE vec_id % 2 = 0),
+            b AS (SELECT label, vec_id AS tgt_id, embedding AS be
+                  FROM embeddings WHERE vec_id % 2 = 1),
+            dotp AS (SELECT a.label, a.src_id, b.tgt_id,
+                       ${Vectors.sqlDotExact("a.ae", "b.be", "i.i")} AS dot
+                     FROM a JOIN b ON b.label = a.label,
+                          unnest(generate_series(1, 64)) AS i(i)
+                     GROUP BY 1, 2, 3),
+            p AS MATERIALIZED (SELECT d.label, d.src_id, d.tgt_id,
+                   d.dot / nullif(sqrt(na.n2) * sqrt(nb.n2), CAST(0.0 AS DOUBLE)) AS cos
+                 FROM dotp d JOIN n na ON na.vec_id = d.src_id
+                             JOIN n nb ON nb.vec_id = d.tgt_id),
+            ka AS (SELECT src_id, ${Exact.sqlDsumTrunc9("cos")} AS ka FROM (
+                     SELECT src_id, cos, row_number() OVER (PARTITION BY src_id
+                       ORDER BY cos DESC, tgt_id) AS r FROM p)
+                   WHERE r <= 4 GROUP BY 1),
+            kb AS (SELECT tgt_id, ${Exact.sqlDsumTrunc9("cos")} AS kb FROM (
+                     SELECT tgt_id, cos, row_number() OVER (PARTITION BY tgt_id
+                       ORDER BY cos DESC, src_id) AS r FROM p)
+                   WHERE r <= 4 GROUP BY 1),
+            m AS MATERIALIZED (SELECT p.label, p.src_id, p.tgt_id, p.cos,
+                   p.cos / ((ka.ka + kb.kb) / CAST(8.0 AS DOUBLE)) AS margin
+                 FROM p JOIN ka ON ka.src_id = p.src_id
+                        JOIN kb ON kb.tgt_id = p.tgt_id),
+            fwd AS (SELECT label, src_id, tgt_id, cos, margin FROM (
+                      SELECT m.*, row_number() OVER (PARTITION BY src_id
+                        ORDER BY margin DESC, tgt_id) AS rf FROM m)
+                    WHERE rf = 1),
+            bwd AS (SELECT src_id, tgt_id FROM (
+                      SELECT src_id, tgt_id, row_number() OVER (PARTITION BY tgt_id
+                        ORDER BY margin DESC, src_id) AS rb FROM m)
+                    WHERE rb = 1)
+            SELECT f.src_id, f.tgt_id, f.label, f.cos, f.margin
+            FROM fwd f JOIN bwd b ON b.src_id = f.src_id AND b.tgt_id = f.tgt_id""")),
+
+    QDef(
       "sim_mmr_rerank",
       // diversity-aware reranking — Maximal Marginal Relevance (the
       // search/RAG staple): from each query's exact top-10, greedily pick
