@@ -338,32 +338,8 @@ object Sampling {
       kPerStratum: Int): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     require(kPerStratum > 0, "kPerStratum must be positive")
-    val toks = Text.tokens(col(textCol))
-    val base = Spread.byKey(docs, col(idCol))
-      .select(col(idCol), col(strataCol), col(textCol))
-    val uni = base.select(col(idCol), col(strataCol), explode(toks).as("__f"))
-    val big = base.filter(size(toks) >= 2)
-      .select(col(idCol), col(strataCol), explode(Text.shingles(toks, 2)).as("__f"))
-    val fb = uni.unionByName(big)
-      .select(col(idCol), col(strataCol), (hashU24(col("__f")) % buckets).as("__b"))
-    val cr = fb.groupBy("__b").agg(count(lit(1)).as("__cr"))
-    val ct = fb.filter(col(strataCol) === targetValue)
-      .groupBy("__b").agg(count(lit(1)).as("__ct"))
-    val nt = ct.agg(coalesce(sum("__ct"), lit(0L)).as("__nt"))
-    val nr = cr.agg(sum("__cr").as("__nr"))
-    // every bucket any document hits is present in cr (raw counts span the
-    // whole corpus), so cr is the bucket domain; ct left-joins onto it and
-    // Laplace +1 smooths the target-unseen buckets
-    val lr = cr.join(ct, Seq("__b"), "left")
-      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
-      .select(
-        col("__b"),
-        (graft.functions.MathLn(
-          (coalesce(col("__ct"), lit(0L)) + 1L).cast("double") /
-            (col("__nt") + buckets).cast("double"))
-          - graft.functions.MathLn(
-            (col("__cr") + 1L).cast("double") /
-              (col("__nr") + buckets).cast("double"))).as("__lw"))
+    val fb = dsirFeatures(docs, idCol, textCol, strataCol, buckets)
+    val lr = dsirRatiosFromFeatures(fb, strataCol, targetValue, buckets)
     val w = Window.partitionBy(col(strataCol))
       .orderBy(col("dsir_logweight").desc, col(idCol))
     fb.filter(col(strataCol) =!= targetValue)
@@ -374,5 +350,70 @@ object Sampling {
         Exact.dsumTrunc9(col("__lw")).as("dsir_logweight"))
       .withColumn("sel_rank", row_number().over(w).cast("long"))
       .withColumn("selected", (col("sel_rank") <= kPerStratum).cast("long"))
+  }
+
+  /** The FITTED bucket log-ratio table of [[dsirLedger]] — `(__b, __lw)`
+    * with `__lw = ln p_target(b) − ln p_raw(b)`, exactly the broadcast
+    * frame the ledger scores against (same features, same smoothing, same
+    * MathLn). This is the batch half of the stream split: collect it
+    * (`buckets` rows, sub-linear by construction) and route per-document
+    * scoring through
+    * [[graft.streaming.Streaming.dsirAdmitStream]].
+    */
+  def dsirLogRatios(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      strataCol: String,
+      targetValue: String,
+      buckets: Int): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    dsirRatiosFromFeatures(
+      dsirFeatures(docs, idCol, textCol, strataCol, buckets),
+      strataCol, targetValue, buckets)
+  }
+
+  /** (id, strata, __b) hashed feature-instance rows: word unigrams +
+    * ordered bigrams, bucketed by [[hashU24]] mod `buckets`.
+    */
+  private def dsirFeatures(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      strataCol: String,
+      buckets: Int): DataFrame = {
+    val toks = Text.tokens(col(textCol))
+    val base = Spread.byKey(docs, col(idCol))
+      .select(col(idCol), col(strataCol), col(textCol))
+    val uni = base.select(col(idCol), col(strataCol), explode(toks).as("__f"))
+    val big = base.filter(size(toks) >= 2)
+      .select(col(idCol), col(strataCol), explode(Text.shingles(toks, 2)).as("__f"))
+    uni.unionByName(big)
+      .select(col(idCol), col(strataCol), (hashU24(col("__f")) % buckets).as("__b"))
+  }
+
+  private def dsirRatiosFromFeatures(
+      fb: DataFrame,
+      strataCol: String,
+      targetValue: String,
+      buckets: Int): DataFrame = {
+    val cr = fb.groupBy("__b").agg(count(lit(1)).as("__cr"))
+    val ct = fb.filter(col(strataCol) === targetValue)
+      .groupBy("__b").agg(count(lit(1)).as("__ct"))
+    val nt = ct.agg(coalesce(sum("__ct"), lit(0L)).as("__nt"))
+    val nr = cr.agg(sum("__cr").as("__nr"))
+    // every bucket any document hits is present in cr (raw counts span the
+    // whole corpus), so cr is the bucket domain; ct left-joins onto it and
+    // Laplace +1 smooths the target-unseen buckets
+    cr.join(ct, Seq("__b"), "left")
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+      .select(
+        col("__b"),
+        (graft.functions.MathLn(
+          (coalesce(col("__ct"), lit(0L)) + 1L).cast("double") /
+            (col("__nt") + buckets).cast("double"))
+          - graft.functions.MathLn(
+            (col("__cr") + 1L).cast("double") /
+              (col("__nr") + buckets).cast("double"))).as("__lw"))
   }
 }

@@ -480,6 +480,72 @@ object Streaming {
       }
   }
 
+  /** Streaming DSIR admission — the ingest-time analog of the batch
+    * `mix_dsir` selection: score each arriving document's hashed
+    * unigram+bigram profile against a PRE-FITTED broadcast bucket
+    * log-ratio table ([[graft.ops.Sampling.dsirLogRatios]] — the fit is
+    * batch by contract, the same split as [[semanticDedupStream]]'s
+    * quantizer and [[nearDupDedupStream]]'s signatures) and admit iff the
+    * importance log-weight clears `threshold`. Every document ships in
+    * the ledger either way (`admit` flag), like every admission op here.
+    *
+    * STATELESS by construction — unlike the batch ledger's per-stratum
+    * top-k (which needs the whole stratum), a threshold admission is a
+    * pure per-row projection: the fitted table collapses to a dense
+    * `buckets`-length fixed-point array (O(1) `element_at` per feature —
+    * never a map lookup) folded over the document's feature array with
+    * integer accumulation. No shuffle, no watermark, no state store; runs
+    * identically on a batch frame, and scores are BIT-IDENTICAL to
+    * [[graft.ops.Sampling.dsirLedger]]'s `dsir_logweight` (pinned in
+    * `StreamingSpec`): the per-feature fixed-point truncation
+    * `sign·⌊|lw|·10⁹⌋` is applied ONCE per bucket driver-side — the same
+    * value `Exact.dsumTrunc9` truncates per instance — the integer fold
+    * is order-independent, and the closing `/10⁹` division matches the
+    * batch decimal→double path (per-doc |acc| stays ≤ ~3e13 ≪ 2⁵³ at any
+    * realistic feature count, so long→double is exact). Buckets unseen at
+    * fit time score 0 (neutral — the fit corpus's raw side spans every
+    * bucket it saw; a genuinely novel bucket has no evidence either way).
+    *
+    * Threshold choice is the deployment knob (the batch top-k's quota
+    * becomes a score cut): calibrate it batch-side from the ledger's
+    * selected tail.
+    */
+  def dsirAdmitStream(
+      docs: DataFrame,
+      logRatios: DataFrame,
+      idCol: String,
+      textCol: String,
+      strataCol: String,
+      buckets: Int,
+      threshold: Double): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val lwFixed = new Array[Long](buckets)
+    logRatios.select(col("__b").cast("int"), col("__lw").cast("double"))
+      .collect().foreach { r =>
+        val v = r.getDouble(1)
+        val m = math.floor(math.abs(v) * 1e9).toLong
+        lwFixed(r.getInt(0)) = if (v < 0) -m else m
+      }
+    val lwCol = typedLit(lwFixed.toSeq)
+    val toks = graft.ops.Text.tokens(col(textCol))
+    val feats = concat(
+      toks,
+      when(size(toks) >= 2, graft.ops.Text.shingles(toks, 2))
+        .otherwise(array().cast("array<string>")))
+    val score = aggregate(
+      feats,
+      lit(0L),
+      (acc, f) => acc + element_at(
+        lwCol,
+        (graft.ops.Sampling.hashU24(f) % buckets).cast("int") + 1),
+      acc => acc.cast("double") / lit(1.0e9d))
+    docs.select(
+      col(idCol), col(strataCol),
+      size(feats).cast("long").as("n_feats"),
+      score.as("dsir_logweight"))
+      .withColumn("admit", (col("dsir_logweight") >= threshold).cast("long"))
+  }
+
   /** J2-as-stream: stream-stream INTERVAL join — enrich each left event
     * with right-stream events for the same key whose event time falls in
     * [left − before, left + after]. Both sides carry watermarks, and the

@@ -840,4 +840,50 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table("dedup_stream").count() == 4)
     } finally q.stop()
   }
+
+  test("dsirAdmitStream: streamed scores are bit-identical to the batch mix_dsir ledger") {
+    // the real sf0.001 pool docs through the PRE-FITTED log-ratio table
+    // (exactly mix_dsir's fit: target 'en', 256 buckets). The stream is a
+    // stateless projection, so the contract is exact score parity with
+    // the batch dsirLedger per doc (same per-bucket fixed-point
+    // truncation, order-independent integer fold), plus the threshold
+    // admission matching a driver-side cut of the batch weights.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val batch = graft.ops.Sampling
+      .dsirLedger(docs, "doc_id", "text", "lang", "en", 256, 25)
+      .select("doc_id", "n_feats", "dsir_logweight")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val lr = graft.ops.Sampling
+      .dsirLogRatios(docs, "doc_id", "text", "lang", "en", 256)
+    val pool = docs.filter(col("lang") =!= "en")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    graft.ops.Caches.releaseAll()
+    val threshold = batch.values.map(_._2).toSeq.sorted.apply(batch.size / 2) // median cut
+    val input = MemoryStream[(Long, String, String)]
+    val df = input.toDF().toDF("doc_id", "lang", "text")
+    val out = graft.streaming.Streaming
+      .dsirAdmitStream(df, lr, "doc_id", "text", "lang", 256, threshold)
+    val q = out.writeStream.format("memory").queryName("dsir_stream")
+      .outputMode("append").start()
+    try {
+      val (h, t) = pool.splitAt(pool.length / 2)
+      input.addData(h.toIndexedSeq); q.processAllAvailable()
+      input.addData(t.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("dsir_stream")
+        .select("doc_id", "n_feats", "dsir_logweight", "admit")
+        .as[(Long, Long, Double, Long)].collect()
+      assert(got.length == pool.length && got.map(_._1).toSet == batch.keySet)
+      got.foreach { case (id, nf, w, adm) =>
+        val (bn, bw) = batch(id)
+        assert(nf == bn, s"doc $id n_feats stream=$nf batch=$bn")
+        assert(w == bw, s"doc $id weight stream=$w batch=$bw (must be bit-identical)")
+        assert(adm == (if (bw >= threshold) 1L else 0L), s"doc $id admit flag wrong")
+      }
+    } finally q.stop()
+  }
 }
