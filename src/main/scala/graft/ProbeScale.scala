@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-probe main for operators whose regime testdata can't reach —
+  * synthetic corpora sized by CLI args, timed warm with the min of N
+  * rounds, in the SAME sbt/JVM environment as [[Bench]] (the round-11
+  * probes established that an interactive spark-shell can inflate
+  * identical plans 10–40×, so anchors must come from this environment;
+  * see BASELINE.md). Usage:
+  *   runMain graft.ProbeScale dsir 75000 300000
+  *   runMain graft.ProbeScale mine 500 1000
+  * Each arg after the probe name is a size; each size runs 1 warm + 2
+  * timed rounds and prints one PROBE line per round plus the min.
+  */
+object ProbeScale {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val probe = args.head
+    val sizes = args.tail.map(_.toLong)
+    val run: Long => (Double, String) = probe match {
+      case "dsir" => n => dsir(spark, n)
+      case "mine" => n => mine(spark, n.toInt)
+      case other => sys.error(s"unknown probe: $other")
+    }
+    val mins = sizes.map { n =>
+      run(n) // warm
+      val rounds = (1 to 2).map { r =>
+        val (dt, note) = run(n)
+        println(f"PROBE $probe%s size=$n%-8d round=$r $dt%8.2f s  $note%s")
+        dt
+      }
+      n -> rounds.min
+    }
+    mins.foreach { case (n, m) => println(f"PROBE $probe%s size=$n%-8d MIN $m%8.2f s") }
+    spark.stop()
+  }
+
+  /** dsirLedger over a synthetic two-strata corpus: 'en' tokens from
+    * [0, 5000), 'xx' from [2500, 7500) — half-overlapping vocabularies,
+    * 40 tokens/doc. Claim under test: ~linear in corpus size (B-row
+    * histograms + B-row broadcast + one scoring shuffle).
+    */
+  private def dsir(spark: SparkSession, n: Long): (Double, String) = {
+    val docs = spark.range(n)
+      .select(
+        col("id").as("doc_id"),
+        when(pmod(col("id"), lit(2)) === 0, lit("en")).otherwise(lit("xx")).as("lang"))
+      .withColumn("text", concat_ws(" ",
+        transform(sequence(lit(0), lit(39)),
+          i => concat(lit("w"), pmod(hash(col("doc_id"), i), lit(5000))
+            + when(col("lang") === "xx", 2500).otherwise(0)))))
+      .select("doc_id", "lang", "text")
+      .localCheckpoint(true)
+    val t0 = System.nanoTime()
+    val led = graft.ops.Sampling.dsirLedger(docs, "doc_id", "text", "lang", "en", 256, 100)
+    val r = led.agg(sum("sel_rank"), sum(col("dsir_logweight").cast("double"))).collect()
+    graft.ops.Caches.releaseAll()
+    docs.unpersist(true)
+    ((System.nanoTime() - t0) / 1e9, s"checksum=${r(0)}")
+  }
+
+  /** The sim_margin_mine pipeline over synthetic 16-dim vectors in 10
+    * hash-assigned blocks, `perSide` vectors per side per block. Claim
+    * under test: cost tracks pairs-per-block (the block key is the knob
+    * that bounds candidates), and mined pairs stay a matching.
+    */
+  private def mine(spark: SparkSession, perSide: Int): (Double, String) = {
+    val e = spark.range(2L * perSide * 10)
+      .select(
+        col("id").as("vec_id"),
+        pmod(hash(col("id")), lit(10)).cast("int").as("label"),
+        transform(sequence(lit(0), lit(15)),
+          i => (pmod(hash(col("id"), i), lit(1000)).cast("double") / 500.0 - 1.0))
+          .as("embedding"))
+      .localCheckpoint(true)
+      .withColumn("n2", graft.ops.Vectors.norm2Exact(col("embedding")))
+    val t0 = System.nanoTime()
+    val a = e.filter(pmod(col("vec_id"), lit(2)) === 0)
+      .select(col("label"), col("vec_id").as("src_id"),
+        col("embedding").as("ae"), col("n2").as("an2"))
+    val b = e.filter(pmod(col("vec_id"), lit(2)) === 1)
+      .select(col("label"), col("vec_id").as("tgt_id"),
+        col("embedding").as("be"), col("n2").as("bn2"))
+    val p = graft.ops.Caches.trackPersist(
+      a.join(b, "label")
+        .withColumn("cos", graft.ops.Vectors.cosineFrom(
+          graft.ops.Vectors.dotExact(col("ae"), col("be")), col("an2"), col("bn2")))
+        .select("label", "src_id", "tgt_id", "cos"))
+    def knn(idCol: String, otherCol: String, out: String) =
+      p.withColumn("r", row_number().over(
+          Window.partitionBy(idCol).orderBy(col("cos").desc, col(otherCol))))
+        .filter(col("r") <= 4)
+        .groupBy(idCol).agg(graft.ops.Exact.dsumTrunc9(col("cos")).as(out))
+    val m = graft.ops.Caches.trackPersist(
+      p.join(knn("src_id", "tgt_id", "ka"), "src_id")
+        .join(knn("tgt_id", "src_id", "kb"), "tgt_id")
+        .withColumn("margin", col("cos") / ((col("ka") + col("kb")) / lit(8.0))))
+    def best(idCol: String, otherCol: String) =
+      m.withColumn("rb", row_number().over(
+          Window.partitionBy(idCol).orderBy(col("margin").desc, col(otherCol))))
+        .filter(col("rb") === 1)
+        .select("src_id", "tgt_id")
+    val mined = best("src_id", "tgt_id").join(best("tgt_id", "src_id"), Seq("src_id", "tgt_id")).count()
+    graft.ops.Caches.releaseAll()
+    e.unpersist(true)
+    ((System.nanoTime() - t0) / 1e9,
+      s"mined=$mined pairsPerBlock~${perSide.toLong * perSide}")
+  }
+}
