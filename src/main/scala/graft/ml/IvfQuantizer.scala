@@ -177,6 +177,28 @@ object IvfQuantizer {
         col("__id").as(idCol), col("cell"), col("__rn").cast("long").as("cell_rank")): _*)
   }
 
+  /** [[fitAssign]] plus the winning COSINE — the prototypicality score
+    * D4-class pruning ranks on (how close a member sits to its own
+    * centroid: the closest members are the cluster's most redundant).
+    * Returns (idCol, cell, cos_centroid); the cosine is the same
+    * exact-decimal-dot / IEEE sqrt-divide value the assignment argmax
+    * ranked, so it is bit-identical across engines and safe to ORDER by
+    * (the repo's float-for-ordering-only rule).
+    */
+  def fitAssignScored(
+      e: DataFrame,
+      idCol: String,
+      vecCol: String,
+      n2Col: String,
+      k: Int,
+      iters: Int,
+      sampleEvery: Int = 1): DataFrame = {
+    val f = lloydFit(e, idCol, vecCol, n2Col, k, iters, sampleEvery, Nil, seedPerGroup = false)
+    f.rank(f.src, f.cent)
+      .filter(col("__rn") === 1)
+      .select(col("__id").as(idCol), col("cell"), col("__cos").as("cos_centroid"))
+  }
+
   /** The FITTED centroid table of the flat (ungrouped) quantizer —
     * `(cell, centroid array<double>)`, exactly the `cent` frame
     * [[fitRanked]]'s final full-corpus assignment ranks against (same
@@ -320,7 +342,9 @@ object IvfQuantizer {
           "__rn",
           row_number().over(
             Window.partitionBy(g :+ col("__id"): _*).orderBy(col("__cos").desc, col("cell"))))
-        .select(g ++ Seq(col("__id"), col("cell"), col("__rn")): _*)
+        // __cos rides along for scored consumers (fitAssignScored); the
+        // plain fitRanked/fitAssign projections drop it unchanged
+        .select(g ++ Seq(col("__id"), col("cell"), col("__rn"), col("__cos")): _*)
     }
 
     def assignFrom(ranked: DataFrame): DataFrame =

@@ -392,6 +392,117 @@ object Sampling {
       .select(col(idCol), col(strataCol), (hashU24(col("__f")) % buckets).as("__b"))
   }
 
+  /** Epoch / repeat-factor planning — "how many passes over each stratum
+    * fill a token budget at the target mixture" (the multi-epoch mixing
+    * schedule of LLaMA-class pretraining recipes: under-represented
+    * strata are REPEATED up to a cap instead of the head being starved).
+    *
+    * Per stratum: token mass `tokens_avail` (Σ `tokensCol`), natural share
+    * p = mass/total, sqrt-temperature target share (α = 0.5 — the one
+    * IEEE-exact power, same contract as [[temperatureMixtureSqrt]]),
+    * `tokens_target` = ⌊budget · share⌋, and the integral milli-epoch plan
+    * `epochs_milli` = min(maxMilliEpochs, ⌊1000·target/avail⌋) with the
+    * realized `tokens_planned` = ⌊avail · epochs_milli / 1000⌋ — a stratum
+    * needing < 1 epoch is downsampled, one needing more is repeated, and
+    * the repeat cap (e.g. 4000 = 4 epochs) is the published guard against
+    * over-fitting tiny strata.
+    *
+    * Determinism: masses are BIGINT; share math is the
+    * [[temperatureMixtureSqrt]] recipe (one int→double division, IEEE
+    * sqrt, tie-free trunc-9 decimal Σw over the stratum frame); every
+    * output after `target_share` is integer floor/DIV arithmetic on
+    * identical doubles. Scale: one partial-agged groupBy collapses the
+    * corpus to the stratum frame; all windows after that are bounded by
+    * the stratum count.
+    */
+  def epochPlan(
+      df: DataFrame,
+      strataCol: String,
+      tokensCol: String,
+      budgetTokens: Long,
+      maxMilliEpochs: Long): DataFrame = {
+    require(budgetTokens > 0 && maxMilliEpochs > 0, "budget and cap must be positive")
+    val all = Window.partitionBy(lit(1))
+    val m = floor(abs(col("__w")) * lit(1.0e9d))
+    val wSum = sum(when(col("__w") < 0, -m).otherwise(m)
+      .cast(org.apache.spark.sql.types.DecimalType(38, 0))).over(all)
+      .cast("double") / lit(1.0e9d)
+    df.groupBy(strataCol)
+      .agg(count(lit(1)).as("n_docs"), sum(col(tokensCol)).as("tokens_avail"))
+      .withColumn("p",
+        col("tokens_avail").cast("double") /
+          sum(col("tokens_avail")).over(all).cast("double"))
+      .withColumn("__w", sqrt(col("p")))
+      .withColumn("target_share", col("__w") / wSum)
+      .withColumn("tokens_target",
+        floor(lit(budgetTokens.toDouble) * col("target_share")).cast("long"))
+      .withColumn("epochs_milli",
+        least(lit(maxMilliEpochs), expr("(1000 * tokens_target) DIV tokens_avail")))
+      .withColumn("tokens_planned", expr("(tokens_avail * epochs_milli) DIV 1000"))
+      .select(strataCol, "n_docs", "tokens_avail", "target_share",
+        "tokens_target", "epochs_milli", "tokens_planned")
+  }
+
+  /** Rank-quantile bucketing: number each stratum's rows in `orderCols`
+    * order and assign bucket ⌊(rank−1)·nBuckets/n⌋ — the CCNet
+    * head/middle/tail move when ordered by an LM quality score. The rank
+    * rides [[Windows.chunkedScan]] (two-phase, bit-identical to the direct
+    * window) keyed by the caller's `chunk` expression, so a hot stratum
+    * never serializes through one task; `chunk` must be non-decreasing
+    * along `orderCols` (it only defines chunk boundaries — the result is
+    * invariant to the chunking). Appends `rankCol` (1-based), `nCol`
+    * (stratum size) and `bucketCol` (0..nBuckets−1).
+    */
+  def rankBuckets(
+      df: DataFrame,
+      strata: Seq[String],
+      orderCols: Seq[Column],
+      nBuckets: Int,
+      chunk: Column,
+      rankCol: String = "rank",
+      bucketCol: String = "bucket"): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    Windows.chunkedScan(
+      df.withColumn("__one", lit(1L)),
+      keys = strata,
+      orderCols = orderCols,
+      deltaCol = "__one",
+      chunk = chunk,
+      idxOut = rankCol,
+      cntOut = "__n")
+      .withColumn(bucketCol, expr(s"(($rankCol - 1) * $nBuckets) DIV __n"))
+      .drop("__one", "__s", "__tot", "__n")
+  }
+
+  /** Balanced shard assignment: rows are numbered per stratum in
+    * deterministic (hash, key) order and dealt round-robin into `nShards`
+    * shards — per-stratum shard SIZES differ by at most one by
+    * construction, and because the deal order is hash-uniform the
+    * per-shard token masses concentrate tightly around the mean (the
+    * "write the curated corpus as N balanced training shards" step).
+    * Rank rides [[Windows.chunkedScan]] chunked on the hash high bits
+    * (strata × 256 parallelism, same shape as [[tokenBudgetLedger]]).
+    * Emits the full ledger: (key, stratum, tokens, shard).
+    */
+  def shardAssign(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      tokensCol: String,
+      nShards: Int,
+      shardCol: String = "shard"): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    Windows.chunkedScan(
+      df.withColumn("__u", hashU24(col(keyCol))),
+      keys = Seq(strataCol),
+      orderCols = Seq(col("__u"), col(keyCol)),
+      deltaCol = tokensCol,
+      chunk = expr("__u DIV 65536"),
+      idxOut = "__i")
+      .withColumn(shardCol, pmod(col("__i") - 1, lit(nShards.toLong)))
+      .select(col(keyCol), col(strataCol), col(tokensCol), col(shardCol))
+  }
+
   private def dsirRatiosFromFeatures(
       fb: DataFrame,
       strataCol: String,

@@ -960,4 +960,45 @@ object Stats {
         max(col("n_cur")).as("n_cur"),
         Exact.dsumTrunc9(col("__term")).as("psi"))
   }
+
+  /** Exact WEIGHTED quantiles — the budget-threshold form of
+    * [[exactQuantiles]]: per key group, for each requested quantile
+    * (label, num, den) with q = num/den, the smallest value v whose
+    * cumulative weight reaches ⌈q·W⌉ (the lower weighted quantile — e.g.
+    * the doc length below which half the corpus's TOKENS sit, the number
+    * a token-budget planner actually thresholds on, which the unweighted
+    * median misrepresents whenever length and weight correlate).
+    *
+    * Same scale contract as [[exactQuantiles]]: the pre-agg collapses
+    * repeats to one row per DISTINCT value (weights summed), so the
+    * per-key ordered window is sized by |distinct values|, not rows.
+    * Determinism: thresholds are pure BIGINT ceil-division, cumulative
+    * weights are BIGINT sums — no floating point anywhere, the oracle
+    * matches by construction. One output row per key group, one column
+    * per quantile label.
+    */
+  def weightedQuantiles(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      weightCol: String,
+      qs: Seq[(String, Int, Int)]): DataFrame = {
+    require(qs.nonEmpty && qs.forall { case (_, n, d) => n > 0 && n <= d }, "need 0 < num <= den")
+    val kCols = keys.map(col)
+    val counted = df
+      .filter(col(valueCol).isNotNull && col(weightCol).isNotNull)
+      .groupBy((kCols :+ col(valueCol)): _*)
+      .agg(sum(col(weightCol)).as("__w"))
+    val wOrd = Window.partitionBy(kCols: _*).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(kCols: _*)
+    val ranked = counted
+      .withColumn("__cum", sum(col("__w")).over(wOrd))
+      .withColumn("__tot", sum(col("__w")).over(wAll))
+    val picks = qs.map { case (label, num, den) =>
+      val thr = expr(s"(__tot * $num + ${den - 1}) DIV $den")
+      min(when(col("__cum") >= thr, col(valueCol))).as(label)
+    }
+    ranked.groupBy(kCols: _*).agg(max(col("__tot")).as("w_total"), picks: _*)
+  }
 }

@@ -969,6 +969,66 @@ object DedupQ {
                FROM p JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
                WHERE greatest(CAST(shared AS DOUBLE) / CAST(sa.n AS DOUBLE),
                               CAST(shared AS DOUBLE) / CAST(sb.n AS DOUBLE))
-                     >= CAST(0.8 AS DOUBLE)"""))
+                     >= CAST(0.8 AS DOUBLE)""")),
+
+    QDef(
+      "mix_epochs",
+      // epoch / repeat-factor planning (the LLaMA-class multi-epoch
+      // mixing schedule): per language, token mass → sqrt-temperature
+      // target share → tokens_target under a 50k budget → the integral
+      // milli-epoch plan capped at 4 epochs. Under-represented languages
+      // REPEAT (epochs_milli > 1000), the head downsamples — the op that
+      // turns a mixture spec into an executable pass count per stratum.
+      // Sampling.epochPlan: one groupBy to the stratum frame, the
+      // temperature_mix determinism recipe for the share, pure BIGINT
+      // floor/DIV arithmetic after it
+      (s, d) => Sampling.epochPlan(
+        t(s, d, "documents").select(
+          col("doc_id"), col("lang"),
+          size(Text.tokens(col("text"))).cast("long").as("n_tokens")),
+        "lang", "n_tokens", budgetTokens = 50000L, maxMilliEpochs = 4000L),
+      Some(s"""WITH g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS tokens_avail
+                FROM documents GROUP BY 1),
+               tot AS (SELECT CAST(sum(tokens_avail) AS BIGINT) AS N FROM g),
+               wv AS (SELECT lang, n_docs, tokens_avail,
+                        sqrt(CAST(tokens_avail AS DOUBLE) / CAST(N AS DOUBLE)) AS wval
+                      FROM g, tot),
+               ws AS (SELECT ${graft.ops.Exact.sqlDsumTrunc9("wval")} AS wsum FROM wv),
+               t AS (SELECT lang, n_docs, tokens_avail,
+                       wval / ws.wsum AS target_share
+                     FROM wv, ws),
+               t2 AS (SELECT *, CAST(floor(CAST(50000 AS DOUBLE) * target_share) AS BIGINT)
+                        AS tokens_target FROM t),
+               t3 AS (SELECT *, least(CAST(4000 AS BIGINT),
+                        (1000 * tokens_target) // tokens_avail) AS epochs_milli FROM t2)
+               SELECT lang, n_docs, tokens_avail, target_share, tokens_target,
+                 epochs_milli, (tokens_avail * epochs_milli) // 1000 AS tokens_planned
+               FROM t3""")),
+
+    QDef(
+      "mix_shards",
+      // balanced training-shard assignment: per language, docs are dealt
+      // round-robin in deterministic (hash, doc_id) order into 8 shards —
+      // per-stratum shard sizes differ by at most one BY CONSTRUCTION and
+      // the hash-uniform deal order keeps token masses tight around the
+      // mean (the "write the curated corpus as N shards" step; shard is a
+      // pure function of corpus contents, so a re-run reproduces the
+      // layout). Rank rides Windows.chunkedScan on the hash high bits
+      // (strata × 256 parallelism — the mix_token_budget shape); the
+      // oracle's direct row_number is bit-identical. Full ledger out.
+      (s, d) => Sampling.shardAssign(
+        t(s, d, "documents").select(
+          col("doc_id"), col("lang"),
+          size(Text.tokens(col("text"))).cast("long").as("n_tokens")),
+        "doc_id", "lang", "n_tokens", nShards = 8),
+      Some(s"""WITH g AS (SELECT doc_id, lang,
+                  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+                  ${Sampling.sqlHashU24("doc_id")} AS u
+                FROM documents)
+               SELECT doc_id, lang, n_tokens,
+                 (CAST(row_number() OVER (PARTITION BY lang ORDER BY u, doc_id)
+                   AS BIGINT) - 1) % 8 AS shard
+               FROM g"""))
   )
 }

@@ -1200,6 +1200,36 @@ object EventsQ {
                c AS (SELECT user_id, min(day) AS cohort_day FROM e2 GROUP BY 1)
                SELECT cohort_day, day - cohort_day AS offset_days,
                  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-               FROM e2 JOIN c USING (user_id) GROUP BY 1, 2"""))
+               FROM e2 JOIN c USING (user_id) GROUP BY 1, 2""")),
+
+    QDef(
+      "dq_skew_audit",
+      // partition-key skew audit — the measurement that decides whether a
+      // feed's join/groupBy key needs salting or AQE skew handling BEFORE
+      // the 10-hour stage happens: per event_type, the per-user row-count
+      // distribution summarized as key count, total rows, hottest key
+      // (absolute + ppm share) and the Gini coefficient (0 = even, → 1 =
+      // one key owns the stream). Skew.keySkewAudit: one combined groupBy
+      // to the (type, user) count table, rank via chunkedScan keyed on
+      // the count value, all-BIGINT until the single closing division
+      (s, d) => Skew.keySkewAudit(
+        events(s, d).select("event_type", "user_id"), "event_type", "user_id"),
+      Some(s"""WITH ev AS ($evSql),
+               c AS (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS c
+                     FROM ev GROUP BY 1, 2),
+               r AS (SELECT event_type, c,
+                       CAST(row_number() OVER (PARTITION BY event_type
+                         ORDER BY c, user_id) AS BIGINT) AS i
+                     FROM c),
+               g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_keys,
+                       CAST(sum(c) AS BIGINT) AS n_rows,
+                       CAST(max(c) AS BIGINT) AS max_key_rows,
+                       CAST(sum(i * c) AS BIGINT) AS siw
+                     FROM r GROUP BY 1)
+               SELECT event_type, n_keys, n_rows, max_key_rows,
+                 (1000000 * max_key_rows) // n_rows AS top_share_ppm,
+                 CAST(2 * siw - (n_keys + 1) * n_rows AS DOUBLE)
+                   / CAST(n_keys * n_rows AS DOUBLE) AS gini
+               FROM g"""))
   )
 }

@@ -1249,7 +1249,53 @@ object SimilarityQ {
       // truncated searcher is the exact searcher on a sliced column, so
       // the audit isolates dimension loss from any indexing loss
       (s, d) => recallOf(exactTopk(s, d), exactTopk(s, d, k = 3, dims = 16)),
-      Some(recallSql(exactSqlK(3, dims = 16))))
+      Some(recallSql(exactSqlK(3, dims = 16)))),
+
+    QDef(
+      "sim_proto_prune",
+      // prototypicality pruning (the D4 / SSL-prototypes curation move —
+      // the complement of SemDeDup): within each fitted quantizer cell,
+      // rank members by cosine to their OWN centroid and drop the top
+      // quarter — the most prototypical members are the cluster's most
+      // redundant, and removing them preserves diversity at lower token
+      // cost. fitAssignScored reuses the sim_ivf fit bit-for-bit and adds
+      // the winning cosine (float used for ORDERING only); rank and kept
+      // are integers. Cells smaller than 4 keep everything (rank·4 > n
+      // for every rank). Scale: the per-cell window is bounded by the
+      // quantizer's cell-size contract — with adaptiveK the target cell
+      // is ~64 members regardless of corpus size, so no window frame
+      // grows with n
+      (s, d) => {
+        val e = withNorm(t(s, d, "embeddings"))
+        val scored = graft.ml.IvfQuantizer
+          .fitAssignScored(e, "vec_id", "embedding", "n2", 8, 2, sampleEvery = 4)
+        scored
+          .withColumn(
+            "proto_rank",
+            row_number().over(
+              Window.partitionBy(col("cell"))
+                .orderBy(col("cos_centroid").desc, col("vec_id"))).cast("long"))
+          .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("cell"))))
+          .select(
+            col("vec_id"), col("cell"), col("proto_rank"),
+            (col("proto_rank") * 4 > col("__n")).cast("long").as("kept"))
+      },
+      Some(s"""WITH $normSql,
+               ${graft.ml.IvfQuantizer.lloydSql(8, 2, 64, sampleEvery = 4)},
+               coss AS (SELECT a.vec_id, a.cell,
+                          d.dot / nullif(sqrt(n.n2) * sqrt(ns.ns2), CAST(0.0 AS DOUBLE)) AS cos
+                        FROM assigned a
+                        JOIN dots2 d ON d.vec_id = a.vec_id AND d.cell = a.cell
+                        JOIN n ON n.vec_id = a.vec_id
+                        JOIN ns2 ns ON ns.cell = a.cell),
+               r AS (SELECT vec_id, cell,
+                       CAST(row_number() OVER (PARTITION BY cell
+                         ORDER BY cos DESC, vec_id) AS BIGINT) AS proto_rank,
+                       CAST(count(*) OVER (PARTITION BY cell) AS BIGINT) AS n
+                     FROM coss)
+               SELECT vec_id, cell, proto_rank,
+                 CAST(CASE WHEN proto_rank * 4 > n THEN 1 ELSE 0 END AS BIGINT) AS kept
+               FROM r"""))
   )
 
   /** The `sim_ivfpq_topk` builder (see its QDef comment), factored for

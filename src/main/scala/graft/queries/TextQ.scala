@@ -1257,7 +1257,92 @@ object TextQ {
                   - ln(CAST(y.c_w AS DOUBLE) / CAST(nu AS DOUBLE)) AS pmi
               FROM cb JOIN uni x ON x.w = cb.w1 JOIN uni y ON y.w = cb.w2, tot
               WHERE c_xy >= 5
-              ORDER BY pmi DESC, w1, w2 LIMIT 25"""))
+              ORDER BY pmi DESC, w1, w2 LIMIT 25""")),
+
+    QDef(
+      "t26_ppl_buckets",
+      // CCNet perplexity bucketing: rank every doc per language by its
+      // corpus-trained unigram-LM score (t13's exact pipeline) and cut
+      // each language into head/middle/tail thirds — bucket 0 is the
+      // "head" slice CCNet keeps outright, 2 the tail it drops or
+      // re-filters. The per-language rank rides Sampling.rankBuckets →
+      // Windows.chunkedScan chunked on a coarse score quantization
+      // (non-decreasing along the (score DESC, doc_id) order), so a
+      // billion-doc language never serializes through one window task;
+      // the chunking only sets boundaries — ranks are bit-identical to
+      // the oracle's direct window. Output is per (lang, bucket) doc and
+      // token counts — all integers; the score is float used for ORDERING
+      // only (bit-identical in both engines by the t13 contract)
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val scored = Text.unigramLogProb(docs, "doc_id", "text")
+          .join(docs.select("doc_id", "lang"), "doc_id")
+        Sampling.rankBuckets(
+            scored,
+            strata = Seq("lang"),
+            orderCols = Seq(col("avg_logprob").desc, col("doc_id")),
+            nBuckets = 3,
+            chunk = floor(-col("avg_logprob") * lit(16.0d)).cast("long"),
+            rankCol = "__r",
+            bucketCol = "ppl_bucket")
+          .groupBy("lang", "ppl_bucket")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+                            FROM documents),
+               vocab AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+               tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM vocab),
+               lp AS (SELECT tok.doc_id,
+                        ln(CAST(v.c AS DOUBLE) / CAST(tot.t AS DOUBLE)) AS lp
+                      FROM tok JOIN vocab v ON v.token = tok.token CROSS JOIN tot),
+               sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                        ${Exact.sqlDsumTrunc9("lp")} / CAST(count(*) AS DOUBLE) AS avg_logprob
+                      FROM lp GROUP BY 1),
+               j AS (SELECT sc.doc_id, sc.n_tokens, sc.avg_logprob, d.lang
+                     FROM sc JOIN documents d ON d.doc_id = sc.doc_id),
+               r AS (SELECT lang, n_tokens,
+                       CAST(row_number() OVER (PARTITION BY lang
+                         ORDER BY avg_logprob DESC, doc_id) AS BIGINT) AS rk,
+                       CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+                     FROM j)
+               SELECT lang, ((rk - 1) * 3) // n AS ppl_bucket,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+               FROM r GROUP BY 1, 2""")),
+
+    QDef(
+      "a19_weighted_quantiles",
+      // exact token-WEIGHTED length quantiles per source: the doc length
+      // below which a quarter / half / three-quarters of the source's
+      // TOKENS sit — the threshold a token-budget planner actually cuts
+      // on, which the unweighted median misrepresents whenever length and
+      // mass correlate (they always do). Stats.weightedQuantiles: distinct-
+      // value pre-agg (the a11 scale contract), BIGINT cumulative weights,
+      // pure ceil-division thresholds — no floating point anywhere
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Stats.weightedQuantiles(
+          docs.select(
+            col("source"), col("n_chars"),
+            size(Text.tokens(col("text"))).cast("long").as("__wt")),
+          Seq("source"), "n_chars", "__wt",
+          Seq(("w_p25", 1, 4), ("w_median", 1, 2), ("w_p75", 3, 4)))
+      },
+      Some("""WITH g AS (SELECT source, n_chars,
+                  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS w
+                FROM documents),
+              c AS (SELECT source, n_chars, CAST(sum(w) AS BIGINT) AS w
+                    FROM g GROUP BY 1, 2),
+              r AS (SELECT source, n_chars,
+                      CAST(sum(w) OVER (PARTITION BY source ORDER BY n_chars
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                      CAST(sum(w) OVER (PARTITION BY source) AS BIGINT) AS tot
+                    FROM c)
+              SELECT source, CAST(max(tot) AS BIGINT) AS w_total,
+                min(CASE WHEN cum >= (tot * 1 + 3) // 4 THEN n_chars END) AS w_p25,
+                min(CASE WHEN cum >= (tot * 1 + 1) // 2 THEN n_chars END) AS w_median,
+                min(CASE WHEN cum >= (tot * 3 + 3) // 4 THEN n_chars END) AS w_p75
+              FROM r GROUP BY 1"""))
   )
 
   /** Oracle CTE chain for the BPE FIT, shared by t18 (reads the tN rule

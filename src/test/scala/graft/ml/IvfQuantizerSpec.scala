@@ -137,4 +137,36 @@ class IvfQuantizerSpec extends SparkSpec {
     }
     assert(missed.isEmpty, s"neighbors outside probed cells: $missed")
   }
+
+  test("fitAssignScored: same assignment as fitAssign, cosine is the cell-wise max, deterministic") {
+    val e = corpus(60, seed = 47)
+    val plain = IvfQuantizer
+      .fitAssign(e, "vec_id", "embedding", "n2", k, iters, sampleEvery = 2)
+      .select(col("vec_id").cast("long"), col("cell").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    graft.ops.Caches.releaseAll()
+    val scored = IvfQuantizer
+      .fitAssignScored(e, "vec_id", "embedding", "n2", k, iters, sampleEvery = 2)
+      .select(col("vec_id").cast("long"), col("cell").cast("long"), col("cos_centroid"))
+      .as[(Long, Long, Double)].collect()
+    graft.ops.Caches.releaseAll()
+    assert(scored.map(r => r._1 -> r._2).toMap == plain)
+    assert(scored.forall(r => r._3 >= -1.0 - 1e-9 && r._3 <= 1.0 + 1e-9))
+    // the winning cosine dominates the vector's cosine to EVERY centroid
+    // (it is the argmax the assignment ranked on)
+    val cents = IvfQuantizer.collectCentroids(
+      IvfQuantizer.fitCentroids(e, "vec_id", "embedding", "n2", k, iters, sampleEvery = 2))
+    graft.ops.Caches.releaseAll()
+    val vecs = e.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toMap
+    for ((id, _, cosWin) <- scored) {
+      val v = vecs(id).map(_.toDouble)
+      val n2: Double = graft.functions.ExactDot.computeArrays(v, v, 9)
+      val all = cents.map { case (_, sv, ns2) =>
+        val dot: Double = graft.functions.ExactDot.computeArrays(v, sv, 9)
+        dot / (math.sqrt(n2) * math.sqrt(ns2))
+      }
+      assert(cosWin >= all.max - 1e-12, s"id $id: winning cos $cosWin < max ${all.max}")
+    }
+  }
 }

@@ -69,4 +69,26 @@ class ExactSpec extends SparkSpec {
     val s = salted.as[(String, Long, Double, Double, Double)].head()
     assert(d == s)
   }
+
+  test("keySkewAudit: zero Gini on even keys, closed-form Gini on skew, repartition-stable") {
+    // even group: 4 keys x 5 rows each -> gini exactly 0
+    val even = (0 until 20).map(i => ("ev", (i % 4).toLong)).toDF("g", "k")
+    // skewed group: keys with counts 1,1,1,1,16 -> sorted x=(1,1,1,1,16),
+    // sum(i*x) = 1+2+3+4+80 = 90, n=5, W=20:
+    // gini = (2*90 - 6*20)/(5*20) = 60/100 = 0.6
+    val skew = ((0 until 4).map(i => ("sk", i.toLong)) ++
+      Seq.fill(16)(("sk", 99L))).toDF("g", "k")
+    val out = Skew.keySkewAudit(even.union(skew), "g", "k")
+      .select("g", "n_keys", "n_rows", "max_key_rows", "top_share_ppm", "gini")
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("ev") == (("ev", 4L, 20L, 5L, 250000L, 0.0)))
+    assert(out("sk") == (("sk", 5L, 20L, 16L, 800000L, 0.6)))
+    // chunked-scan rank must be partitioning-invariant
+    val re = Skew.keySkewAudit(even.union(skew).repartition(7), "g", "k")
+      .select("g", "n_keys", "n_rows", "max_key_rows", "top_share_ppm", "gini")
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(re == out)
+  }
 }

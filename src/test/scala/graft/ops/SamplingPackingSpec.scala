@@ -270,4 +270,97 @@ class SamplingPackingSpec extends SparkSpec {
       .as[(Long, String, Double, Long, Long)].collect()
     assert(led.sortBy(_._1).toSeq == led2.sortBy(_._1).toSeq)
   }
+
+  test("epochPlan: tail strata repeat up to the cap, head downsamples, plan is the milli-epoch quantization") {
+    // 90k/9k/1k token split: sqrt temperature lifts the tail hard enough
+    // that the cap binds for the 1k stratum under a 100k budget
+    val df = (
+      (1 to 90).map(i => (i.toLong, "en", 1000L)) ++
+        (91 to 99).map(i => (i.toLong, "de", 1000L)) ++
+        Seq((100L, "fi", 1000L))
+      ).toDF("doc_id", "lang", "n_tokens")
+    val out = Sampling.epochPlan(df, "lang", "n_tokens", budgetTokens = 100000L,
+        maxMilliEpochs = 4000L)
+      .select("lang", "n_docs", "tokens_avail", "target_share", "tokens_target",
+        "epochs_milli", "tokens_planned")
+      .as[(String, Long, Long, Double, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.size == 3)
+    assert(out("en")._3 == 90000L && out("de")._3 == 9000L && out("fi")._3 == 1000L)
+    // shares: √(.9/.09/.01) normalized ≈ .7034/.2224/.0742 — sum to ~1,
+    // head flattened below p, tail lifted above
+    assert(math.abs(out.values.map(_._4).sum - 1.0) < 1e-9)
+    assert(out("en")._4 < 0.9 && out("fi")._4 > 0.01)
+    // fi: target ≈ 7549 tokens over 1000 avail → cap 4000 binds
+    assert(out("fi")._6 == 4000L && out("fi")._7 == 4000L)
+    // de: target ≈ 22636 over 9000 avail → 2515 milli-epochs, repeats
+    assert(out("de")._6 > 1000L && out("de")._6 < 4000L)
+    // en: target ≈ 71610 over 90000 avail → downsamples below one epoch
+    assert(out("en")._6 < 1000L)
+    // the plan is exactly the milli-epoch quantization of the target
+    for ((_, r) <- out) {
+      assert(r._6 == math.min(4000L, 1000L * r._5 / r._3))
+      assert(r._7 == r._3 * r._6 / 1000L)
+      assert(r._7 <= r._5, s"planned exceeds target for ${r._1}")
+    }
+  }
+
+  test("rankBuckets == the direct per-stratum window for any chunking; bucket sizes differ by <= 1") {
+    // skewed strata + duplicate scores (tiebreak by id) + a coarse chunk
+    // that lumps many scores per chunk — the scan must still agree
+    val df = (0L until 300L)
+      .map(i => (i, if (i % 5 == 0) "de" else "en", -((i % 37).toDouble) / 7.0))
+      .toDF("doc_id", "lang", "score")
+    val got = Sampling.rankBuckets(df, Seq("lang"),
+        Seq(col("score").desc, col("doc_id")), nBuckets = 3,
+        chunk = floor(-col("score") * lit(2.0d)).cast("long"),
+        rankCol = "rk", bucketCol = "b")
+      .select("doc_id", "lang", "rk", "b")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("score").desc, col("doc_id"))
+    val direct = df
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("lang")))
+      .select(col("doc_id"), col("lang"), col("rk"),
+        expr("((rk - 1) * 3) DIV n").as("b"))
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == direct)
+    // tertile sizes differ by at most one within each stratum
+    for ((_, rows) <- got.groupBy(_._2)) {
+      val sizes = rows.groupBy(_._4).values.map(_.size)
+      assert(sizes.max - sizes.min <= 1, s"uneven buckets: $sizes")
+    }
+    // determinism under repartitioning
+    val re = Sampling.rankBuckets(df.repartition(11), Seq("lang"),
+        Seq(col("score").desc, col("doc_id")), nBuckets = 3,
+        chunk = floor(-col("score") * lit(2.0d)).cast("long"),
+        rankCol = "rk", bucketCol = "b")
+      .select("doc_id", "lang", "rk", "b")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(re == got)
+  }
+
+  test("shardAssign: round-robin deal — per-stratum shard sizes differ by <= 1, matches the direct window") {
+    val df = (0L until 250L)
+      .map(i => (i, if (i % 4 == 0) "de" else "en", 1L + i % 23L))
+      .toDF("doc_id", "lang", "n_tokens")
+    val got = Sampling.shardAssign(df, "doc_id", "lang", "n_tokens", nShards = 8)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(Sampling.hashU24(col("doc_id")), col("doc_id"))
+    val direct = df
+      .withColumn("shard", pmod(row_number().over(w).cast("long") - 1L, lit(8L)))
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == direct)
+    for ((_, rows) <- got.groupBy(_._2)) {
+      val sizes = (0L until 8L).map(s => rows.count(_._4 == s))
+      assert(sizes.max - sizes.min <= 1, s"unbalanced shards: $sizes")
+    }
+    // stable under repartitioning (the reproducible-layout contract)
+    val re = Sampling.shardAssign(df.repartition(9), "doc_id", "lang", "n_tokens", 8)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(re == got)
+  }
 }

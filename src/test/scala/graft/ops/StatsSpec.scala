@@ -254,4 +254,40 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(shifted - terms.sum) < 1e-12)
     assert(shifted > 0.0)
   }
+
+  test("weightedQuantiles matches the brute-force weighted reference, per group, with repeats") {
+    val rng = new scala.util.Random(23)
+    val rows = (0 until 400).map { i =>
+      ("g" + (i % 3), (rng.nextInt(25) + 1).toLong, (rng.nextInt(9) + 1).toLong)
+    }
+    val df = rows.toDF("g", "v", "w")
+    val qs = Seq(("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4))
+    val got = Stats.weightedQuantiles(df, Seq("g"), "v", "w", qs)
+      .select("g", "w_total", "p25", "p50", "p75")
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // reference: smallest v whose cumulative weight reaches ceil(q*W),
+    // over the (v, id)-sorted expansion
+    for ((g, rs) <- rows.groupBy(_._1)) {
+      val sorted = rs.sortBy(_._2)
+      val tot = rs.map(_._3).sum
+      def pick(num: Long, den: Long): Long = {
+        val thr = (tot * num + den - 1) / den
+        var cum = 0L
+        sorted.find { r => cum += r._3; cum >= thr }.get._2
+      }
+      assert(got(g)._2 == tot)
+      assert(got(g)._3 == pick(1, 4), s"$g p25")
+      assert(got(g)._4 == pick(1, 2), s"$g p50")
+      assert(got(g)._5 == pick(3, 4), s"$g p75")
+    }
+    // NULL values/weights are excluded, not resurrected
+    val withNull: Seq[(String, java.lang.Long, java.lang.Long)] = Seq(
+      ("g", java.lang.Long.valueOf(5L), java.lang.Long.valueOf(1L)),
+      ("g", null: java.lang.Long, java.lang.Long.valueOf(9L)),
+      ("g", java.lang.Long.valueOf(7L), null: java.lang.Long))
+    val one = Stats.weightedQuantiles(
+        withNull.toDF("g", "v", "w"), Seq("g"), "v", "w", Seq(("p50", 1, 2)))
+      .select("w_total", "p50").as[(Long, Long)].head()
+    assert(one == ((1L, 5L)))
+  }
 }

@@ -214,14 +214,14 @@ class RegistryPlanLintSpec extends SparkSpec {
     *   - m12/m12b AUC, m16 spearman: rank offsets over DISTINCT score
     *     values (bounded-distinct contract in `Stats.binaryAuc`/`spearman`)
     *   - t21 zipf: cumulative offsets over distinct COUNT values (O(√corpus))
-    *   - t10/temperature_mix: lang×source / source cell grids
+    *   - t10/temperature_mix/mix_epochs: lang×source / source / lang cell grids
     *   - o6 skyline: stage-2 window over per-bucket frontiers
     *   - w27 RFM: exactQuantiles' rank windows over distinct metric values
     */
   private val globalWindowWhitelist = Set(
     "m1_label_encode", "m2_label_decode", "m12_auc", "m12b_auc_quantized",
     "m16_spearman", "t21_zipf_slope", "t10_mix_divergence",
-    "temperature_mix", "o6_skyline", "w27_rfm")
+    "temperature_mix", "mix_epochs", "o6_skyline", "w27_rfm")
 
   test("global (unpartitioned) windows appear only over audited sub-linear frames") {
     // an unpartitioned WindowExec sorts its ENTIRE input through one task —
