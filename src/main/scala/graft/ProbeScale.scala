@@ -30,6 +30,8 @@ object ProbeScale {
     val run: Long => (Double, String) = probe match {
       case "dsir" => n => dsir(spark, n)
       case "mine" => n => mine(spark, n.toInt)
+      case "skew" => n => skew(spark, n)
+      case "buckets" => n => buckets(spark, n)
       case other => sys.error(s"unknown probe: $other")
     }
     val mins = sizes.map { n =>
@@ -115,5 +117,53 @@ object ProbeScale {
     e.unpersist(true)
     ((System.nanoTime() - t0) / 1e9,
       s"mined=$mined pairsPerBlock~${perSide.toLong * perSide}")
+  }
+
+  /** keySkewAudit over a DELIBERATELY skewed synthetic feed: 4 groups,
+    * half of each group's rows on ONE hot key, the rest spread over
+    * ~n/64 cold keys. Claim under test: the Gini rank rides chunkedScan
+    * keyed on the count value, so the audit stays ~linear and no group
+    * funnels its key table through one window task — the audit of the
+    * audit (it must be cheap on exactly the feeds it exists to flag).
+    */
+  private def skew(spark: SparkSession, n: Long): (Double, String) = {
+    val df = spark.range(n)
+      .select(
+        concat(lit("g"), pmod(col("id"), lit(4))).as("g"),
+        // id DIV 4 alternates WITHIN each id%4 group (an id%2 hot rule
+        // would correlate with the group key and hand two groups a
+        // 100%-hot singleton key)
+        when(pmod(expr("id DIV 4"), lit(2)) === 0, lit(-1L))
+          .otherwise(pmod(hash(col("id")), lit(n / 64 + 1))).as("k"))
+      .localCheckpoint(true)
+    val t0 = System.nanoTime()
+    val r = graft.ops.Skew.keySkewAudit(df, "g", "k")
+      .agg(sum("n_keys"), max("top_share_ppm"), max("gini")).collect()
+    df.unpersist(true)
+    ((System.nanoTime() - t0) / 1e9, s"checksum=${r(0)}")
+  }
+
+  /** rankBuckets over ONE giant stratum — the regime the chunked scan
+    * exists for (a direct per-stratum window would serialize all n rows
+    * through one task): tertile-bucket n rows of one language by a
+    * ~100-distinct-value score, chunked on the score quantization.
+    * Claim under test: ~linear scaling, parallelism = score chunks.
+    */
+  private def buckets(spark: SparkSession, n: Long): (Double, String) = {
+    val df = spark.range(n)
+      .select(
+        col("id").as("doc_id"), lit("en").as("lang"),
+        (pmod(hash(col("id")), lit(97)).cast("double") * lit(-0.1)).as("score"))
+      .localCheckpoint(true)
+    val t0 = System.nanoTime()
+    val r = graft.ops.Sampling.rankBuckets(
+        df, Seq("lang"), Seq(col("score").desc, col("doc_id")), 3,
+        chunk = floor(-col("score") * lit(2.0d)).cast("long"),
+        rankCol = "rk", bucketCol = "b")
+      .groupBy("b").agg(count(lit(1)).as("n"), sum("rk").as("s"))
+      .orderBy("b").collect()
+    df.unpersist(true)
+    ((System.nanoTime() - t0) / 1e9,
+      s"buckets=${r.map(_.getLong(1)).mkString(",")}")
   }
 }

@@ -508,21 +508,23 @@ object Sampling {
       strataCol: String,
       targetValue: String,
       buckets: Int): DataFrame = {
-    val cr = fb.groupBy("__b").agg(count(lit(1)).as("__cr"))
-    val ct = fb.filter(col(strataCol) === targetValue)
-      .groupBy("__b").agg(count(lit(1)).as("__ct"))
-    val nt = ct.agg(coalesce(sum("__ct"), lit(0L)).as("__nt"))
-    val nr = cr.agg(sum("__cr").as("__nr"))
-    // every bucket any document hits is present in cr (raw counts span the
-    // whole corpus), so cr is the bucket domain; ct left-joins onto it and
-    // Laplace +1 smooths the target-unseen buckets
-    cr.join(ct, Seq("__b"), "left")
-      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+    // raw and target bucket counts in ONE pass over the feature bag (the
+    // target count is a conditional sum keyed off the stratum column —
+    // identical integers to the filtered second aggregation it replaces,
+    // at one corpus-bag scan instead of two); every bucket any document
+    // hits is present (raw counts span the whole corpus), and Laplace +1
+    // smooths the target-unseen buckets
+    val byB = fb.groupBy("__b").agg(
+      count(lit(1)).as("__cr"),
+      sum(when(col(strataCol) === targetValue, 1L).otherwise(0L)).as("__ct"))
+    val tots = byB.agg(sum("__ct").as("__nt"), sum("__cr").as("__nr"))
+    byB
+      .crossJoin(broadcast(tots))
       .select(
         col("__b"),
         (graft.functions.MathLn(
           (coalesce(col("__ct"), lit(0L)) + 1L).cast("double") /
-            (col("__nt") + buckets).cast("double"))
+            (coalesce(col("__nt"), lit(0L)) + buckets).cast("double"))
           - graft.functions.MathLn(
             (col("__cr") + 1L).cast("double") /
               (col("__nr") + buckets).cast("double"))).as("__lw"))

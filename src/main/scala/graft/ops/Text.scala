@@ -250,12 +250,16 @@ object Text {
     val toks = tokenBag(df, idCol, textCol)
     val vocab = toks.groupBy("token").agg(count(lit(1)).as("__c"))
     val total = vocab.agg(sum("__c").as("__t"))
-    toks.join(if (broadcastVocab) broadcast(vocab) else vocab, "token")
-      .crossJoin(broadcast(total))
+    // score per vocab TYPE, not per occurrence: the MathLn runs |vocab|
+    // times on the sub-linear fitted table instead of once per corpus
+    // token — the per-token value is the identical double either way
+    // (same BIGINT→double division), so the hash contract is untouched
+    val scored = vocab.crossJoin(broadcast(total))
       .select(
-        col(idCol),
+        col("token"),
         graft.functions.MathLn(col("__c").cast("double") / col("__t").cast("double"))
           .as("__lp"))
+    toks.join(if (broadcastVocab) broadcast(scored) else scored, "token")
       .groupBy(idCol)
       .agg(
         count(lit(1)).as("n_tokens"),
@@ -297,15 +301,22 @@ object Text {
     val bg = spread(df, idCol)
       .filter(size(toks) >= 2)
       .select(col(idCol), explode(shingles(toks, 2)).as("bigram"))
-      .withColumn("w1", substring_index(col("bigram"), " ", 1))
     val bgCounts = bg.groupBy("bigram").agg(count(lit(1)).as("__cb"))
-    val prefCounts = bg.groupBy("w1").agg(count(lit(1)).as("__cp"))
-    bg.join(if (broadcastVocab) broadcast(bgCounts) else bgCounts, "bigram")
-      .join(if (broadcastVocab) broadcast(prefCounts) else prefCounts, "w1")
+    // prefix counts are the bigram table RE-GROUPED by first word — never
+    // a second scan of the corpus bag (c(w1·) = Σ_w2 c(w1 w2) exactly);
+    // and the MathLn conditional is scored once per DISTINCT bigram on
+    // the sub-linear fitted table, not once per corpus occurrence — the
+    // per-occurrence double is identical, so the hash contract holds.
+    // The corpus bag is touched exactly twice: the count agg and the
+    // final scoring join.
+    val scored = bgCounts
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("__cp", sum(col("__cb")).over(Window.partitionBy(col("w1"))))
       .select(
-        col(idCol),
+        col("bigram"),
         graft.functions.MathLn(col("__cb").cast("double") / col("__cp").cast("double"))
           .as("__lp"))
+    bg.join(if (broadcastVocab) broadcast(scored) else scored, "bigram")
       .groupBy(idCol)
       .agg(
         count(lit(1)).as("n_bigrams"),

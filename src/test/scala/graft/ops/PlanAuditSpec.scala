@@ -45,15 +45,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p1.contains("Exchange") && !p2.contains("Exchange"))
   }
 
-  test("bigramLogProb broadcasts BOTH fitted tables (bigram + prefix vocab)") {
-    // the unigramLogProb lesson applies twice over: fresh aggregates have
-    // no stats, so without the hints the planner SMJs the token bag on
-    // string keys — the 40s→8.5s probe regression
+  test("bigramLogProb: ONE broadcast join against the scored vocab, corpus bag never SMJs") {
+    // the unigramLogProb lesson (fresh aggregates have no stats — without
+    // the hint the planner SMJs the token bag on string keys, the
+    // 40s→8.5s probe regression) plus the per-type scoring move: the
+    // prefix counts come from a WINDOW over the fitted bigram vocab
+    // (c(w1·) = Σ_w2 c(w1 w2)), so the corpus bag is joined exactly once,
+    // against the broadcast scored table — one BroadcastHashJoin, zero
+    // SortMergeJoins, and the MathLn sits on the vocab side of the join
     val df = (0L until 40L).map(i => (i, s"alpha beta gamma tok${i % 5} delta"))
       .toDF("doc_id", "text")
     val p = plan(Text.bigramLogProb(df, "doc_id", "text"))
     val bcasts = "BroadcastHashJoin".r.findAllIn(p).size
-    assert(bcasts >= 2, s"expected both vocab joins broadcast, got $bcasts:\n$p")
+    assert(bcasts == 1, s"expected the one scored-vocab broadcast join, got $bcasts:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus bag SMJ'd on string keys:\n$p")
   }
 
   test("macroAuc grid: the class list broadcasts; corpus side streams") {
