@@ -99,7 +99,18 @@ object Text {
       topK: Int): DataFrame = {
     val tok = spread(docs, idCol)
       .select(col(idCol), col(langCol), explode(tokens(col(textCol))).as("token"))
-    val profile = tok
+    tok
+      .join(broadcast(profileTable(tok, langCol, topK)), Seq("token"))
+      .groupBy(col(idCol), col("profile_lang"))
+      .agg(count(lit(1)).as("score"))
+  }
+
+  /** The fitted (profile_lang, token) table behind [[languageScores]]:
+    * each language's `topK` most frequent tokens (count desc, token asc
+    * tie-break), from an exploded (lang, token) frame.
+    */
+  private def profileTable(tok: DataFrame, langCol: String, topK: Int): DataFrame =
+    tok
       .groupBy(col(langCol).as("profile_lang"), col("token"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn(
@@ -108,10 +119,28 @@ object Text {
           Window.partitionBy(col("profile_lang")).orderBy(col("cnt").desc, col("token"))))
       .filter(col("rnk") <= topK)
       .select("profile_lang", "token")
-    tok
-      .join(broadcast(profile), Seq("token"))
-      .groupBy(col(idCol), col("profile_lang"))
-      .agg(count(lit(1)).as("score"))
+
+  /** [[profileTable]] fitted from a corpus and COLLECTED to the driver —
+    * the batch half of the fit/route split ([[curationGates]] routes
+    * against it; same pattern as `IvfQuantizer.collectCentroids` and the
+    * DSIR log-ratio table): languages sorted ascending, each profile a
+    * token list. Sub-linear by construction (|langs| · topK rows).
+    */
+  def languageProfiles(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      topK: Int): Seq[(String, Seq[String])] = {
+    val tok = spread(docs, idCol)
+      .select(col(idCol), col(langCol), explode(tokens(col(textCol))).as("token"))
+    profileTable(tok, langCol, topK)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1)
+      .map { case (l, rows) => (l, rows.map(_._2).toSeq.sorted) }
+      .toSeq
+      .sortBy(_._1)
   }
 
   /** Stopword list shared by the quality score (both engines). */
@@ -461,11 +490,18 @@ object Text {
   def gopherRepetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toksC = tokens(col(textCol))
     val base = spread(df, idCol).filter(size(toksC) >= 3)
-    val bg = base.select(col(idCol), explode(shingles(toksC, 2)).as("__g"))
+    // gram KEYS, not gram strings (the repetitionScore / sharedSpans
+    // move): the counts only need the equality relation, and the native
+    // ShingleKeys pass shuffles 8-byte longs instead of k-word strings —
+    // measured 39.4 -> ~7 cpu-s at sf0.1 on the string form. A 64-bit
+    // collision would need to land inside ONE doc's gram bag to perturb a
+    // count (odds ~g²/2⁶⁵ per doc); the string-keyed oracle hash-matching
+    // at every sf is the standing evidence none has fired.
+    val bg = base.select(col(idCol), explode(graft.functions.ShingleKeys(toksC, 2)).as("__g"))
       .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))
       .groupBy(idCol)
       .agg(sum("__c").as("n_bigrams"), max("__c").as("top_bigram_count"))
-    val tg = base.select(col(idCol), explode(shingles(toksC, 3)).as("__g"))
+    val tg = base.select(col(idCol), explode(graft.functions.ShingleKeys(toksC, 3)).as("__g"))
       .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))
       .groupBy(idCol)
       .agg(
@@ -487,6 +523,70 @@ object Text {
       .withColumn(
         "flagged",
         (col("top2gram_share") > 0.2 || col("dup3gram_frac") > 0.15).cast("long"))
+  }
+
+  /** The curation GATES as one STATELESS projection — the ingest-time
+    * form of the `cur_funnel` stage prefix (fit batch, route stream: the
+    * same split as `IvfQuantizer.collectCentroids` → `routeVector` and
+    * the DSIR log-ratio table). Per row, array-locally (no explode, no
+    * groupBy, no state — legal in a streaming SELECT):
+    *
+    *   - `pred_lang`: the [[languageId]] vote against PRE-FITTED broadcast
+    *     profiles ([[languageProfiles]]) — multiplicity counts via a
+    *     membership scan, argmax with (score desc, lang asc) tie-break,
+    *     NULL when no profile token hits (exactly the batch abstention);
+    *   - `n_tokens`/`quality_score`/`quality_ok`: [[qualityScore]]'s
+    *     integers and IEEE dag, computed from array_distinct/filter
+    *     instead of the groupBy — bit-identical values;
+    *   - `rep_flagged`: [[gopherRepetition]]'s 0.2/0.15 flag tier from
+    *     array-local gram counts; NULL for docs under 3 tokens (the batch
+    *     op emits no row — a funnel treats NULL as fail-closed).
+    *
+    * Batch parity is spec-pinned per field. Scale contract: the gram
+    * counting is O(tokens · distinct-grams) PER DOC (array-local, not
+    * hash-agg) — right for ingest-gating bounded-length documents; for
+    * offline scoring of very long docs the exploded batch operators are
+    * the right tool.
+    */
+  def curationGates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      profiles: Seq[(String, Seq[String])],
+      qualityMin: Double,
+      carryCols: Seq[String] = Nil): DataFrame = {
+    require(profiles.nonEmpty, "need at least one language profile")
+    val toks = tokens(col(textCol))
+    val entries = profiles.map { case (l, prof) =>
+      struct(
+        (-size(filter(toks, t => array_contains(typedLit(prof), t)))).as("ns"),
+        lit(l).as("lang"))
+    }
+    val predLang =
+      array_min(filter(array(entries: _*), e => e.getField("ns") < 0)).getField("lang")
+    val nTok = size(toks).cast("long")
+    val nDist = size(array_distinct(toks)).cast("long")
+    val nStop = size(filter(toks, t => array_contains(typedLit(qualityStops), t))).cast("long")
+    val dr = nDist.cast("double") / nTok.cast("double")
+    val sr = nStop.cast("double") / nTok.cast("double")
+    val qScore = dr * (lit(1.0) - sr)
+    val bg = shingles(toks, 2)
+    val tg = shingles(toks, 3)
+    def gramCounts(grams: Column): Column =
+      transform(array_distinct(grams), g => size(filter(grams, x => x === g)).cast("long"))
+    val topb = array_max(gramCounts(bg))
+    val dupt = aggregate(
+      gramCounts(tg), lit(0L), (acc, c) => acc + when(c >= 2L, c).otherwise(0L))
+    val flagged = when(nTok >= 3,
+      ((topb.cast("double") / size(bg).cast("double") > lit(0.2)) ||
+        (dupt.cast("double") / size(tg).cast("double") > lit(0.15))).cast("long"))
+    df.select(
+      col(idCol) +: carryCols.map(col) ++: Seq(
+        predLang.as("pred_lang"),
+        nTok.as("n_tokens"),
+        qScore.as("quality_score"),
+        (qScore >= lit(qualityMin)).as("quality_ok"),
+        flagged.as("rep_flagged")): _*)
   }
 
   /** Per-group tokenizer FERTILITY audit over [[bpeEncode]] — the standard

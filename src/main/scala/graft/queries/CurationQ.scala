@@ -11,6 +11,123 @@ import graft.ops._
 object CurationQ {
   import Q._
 
+  /** The `cur_funnel` ledger builder — shared verbatim with
+    * `cur_funnel_summary` so the report cannot fork from the ledger.
+    * Stage semantics documented at the QDef.
+    */
+  private def funnelLedger(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val docs = t(s, d, "documents")
+    val quality = Text.qualityScore(docs, "doc_id", "text")
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+    val pred = Text.languageId(docs, "doc_id", "text", "lang", 20)
+      .select(col("doc_id"), col("pred_lang"))
+    val rep = Text.gopherRepetition(docs, "doc_id", "text")
+      .select(col("doc_id"), col("flagged"))
+    val keepers = Dedup.exactGroups(docs, "doc_id", "text")
+      .select(col("fp"), col("keeper_id"))
+    val base = Caches.trackPersist(docs
+      .select(col("doc_id"), col("lang"), Text.fingerprint(col("text")).as("fp"))
+      .join(quality, "doc_id")
+      .join(pred, Seq("doc_id"), "left")
+      .join(rep, Seq("doc_id"), "left")
+      .join(keepers, "fp")
+      .select(
+        col("doc_id"), col("lang"), col("n_tokens"),
+        coalesce(col("pred_lang") === col("lang"), lit(false)).as("__lok"),
+        (col("quality_score") >= lit(0.35d)).as("__qok"),
+        coalesce(col("flagged") === 0L, lit(false)).as("__rok"),
+        (col("doc_id") === col("keeper_id")).as("__dok")))
+    val survivors = base
+      .filter(col("__lok") && col("__qok") && col("__rok") && col("__dok"))
+      .select("doc_id", "lang", "n_tokens")
+    val budget = Sampling.tokenBudgetLedger(survivors, "doc_id", "lang", "n_tokens", 2000L)
+      .select(col("doc_id"), col("keep").as("__bok"))
+    base.join(budget, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("lang"), col("n_tokens"),
+        when(!col("__lok"), "lang")
+          .when(!col("__qok"), "quality")
+          .when(!col("__rok"), "repetition")
+          .when(!col("__dok"), "dedup")
+          .when(col("__bok") === 0L, "budget")
+          .as("killed_by"),
+        (col("__lok") && col("__qok") && col("__rok") && col("__dok") &&
+          col("__bok") === 1L).cast("long").as("keep"))
+  }
+
+  /** Oracle CTE chain mirroring [[funnelLedger]], ending in
+    * `led(doc_id, lang, n_tokens, killed_by, keep)`. Declared ABOVE
+    * `defs` (QDef oracle strings build eagerly at object init).
+    */
+  private val funnelSql: String =
+    s"""${Text.qualitySql()},
+        ltok AS (SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS token
+                 FROM documents),
+        lcnt AS (SELECT lang, token, count(*) AS cnt FROM ltok GROUP BY 1, 2),
+        prof AS (SELECT lang AS profile_lang, token FROM
+                   (SELECT lang, token,
+                      row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rnk
+                    FROM lcnt) WHERE rnk <= 20),
+        lsc AS (SELECT t.doc_id, p.profile_lang, CAST(count(*) AS BIGINT) AS score
+                FROM ltok t JOIN prof p ON t.token = p.token GROUP BY 1, 2),
+        pr AS (SELECT doc_id, profile_lang AS pred_lang FROM
+                 (SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, profile_lang) AS rn FROM lsc)
+               WHERE rn = 1),
+        gtk AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+        gbg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
+                FROM gtk, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+                WHERE len(toks) >= 3),
+        gtg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+                FROM gtk, unnest(generate_series(1, len(toks) - 2)) AS u(i)
+                WHERE len(toks) >= 3),
+        gbc AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM gbg GROUP BY 1, 2),
+        gb AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nb,
+                 CAST(max(c) AS BIGINT) AS topb FROM gbc GROUP BY 1),
+        gtc AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM gtg GROUP BY 1, 2),
+        gt AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nt,
+                 CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dupt
+               FROM gtc GROUP BY 1),
+        gflag AS (SELECT gb.doc_id,
+                    CASE WHEN CAST(gb.topb AS DOUBLE) / CAST(gb.nb AS DOUBLE)
+                           > CAST(0.2 AS DOUBLE)
+                          OR CAST(gt.dupt AS DOUBLE) / CAST(gt.nt AS DOUBLE)
+                           > CAST(0.15 AS DOUBLE)
+                         THEN 1 ELSE 0 END AS flagged
+                  FROM gb JOIN gt ON gt.doc_id = gb.doc_id),
+        fps AS (SELECT doc_id, lang,
+                  md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+                FROM documents),
+        kp AS (SELECT fp, min(doc_id) AS keeper FROM fps GROUP BY 1),
+        base AS (SELECT f.doc_id, f.lang, q.n_tokens,
+                   coalesce(pr.pred_lang = f.lang, false) AS lok,
+                   q.quality_score >= CAST(0.35 AS DOUBLE) AS qok,
+                   coalesce(g.flagged = 0, false) AS rok,
+                   f.doc_id = k.keeper AS dok
+                 FROM fps f
+                 JOIN qual q ON q.doc_id = f.doc_id
+                 LEFT JOIN pr ON pr.doc_id = f.doc_id
+                 LEFT JOIN gflag g ON g.doc_id = f.doc_id
+                 JOIN kp k ON k.fp = f.fp),
+        surv AS (SELECT doc_id, lang, n_tokens,
+                   ${Sampling.sqlHashU24("doc_id")} AS u
+                 FROM base WHERE lok AND qok AND rok AND dok),
+        bud AS (SELECT doc_id,
+                  CASE WHEN sum(n_tokens) OVER (PARTITION BY lang
+                    ORDER BY u, doc_id ROWS UNBOUNDED PRECEDING) <= 2000
+                    THEN 1 ELSE 0 END AS bok
+                FROM surv),
+        led AS (SELECT b.doc_id, b.lang, b.n_tokens,
+                  CASE WHEN NOT lok THEN 'lang'
+                       WHEN NOT qok THEN 'quality'
+                       WHEN NOT rok THEN 'repetition'
+                       WHEN NOT dok THEN 'dedup'
+                       WHEN bud.bok = 0 THEN 'budget' END AS killed_by,
+                  CAST(CASE WHEN lok AND qok AND rok AND dok AND bud.bok = 1
+                    THEN 1 ELSE 0 END AS BIGINT) AS keep
+                FROM base b LEFT JOIN bud ON bud.doc_id = b.doc_id)"""
+
   val defs: Seq[QDef] = Seq(
     QDef(
       "o6_skyline",
@@ -168,110 +285,23 @@ object CurationQ {
       // cannot fork from the per-stage queries; all flags are
       // engine-exact (integer votes, one IEEE score comparison, md5
       // fingerprints, integral budget cumsum)
-      (s, d) => {
-        val docs = t(s, d, "documents")
-        val quality = Text.qualityScore(docs, "doc_id", "text")
-          .select(col("doc_id"), col("n_tokens"), col("quality_score"))
-        val pred = Text.languageId(docs, "doc_id", "text", "lang", 20)
-          .select(col("doc_id"), col("pred_lang"))
-        val rep = Text.gopherRepetition(docs, "doc_id", "text")
-          .select(col("doc_id"), col("flagged"))
-        val keepers = Dedup.exactGroups(docs, "doc_id", "text")
-          .select(col("fp"), col("keeper_id"))
-        val base = Caches.trackPersist(docs
-          .select(col("doc_id"), col("lang"), Text.fingerprint(col("text")).as("fp"))
-          .join(quality, "doc_id")
-          .join(pred, Seq("doc_id"), "left")
-          .join(rep, Seq("doc_id"), "left")
-          .join(keepers, "fp")
-          .select(
-            col("doc_id"), col("lang"), col("n_tokens"),
-            coalesce(col("pred_lang") === col("lang"), lit(false)).as("__lok"),
-            (col("quality_score") >= lit(0.35d)).as("__qok"),
-            coalesce(col("flagged") === 0L, lit(false)).as("__rok"),
-            (col("doc_id") === col("keeper_id")).as("__dok")))
-        val survivors = base
-          .filter(col("__lok") && col("__qok") && col("__rok") && col("__dok"))
-          .select("doc_id", "lang", "n_tokens")
-        val budget = Sampling.tokenBudgetLedger(survivors, "doc_id", "lang", "n_tokens", 2000L)
-          .select(col("doc_id"), col("keep").as("__bok"))
-        base.join(budget, Seq("doc_id"), "left")
-          .select(
-            col("doc_id"), col("lang"), col("n_tokens"),
-            when(!col("__lok"), "lang")
-              .when(!col("__qok"), "quality")
-              .when(!col("__rok"), "repetition")
-              .when(!col("__dok"), "dedup")
-              .when(col("__bok") === 0L, "budget")
-              .as("killed_by"),
-            (col("__lok") && col("__qok") && col("__rok") && col("__dok") &&
-              col("__bok") === 1L).cast("long").as("keep"))
-      },
-      Some(s"""WITH ${Text.qualitySql()},
-               ltok AS (SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS token
-                        FROM documents),
-               lcnt AS (SELECT lang, token, count(*) AS cnt FROM ltok GROUP BY 1, 2),
-               prof AS (SELECT lang AS profile_lang, token FROM
-                          (SELECT lang, token,
-                             row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rnk
-                           FROM lcnt) WHERE rnk <= 20),
-               lsc AS (SELECT t.doc_id, p.profile_lang, CAST(count(*) AS BIGINT) AS score
-                       FROM ltok t JOIN prof p ON t.token = p.token GROUP BY 1, 2),
-               pr AS (SELECT doc_id, profile_lang AS pred_lang FROM
-                        (SELECT *, row_number() OVER (PARTITION BY doc_id
-                           ORDER BY score DESC, profile_lang) AS rn FROM lsc)
-                      WHERE rn = 1),
-               gtk AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
-               gbg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
-                       FROM gtk, unnest(generate_series(1, len(toks) - 1)) AS u(i)
-                       WHERE len(toks) >= 3),
-               gtg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
-                       FROM gtk, unnest(generate_series(1, len(toks) - 2)) AS u(i)
-                       WHERE len(toks) >= 3),
-               gbc AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM gbg GROUP BY 1, 2),
-               gb AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nb,
-                        CAST(max(c) AS BIGINT) AS topb FROM gbc GROUP BY 1),
-               gtc AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM gtg GROUP BY 1, 2),
-               gt AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nt,
-                        CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dupt
-                      FROM gtc GROUP BY 1),
-               gflag AS (SELECT gb.doc_id,
-                           CASE WHEN CAST(gb.topb AS DOUBLE) / CAST(gb.nb AS DOUBLE)
-                                  > CAST(0.2 AS DOUBLE)
-                                 OR CAST(gt.dupt AS DOUBLE) / CAST(gt.nt AS DOUBLE)
-                                  > CAST(0.15 AS DOUBLE)
-                                THEN 1 ELSE 0 END AS flagged
-                         FROM gb JOIN gt ON gt.doc_id = gb.doc_id),
-               fps AS (SELECT doc_id, lang,
-                         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
-                       FROM documents),
-               kp AS (SELECT fp, min(doc_id) AS keeper FROM fps GROUP BY 1),
-               base AS (SELECT f.doc_id, f.lang, q.n_tokens,
-                          coalesce(pr.pred_lang = f.lang, false) AS lok,
-                          q.quality_score >= CAST(0.35 AS DOUBLE) AS qok,
-                          coalesce(g.flagged = 0, false) AS rok,
-                          f.doc_id = k.keeper AS dok
-                        FROM fps f
-                        JOIN qual q ON q.doc_id = f.doc_id
-                        LEFT JOIN pr ON pr.doc_id = f.doc_id
-                        LEFT JOIN gflag g ON g.doc_id = f.doc_id
-                        JOIN kp k ON k.fp = f.fp),
-               surv AS (SELECT doc_id, lang, n_tokens,
-                          ${Sampling.sqlHashU24("doc_id")} AS u
-                        FROM base WHERE lok AND qok AND rok AND dok),
-               bud AS (SELECT doc_id,
-                         CASE WHEN sum(n_tokens) OVER (PARTITION BY lang
-                           ORDER BY u, doc_id ROWS UNBOUNDED PRECEDING) <= 2000
-                           THEN 1 ELSE 0 END AS bok
-                       FROM surv)
-               SELECT b.doc_id, b.lang, b.n_tokens,
-                 CASE WHEN NOT lok THEN 'lang'
-                      WHEN NOT qok THEN 'quality'
-                      WHEN NOT rok THEN 'repetition'
-                      WHEN NOT dok THEN 'dedup'
-                      WHEN bud.bok = 0 THEN 'budget' END AS killed_by,
-                 CAST(CASE WHEN lok AND qok AND rok AND dok AND bud.bok = 1
-                   THEN 1 ELSE 0 END AS BIGINT) AS keep
-               FROM base b LEFT JOIN bud ON bud.doc_id = b.doc_id"""))
+      (s, d) => funnelLedger(s, d),
+      Some(s"""WITH $funnelSql
+               SELECT doc_id, lang, n_tokens, killed_by, keep FROM led""")),
+
+    QDef(
+      "cur_funnel_summary",
+      // the funnel REPORT: per stage (first-killing gate, or 'kept'),
+      // how many docs and tokens it removed — the table a curation
+      // ablation writes up. Rides funnelLedger/funnelSql verbatim, so
+      // the report cannot disagree with the ledger.
+      (s, d) => funnelLedger(s, d)
+        .groupBy(coalesce(col("killed_by"), lit("kept")).as("stage"))
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens")),
+      Some(s"""WITH $funnelSql
+               SELECT coalesce(killed_by, 'kept') AS stage,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+               FROM led GROUP BY 1"""))
   )
 }

@@ -546,6 +546,41 @@ object Streaming {
       .withColumn("admit", (col("dsir_logweight") >= threshold).cast("long"))
   }
 
+  /** Curation gates as a stream — the `cur_funnel` stage prefix at ingest
+    * time: arriving documents are scored STATELESSLY against PRE-FITTED
+    * broadcast language profiles ([[graft.ops.Text.languageProfiles]] —
+    * the fit is batch by contract, same split as [[semanticDedupStream]]'s
+    * centroids and [[dsirAdmitStream]]'s log-ratio table) plus the
+    * self-contained quality and Gopher-repetition gates, and each doc
+    * ships with its gate flags and the admit conjunction. No shuffle, no
+    * watermark, no state store — a pure projection
+    * ([[graft.ops.Text.curationGates]]), so the ledger is slice-invariant
+    * and BIT-identical to running the same projection in batch (pinned in
+    * `StreamingSpec`). `rep_flagged` is NULL for docs under 3 tokens (the
+    * batch op emits no row) and the admit conjunction fails CLOSED on it,
+    * exactly like `cur_funnel`. Downstream funnel stages compose as their
+    * own streaming ops: exact dedup = `dropDuplicatesWithinWatermark` on
+    * the fingerprint, budget = [[tokenBudgetStream]].
+    */
+  def curationGateStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      profiles: Seq[(String, Seq[String])],
+      qualityMin: Double): DataFrame =
+    graft.ops.Text
+      .curationGates(docs, idCol, textCol, profiles, qualityMin, carryCols = Seq(langCol))
+      .select(
+        col(idCol), col(langCol),
+        col("pred_lang"), col("n_tokens"), col("quality_score"),
+        coalesce(col("pred_lang") === col(langCol), lit(false)).as("lang_ok"),
+        col("quality_ok"),
+        col("rep_flagged"),
+        (coalesce(col("pred_lang") === col(langCol), lit(false)) &&
+          col("quality_ok") && coalesce(col("rep_flagged") === 0L, lit(false)))
+          .cast("long").as("admit"))
+
   /** J2-as-stream: stream-stream INTERVAL join — enrich each left event
     * with right-stream events for the same key whose event time falls in
     * [left − before, left + after]. Both sides carry watermarks, and the

@@ -886,4 +886,61 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("curationGateStream: gate values bit-match the fitted batch operators; short docs fail closed") {
+    // the real sf0.001 corpus through gates routed against PRE-FITTED
+    // broadcast language profiles. Reference = the three registered batch
+    // operators themselves (languageId / qualityScore / gopherRepetition),
+    // NOT curationGates — so this simultaneously pins the array-local
+    // reimplementation's batch parity per field and its streaming-safety
+    // (the plan must analyze as a stateless streaming SELECT).
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val profiles = graft.ops.Text.languageProfiles(docs, "doc_id", "text", "lang", 20)
+    val pred = graft.ops.Text.languageId(docs, "doc_id", "text", "lang", 20)
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    val qual = graft.ops.Text.qualityScore(docs, "doc_id", "text")
+      .select("doc_id", "n_tokens", "quality_score")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val rep = graft.ops.Text.gopherRepetition(docs, "doc_id", "text")
+      .select("doc_id", "flagged").as[(Long, Long)].collect().toMap
+    val rows = docs.as[(Long, String, String)].collect().sortBy(_._1)
+    val langOf = rows.map(r => r._1 -> r._2).toMap
+    val input = MemoryStream[(Long, String, String)]
+    val df = input.toDF().toDF("doc_id", "lang", "text")
+    val out = graft.streaming.Streaming
+      .curationGateStream(df, "doc_id", "text", "lang", profiles, qualityMin = 0.35)
+    val q = out.writeStream.format("memory").queryName("gate_stream")
+      .outputMode("append").start()
+    try {
+      val (h, t) = rows.splitAt(rows.length / 2)
+      input.addData(h.toIndexedSeq); q.processAllAvailable()
+      // plus one sub-3-token doc: rep_flagged must be NULL (the batch op
+      // emits no row) and the admit conjunction must fail CLOSED on it
+      input.addData(t.toIndexedSeq :+ ((99999L, "en", "tiny doc")))
+      q.processAllAvailable()
+      val got = spark.table("gate_stream")
+        .select("doc_id", "pred_lang", "n_tokens", "quality_score",
+          "lang_ok", "quality_ok", "rep_flagged", "admit")
+        .as[(Long, Option[String], Long, Double, Boolean, Boolean, Option[Long], Long)]
+        .collect()
+      assert(got.length == rows.length + 1)
+      got.filter(_._1 != 99999L).foreach { case (id, pl, nt, qs, lok, qok, rf, adm) =>
+        assert(pl == pred.get(id), s"doc $id pred_lang stream=$pl batch=${pred.get(id)}")
+        val (bn, bq) = qual(id)
+        assert(nt == bn, s"doc $id n_tokens stream=$nt batch=$bn")
+        assert(qs == bq, s"doc $id quality_score stream=$qs batch=$bq (must be bit-identical)")
+        assert(rf == rep.get(id), s"doc $id rep_flagged stream=$rf batch=${rep.get(id)}")
+        assert(lok == pred.get(id).contains(langOf(id)), s"doc $id lang_ok wrong")
+        assert(qok == (bq >= 0.35), s"doc $id quality_ok wrong")
+        assert(adm == (if (lok && qok && rf.contains(0L)) 1L else 0L), s"doc $id admit wrong")
+      }
+      val s = got.find(_._1 == 99999L).get
+      assert(s._7.isEmpty, "short doc should be rep-unauditable (NULL)")
+      assert(s._8 == 0L, "short doc must fail closed")
+    } finally q.stop()
+  }
 }
