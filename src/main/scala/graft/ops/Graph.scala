@@ -118,6 +118,68 @@ object Graph {
     ranks
   }
 
+  /** PERSONALIZED PageRank — [[pagerankScaled]] with the teleport mass
+    * concentrated on a SEED set instead of spread uniformly: rank flows
+    * outward from the seeds through the link structure, so scores read as
+    * "proximity to the trusted set" — the TrustRank/seed-expansion move
+    * (grow a curated domain allowlist from a hand-audited core; rank
+    * candidate near-dups by their linkage to known-good docs). Seeds hold
+    * the 0.15·scale base term and the initial mass; non-seeds start at 0
+    * and earn rank only through in-edges. Same scaled-BIGINT arithmetic,
+    * damping, dangling-mass contract and overflow bound as
+    * [[pagerankScaled]] — with `seeds` = all of `nodes` the two are
+    * bit-identical (spec-pinned), so this is a strict generalization.
+    * Emits (idCol, is_seed, rank_scaled).
+    */
+  def personalizedPagerankScaled(
+      pairs: DataFrame,
+      nodes: DataFrame,
+      seeds: DataFrame,
+      aCol: String,
+      bCol: String,
+      idCol: String,
+      iters: Int = 5,
+      scale: Option[Long] = None,
+      checkpointEvery: Int = 0): DataFrame = {
+    val fwd = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    val rev = pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst"))
+    val edges = Caches.trackPersist(fwd.union(rev).distinct())
+    val deg = Caches.trackPersist(edges.groupBy("src").agg(count(lit(1)).as("deg")))
+    val seedIds = seeds.select(col(idCol).cast("long").as("id")).distinct()
+      .withColumn("__s", lit(1L))
+    // (id, is_seed) — referenced once per iteration plus the seed frame
+    val ids = Caches.trackPersist(
+      nodes.select(col(idCol).cast("long").as("id"))
+        .join(seedIds, Seq("id"), "left")
+        .select(col("id"), coalesce(col("__s"), lit(0L)).as("is_seed")))
+    val n = math.max(ids.count(), 1L)
+    val sc = scale.getOrElse(derivedScale(n))
+    require(
+      sc >= 100 && sc % 100 == 0 && sc <= Long.MaxValue / 85L / n,
+      s"scale $sc overflows 85*n*scale at n=$n (max ${Long.MaxValue / 85L / n}); " +
+        "use derivedScale or pass a smaller scale")
+    val base = when(col("is_seed") === 1L, lit(15L * sc / 100)).otherwise(lit(0L))
+    var ranks = ids.select(
+      col("id"),
+      when(col("is_seed") === 1L, lit(sc)).otherwise(lit(0L)).as("rank_scaled"))
+    (1 to iters).foreach { i =>
+      val contrib = edges
+        .join(deg, "src")
+        .join(ranks.select(col("id").as("src"), col("rank_scaled")), "src")
+        .select(col("dst").as("id"), expr("rank_scaled DIV deg").as("c"))
+        .groupBy("id")
+        .agg(sum(col("c")).as("s"))
+      ranks = ids
+        .join(contrib, Seq("id"), "left")
+        .select(
+          col("id"),
+          (base + expr("85 * coalesce(s, 0L) DIV 100")).as("rank_scaled"))
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
+        ranks = ranks.localCheckpoint()
+    }
+    ids.join(ranks, "id").select(col("id"), col("is_seed"), col("rank_scaled"))
+  }
+
   /** Exact triangle census over an UNDIRECTED distinct pair list
     * (`aCol < bCol`, one row per edge — [[graft.ops.Dedup.jaccardPairs]]'
     * output shape): one summary row with the edge count, wedge count

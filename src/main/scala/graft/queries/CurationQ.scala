@@ -14,6 +14,13 @@ object CurationQ {
   /** The `cur_funnel` ledger builder — shared verbatim with
     * `cur_funnel_summary` so the report cannot fork from the ledger.
     * Stage semantics documented at the QDef.
+    *
+    * Scan shape: each stage re-reads `documents` pruned to its own 1-2
+    * columns (parquet column pruning makes pass-count a non-multiplier on
+    * IO — the probed Quality-suite result in CLAUDE.md); the post-gate
+    * flag frame IS persisted (one cache, reused by the budget stage and
+    * the final ledger join). On a source WITHOUT column pruning (row
+    * formats, streams) persist a (doc_id, lang, text) projection first.
     */
   private def funnelLedger(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {

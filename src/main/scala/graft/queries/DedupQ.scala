@@ -843,6 +843,60 @@ object DedupQ {
       }),
 
     QDef(
+      "g5_ppr",
+      // seed-expansion ranking (the TrustRank move): PERSONALIZED
+      // PageRank over the same Jaccard >= 0.5 pair graph, teleport mass
+      // concentrated on the deterministic doc_id % 50 == 0 seed set —
+      // rank reads as "linkage proximity to the trusted core", the score
+      // that grows a curated allowlist from a hand-audited sample (g1
+      // ranks global centrality; this ranks closeness to the seeds).
+      // Same scaled-BIGINT recipe as g1 (scale pinned to the canonical
+      // 10^12 the oracle hard-codes), 5 fixed iterations, bit-exact vs
+      // the unrolled CTE chain; non-seeds with no path from a seed hold
+      // rank 0 — the contract that makes the allowlist conservative
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5, maxShingleDf = shCapDf)
+          .select("a_id", "b_id")
+        Graph.personalizedPagerankScaled(
+          pairs, docs, docs.filter(pmod(col("doc_id"), lit(50)) === 0),
+          "a_id", "b_id", "doc_id", iters = 5, scale = Some(Graph.Scale))
+          .withColumnRenamed("id", "doc_id")
+      },
+      Some {
+        val rounds = (1 to 5).map { i =>
+          s"""r$i AS (SELECT n0.id,
+                CAST(CASE WHEN n0.id % 50 = 0 THEN 150000000000 ELSE 0 END
+                  + 85 * coalesce(c.s, 0) // 100 AS BIGINT) AS r
+              FROM n0 LEFT JOIN (
+                SELECT e.dst AS id, sum(p.r // dg.d) AS s
+                FROM e JOIN r${i - 1} p ON p.id = e.src
+                     JOIN dg ON dg.src = e.src
+                GROUP BY 1) c ON c.id = n0.id)"""
+        }.mkString(",\n")
+        s"""WITH $shCappedSql,
+            sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+            pp AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS shared
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+            jp AS (SELECT a_id, b_id FROM pp
+                   JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+                   WHERE CAST(shared AS DOUBLE) / CAST(sa.n + sb.n - shared AS DOUBLE)
+                         >= CAST(0.5 AS DOUBLE)),
+            e AS (SELECT a_id AS src, b_id AS dst FROM jp
+                  UNION SELECT b_id, a_id FROM jp),
+            dg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1),
+            n0 AS (SELECT doc_id AS id FROM documents),
+            r0 AS (SELECT id, CAST(CASE WHEN id % 50 = 0 THEN 1000000000000 ELSE 0 END
+                     AS BIGINT) AS r FROM n0),
+            $rounds
+            SELECT id AS doc_id,
+              CAST(CASE WHEN id % 50 = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_seed,
+              r AS rank_scaled
+            FROM r5"""
+      }),
+
+    QDef(
       "g4_lpa",
       // community detection inside the same Jaccard >= 0.5 pair graph:
       // 3-round synchronous label propagation — each node adopts the MODE

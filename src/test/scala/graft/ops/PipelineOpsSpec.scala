@@ -172,6 +172,48 @@ class PipelineOpsSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("personalizedPagerankScaled: all-nodes seed == plain PageRank bit-for-bit; mass flows from seeds") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)).toDF("a", "b")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id0")
+    // strict generalization: seeding EVERY node reproduces pagerankScaled
+    val plain = Graph.pagerankScaled(pairs, nodes, "a", "b", "id0", iters = 5)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    Caches.releaseAll()
+    val allSeed = Graph.personalizedPagerankScaled(
+        pairs, nodes, nodes, "a", "b", "id0", iters = 5)
+      .orderBy("id").select("id", "rank_scaled").as[(Long, Long)].collect().toSeq
+    Caches.releaseAll()
+    assert(allSeed == plain)
+    // seed only node 1: its triangle (2, 3) earns rank through in-edges,
+    // the disconnected component (4, 5) and the isolated node 6 hold 0 —
+    // the conservative-allowlist contract
+    val ppr = Graph.personalizedPagerankScaled(
+        pairs, nodes, Seq(1L).toDF("id0"), "a", "b", "id0", iters = 5)
+      .select("id", "is_seed", "rank_scaled").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    Caches.releaseAll()
+    assert(ppr(1L)._1 == 1L && ppr.filterKeys(_ != 1L).forall(_._2._1 == 0L))
+    assert(ppr(1L)._2 >= 150000000000L) // seed holds at least the base term
+    assert(ppr(2L)._2 > 0L && ppr(3L)._2 > 0L) // reachable from the seed
+    assert(ppr(2L)._2 == ppr(3L)._2) // symmetric neighbors tie
+    assert(ppr(4L)._2 == 0L && ppr(5L)._2 == 0L && ppr(6L)._2 == 0L)
+    // local integer-arithmetic reference (same recurrence, same DIVs)
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (2L, 3L), (3L, 2L),
+      (4L, 5L), (5L, 4L))
+    val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val sc = 1000000000000L
+    var r = Map(1L -> sc, 2L -> 0L, 3L -> 0L, 4L -> 0L, 5L -> 0L, 6L -> 0L)
+    for (_ <- 1 to 5) {
+      val contrib = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (s, _) => r(s) / deg(s) }.sum
+      }
+      r = r.keys.map { id =>
+        id -> ((if (id == 1L) 15L * sc / 100 else 0L) + 85L * contrib.getOrElse(id, 0L) / 100L)
+      }.toMap
+    }
+    ppr.foreach { case (id, (_, got)) => assert(got == r(id), s"node $id: $got != ${r(id)}") }
+  }
+
   test("pagerankScaled: checkpointEvery truncates lineage without changing values") {
     val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)).toDF("a", "b")
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id0")

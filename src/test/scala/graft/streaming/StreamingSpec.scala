@@ -943,4 +943,59 @@ class StreamingSpec extends SparkSpec {
       assert(s._8 == 0L, "short doc must fail closed")
     } finally q.stop()
   }
+
+  test("streaming funnel chain: stateless gates -> exact dedup run as ONE query; first claimant survives") {
+    // the cur_funnel ingest composition the curationGateStream scaladoc
+    // names: gates (stateless projection) feeding dropDuplicatesWithinWatermark
+    // on the fingerprint in a single streaming query — gating costs no
+    // state, so chaining it ahead of the dedup's one stateful op is legal,
+    // and only gate-admitted docs occupy dedup state (the order that
+    // keeps 100 TB/day ingest state to the admitted fraction).
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val profiles = graft.ops.Text.languageProfiles(docs, "doc_id", "text", "lang", 20)
+    val input = MemoryStream[(Long, String, String, java.sql.Timestamp)]
+    val df = input.toDF().toDF("doc_id", "lang", "text", "ts")
+    // the gates with text + ts carried through for the dedup stage (the
+    // curationGateStream projection with extra carry columns)
+    val gatedFull = graft.ops.Text.curationGates(
+        df, "doc_id", "text", profiles, 0.35, carryCols = Seq("lang", "text", "ts"))
+      .filter(
+        coalesce(col("pred_lang") === col("lang"), lit(false)) &&
+          col("quality_ok") && coalesce(col("rep_flagged") === 0L, lit(false)))
+    val deduped = gatedFull
+      .withColumn("fp", graft.ops.Text.fingerprint(col("text")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("fp")
+      .select("doc_id", "lang", "n_tokens")
+    val q = deduped.writeStream.format("memory").queryName("funnel_chain")
+      .outputMode("append").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+      val rows = docs.as[(Long, String, String)].collect().sortBy(_._1)
+        .map(r => (r._1, r._2, r._3, t0))
+      // duplicate every admitted doc under a NEW id in a later batch: the
+      // first claimant must survive, the re-ingest copy must not
+      val (h, t) = rows.splitAt(rows.length / 2)
+      input.addData(h.toIndexedSeq); q.processAllAvailable()
+      input.addData(t.toIndexedSeq); q.processAllAvailable()
+      input.addData(rows.map(r => (r._1 + 1000000L, r._2, r._3, t0)).toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.table("funnel_chain").select("doc_id")
+        .as[Long].collect().toSet
+      // batch reference: gate-admitted set (dedup is a no-op on the
+      // original corpus — sf0.001 has no exact dups — so survivors ==
+      // admitted originals, and none of the +1000000 re-ingest copies)
+      val admitted = graft.ops.Text
+        .curationGates(docs, "doc_id", "text", profiles, 0.35, carryCols = Seq("lang"))
+        .filter(
+          coalesce(col("pred_lang") === col("lang"), lit(false)) &&
+            col("quality_ok") && coalesce(col("rep_flagged") === 0L, lit(false)))
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == admitted, "chained survivors != gate-admitted first claimants")
+      assert(got.nonEmpty && !got.exists(_ >= 1000000L), "a re-ingest duplicate survived")
+    } finally q.stop()
+  }
 }
