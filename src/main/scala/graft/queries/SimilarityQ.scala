@@ -1252,6 +1252,59 @@ object SimilarityQ {
       Some(recallSql(exactSqlK(3, dims = 16)))),
 
     QDef(
+      "sim_filtered_topk",
+      // METADATA-FILTERED vector search — the first-class vector-store
+      // feature ("top-k among candidates WHERE label = X"): exact cosine
+      // top-3 restricted to candidates sharing the query's label, with
+      // PRE-filter semantics (filter BEFORE ranking, so every query gets
+      // k results whenever k candidates exist — post-filtering the
+      // unfiltered top-k would silently return fewer). The label
+      // restriction IMPROVES the plan vs the unfiltered baseline: the
+      // query×corpus pairing becomes a broadcast HASH join on the label
+      // instead of a nested loop, and at scale the filter is exactly the
+      // partition-pruning key (label-partitioned vector layout scans only
+      // the matching partitions). Same exact-decimal cosine + (cos desc,
+      // vec_id) total order as sim_cosine_topk
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("label"), col("embedding"))
+          .withColumn("n2", Vectors.norm2Exact(col("embedding")))
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("label"),
+            col("embedding").as("qe"), col("n2").as("qn2"))
+        val c = e.select(col("vec_id"), col("label"),
+          col("embedding").as("ce"), col("n2").as("cn2"))
+        c.join(broadcast(q), Seq("label"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("cos",
+            Vectors.cosineFrom(Vectors.dotExact(col("qe"), col("ce")), col("qn2"), col("cn2")))
+          .withColumn("rnk",
+            row_number().over(
+              Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id")))
+              .cast("long"))
+          .filter(col("rnk") <= 3)
+          .select(col("query_id"), col("label").cast("long").as("label"),
+            col("rnk"), col("vec_id"), col("cos"))
+      },
+      Some(s"""WITH $normSql,
+            q AS (SELECT vec_id AS query_id, label, embedding AS qe
+                  FROM embeddings WHERE vec_id < 5),
+            d AS (SELECT q.query_id, q.label, c.vec_id,
+                    ${Vectors.sqlDotExact("q.qe", "c.embedding", "i.i")} AS dot
+                  FROM q JOIN embeddings c ON c.label = q.label
+                    AND c.vec_id <> q.query_id,
+                       unnest(generate_series(1, 64)) AS i(i)
+                  GROUP BY 1, 2, 3),
+            s AS (SELECT d.query_id, d.label, d.vec_id,
+                    d.dot / nullif(sqrt(nq.n2) * sqrt(nc.n2), CAST(0.0 AS DOUBLE)) AS cos
+                  FROM d JOIN n nq ON nq.vec_id = d.query_id
+                       JOIN n nc ON nc.vec_id = d.vec_id)
+            SELECT query_id, CAST(label AS BIGINT) AS label, rnk, vec_id, cos FROM
+              (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, vec_id) AS rnk
+               FROM s) WHERE rnk <= 3""")),
+
+    QDef(
       "sim_proto_prune",
       // prototypicality pruning (the D4 / SSL-prototypes curation move —
       // the complement of SemDeDup): within each fitted quantizer cell,
