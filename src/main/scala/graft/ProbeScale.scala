@@ -32,6 +32,7 @@ object ProbeScale {
       case "mine" => n => mine(spark, n.toInt)
       case "skew" => n => skew(spark, n)
       case "buckets" => n => buckets(spark, n)
+      case "funnel" => n => funnel(spark, n)
       case other => sys.error(s"unknown probe: $other")
     }
     val mins = sizes.map { n =>
@@ -165,5 +166,38 @@ object ProbeScale {
     df.unpersist(true)
     ((System.nanoTime() - t0) / 1e9,
       s"buckets=${r.map(_.getLong(1)).mkString(",")}")
+  }
+
+  /** The REGISTERED `cur_funnel` query end-to-end over a synthetic
+    * documents corpus written to /tmp (5 languages with partially
+    * overlapping vocabularies so the lang-ID stage has real work; every
+    * 100th doc is an exact copy of its predecessor so the dedup stage
+    * fires). Claim under test: the flagship curation composition —
+    * lang-vote fit+score, quality, Gopher grams, fingerprint dedup,
+    * per-lang budget — stays ~linear in corpus size (every stage is
+    * aggregation/join-shaped; nothing pairs docs against docs).
+    */
+  private def funnel(spark: SparkSession, n: Long): (Double, String) = {
+    val dir = s"/tmp/probe_funnel_$n"
+    val base = expr("id - CASE WHEN id % 100 = 99 THEN 1 ELSE 0 END")
+    val langIdx = pmod(base, lit(5))
+    spark.range(n)
+      .select(
+        col("id").as("doc_id"),
+        element_at(
+          typedLit(Seq("de", "en", "es", "fr", "zh")), (langIdx + 1).cast("int")).as("lang"),
+        concat_ws(" ",
+          transform(sequence(lit(0), lit(39)),
+            i => concat(lit("w"),
+              pmod(hash(base, i), lit(2000)) + langIdx * 1500))).as("text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val t0 = System.nanoTime()
+    val led = SparkEntry.queries("cur_funnel")(spark, dir)
+    val r = led.agg(
+      count(lit(1)), sum("keep"),
+      sum(when(col("killed_by") === "dedup", 1L).otherwise(0L)),
+      sum(when(col("killed_by") === "lang", 1L).otherwise(0L))).collect()
+    graft.ops.Caches.releaseAll()
+    ((System.nanoTime() - t0) / 1e9, s"[rows,kept,dedupKills,langKills]=${r(0)}")
   }
 }
