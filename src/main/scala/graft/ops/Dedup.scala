@@ -20,7 +20,15 @@ object Dedup {
 
   /** Exact dedup groups: fingerprint → group size + kept (minimum) id. */
   def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(Text.fingerprint(col(textCol)).as("fp"))
+    exactGroupsFromFp(
+      df.select(col(idCol), Text.fingerprint(col(textCol)).as("fp")), idCol, "fp")
+
+  /** [[exactGroups]] over a frame that already carries the fingerprint —
+    * for pipelines that hash the corpus once and feed several stages from
+    * the shared projection (the `cur_funnel` shape).
+    */
+  def exactGroupsFromFp(df: DataFrame, idCol: String, fpCol: String): DataFrame =
+    df.groupBy(col(fpCol).as("fp"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keeper_id"))
 
   /** Pairwise Jaccard over k-shingle sets, restricted to pairs sharing at
@@ -178,22 +186,45 @@ object Dedup {
           (0 until nHashes).map(j => element_at(col("__sig"), j + 1).as(s"mh_$j")): _*)
   }
 
-  /** LSH candidate pairs: signatures are cut into `nBands` bands of
-    * `rowsPerBand`; a pair is a candidate iff some band hashes equal.
-    * Returns distinct (a_id, b_id, n_equal, est_jaccard) where n_equal is
-    * the number of agreeing minhashes (the unbiased Jaccard estimate).
+  /** Signature-cluster membership: the input signature frame with one added
+    * column `__rep` = the minimum id among all docs sharing the IDENTICAL
+    * full signature (mh_0 … mh_{n−1}). The collapse step every banded
+    * MinHash consumer must run FIRST at scale: an exact-dup / boilerplate
+    * family of f documents shares every band, so banding raw docs hands the
+    * band self-join f²/2 pairs per band (the same hot-key regime the
+    * [[jaccardPairs]] df cap and [[simhashNearDups]]' fingerprint
+    * pre-collapse exist for) — after the collapse the family enters the
+    * band join as ONE representative row. One window-min shuffle on the
+    * signature; no join back.
     */
-  def lshCandidates(
-      sig: DataFrame,
+  def sigClusterMembers(sig: DataFrame, idCol: String, nHashes: Int): DataFrame = {
+    val mhCols = (0 until nHashes).map(j => col(s"mh_$j"))
+    sig.withColumn("__rep", min(col(idCol)).over(Window.partitionBy(mhCols: _*)))
+  }
+
+  /** Banded LSH candidates between cluster REPRESENTATIVES only — the
+    * collapsed pair relation ([[sigClusterMembers]] output in, one row per
+    * candidate pair of DISTINCT signatures out): signatures are cut into
+    * `nBands` bands of nHashes/nBands rows; a rep pair is a candidate iff
+    * some band hashes equal; n_equal counts agreeing minhashes (the
+    * unbiased Jaccard estimate, identical for every member pair across the
+    * two clusters). Cluster-resolution consumers (d14-style dedup) feed
+    * THIS relation plus the member→rep edges to the component stage —
+    * never the expanded pair list — so candidate work stays linear in the
+    * number of distinct signatures no matter how hot a duplicate family is.
+    *
+    * `members` is scanned from several plan branches — callers persist it
+    * (as [[lshCandidates]] does) or pay the signature pipeline per branch.
+    */
+  def lshRepCandidates(
+      members: DataFrame,
       idCol: String,
       nHashes: Int,
       nBands: Int): DataFrame = {
     require(nHashes % nBands == 0, "nHashes must divide into nBands")
     val rowsPerBand = nHashes / nBands
-    // signatures feed four plan branches (band self-join sides + the two
-    // agreement joins) — persist or the shingle+md5+groupBy pipeline runs 4×
-    val cachedSig = Caches.trackPersist(sig)
-    val banded = cachedSig.select(
+    val reps = members.filter(col(idCol) === col("__rep"))
+    val banded = reps.select(
       col(idCol) +:
         (0 until nBands).map { b =>
           val cols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
@@ -216,13 +247,62 @@ object Dedup {
       .map(j => when(col(s"sa.mh_$j") === col(s"sb.mh_$j"), 1).otherwise(0))
       .reduce(_ + _)
     cand
-      .join(cachedSig.as("sa"), col("a_id") === col(s"sa.$idCol"))
-      .join(cachedSig.as("sb"), col("b_id") === col(s"sb.$idCol"))
+      .join(reps.as("sa"), col("a_id") === col(s"sa.$idCol"))
+      .join(reps.as("sb"), col("b_id") === col(s"sb.$idCol"))
       .select(
         col("a_id"),
         col("b_id"),
         agree.cast("long").as("n_equal"),
         (agree.cast("double") / lit(nHashes.toDouble)).as("est_jaccard"))
+  }
+
+  /** LSH candidate pairs: signatures are cut into `nBands` bands of
+    * `rowsPerBand`; a pair is a candidate iff some band hashes equal.
+    * Returns distinct (a_id, b_id, n_equal, est_jaccard) where n_equal is
+    * the number of agreeing minhashes (the unbiased Jaccard estimate).
+    *
+    * Scale shape: identical full signatures collapse FIRST
+    * ([[sigClusterMembers]]) and only distinct-signature representatives
+    * enter the band self-join ([[lshRepCandidates]]), so an f-doc exact-dup
+    * family costs the JOIN one row instead of f²/2 pairs per band. The
+    * full pair relation is then reconstituted output-bounded: same-cluster
+    * pairs carry n_equal = nHashes (identical signatures agree everywhere),
+    * cross-cluster pairs inherit their rep pair's agreement through the
+    * membership map. The EXPANSION is inherently quadratic in family size
+    * (it is the output contract — f identical docs ARE f²/2 Jaccard-1
+    * pairs); consumers resolving clusters at corpus scale must compose
+    * [[sigClusterMembers]] + [[lshRepCandidates]] directly and expand only
+    * at the component stage, as `d14_lsh_dedup` does.
+    */
+  def lshCandidates(
+      sig: DataFrame,
+      idCol: String,
+      nHashes: Int,
+      nBands: Int): DataFrame = {
+    require(nHashes % nBands == 0, "nHashes must divide into nBands")
+    // membership feeds five plan branches (rep banding + agreement joins,
+    // the within-cluster self-join, both cross-cluster expansions) —
+    // persist or the shingle+md5+groupBy pipeline runs per branch
+    val members = Caches.trackPersist(sigClusterMembers(sig, idCol, nHashes))
+    val repPairs = lshRepCandidates(members, idCol, nHashes, nBands)
+    val within = members.as("x")
+      .join(
+        members.as("y"),
+        col("x.__rep") === col("y.__rep") && col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(
+        col(s"x.$idCol").as("a_id"),
+        col(s"y.$idCol").as("b_id"),
+        lit(nHashes.toLong).as("n_equal"),
+        lit(1.0d).as("est_jaccard"))
+    val cross = repPairs
+      .join(members.select(col(idCol).as("__ma"), col("__rep").as("a_id")), "a_id")
+      .join(members.select(col(idCol).as("__mb"), col("__rep").as("b_id")), "b_id")
+      .select(
+        least(col("__ma"), col("__mb")).as("a_id"),
+        greatest(col("__ma"), col("__mb")).as("b_id"),
+        col("n_equal"),
+        col("est_jaccard"))
+    within.unionByName(cross)
   }
 
   /** Exact shared-substring spans between document pairs — the substring-

@@ -93,12 +93,26 @@ object DedupQ {
   /** The d14 Spark-side composition, shared with the leakage-free split:
     * banded LSH candidates at ≥ 6/8 agreement → connected components →
     * (doc_id, cluster_id) labels with singleton self-labels.
+    *
+    * Runs entirely on the COLLAPSED relation: identical signatures merge to
+    * one representative before banding (`Dedup.sigClusterMembers`), the
+    * component stage sees rep-pair edges plus one member→rep edge per
+    * non-rep doc — so an f-doc exact-dup family costs f−1 edges, never the
+    * f²/2 expanded pairs. Labels are IDENTICAL to running components over
+    * the expanded pair list: a rep is the min id of its cluster, so the min
+    * id of any connected component is itself a rep reachable through the
+    * membership edges, and the n_equal ≥ 6 gate is signature-level (every
+    * same-cluster pair agrees 8/8; every cross-cluster pair agrees exactly
+    * as its rep pair does).
     */
   private def lshClusters(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val sig = Dedup.minhashSignaturesLocal(docs, "doc_id", "text", 3, 8)
-    val pairs = Dedup.lshCandidates(sig, "doc_id", 8, 4)
+    val members = Caches.trackPersist(Dedup.sigClusterMembers(sig, "doc_id", 8))
+    val repPairs = Dedup.lshRepCandidates(members, "doc_id", 8, 4)
       .filter(col("n_equal") >= 6).select("a_id", "b_id")
-    val comp = Dedup.connectedComponents(pairs, "a_id", "b_id")
+    val memberEdges = members.filter(col("doc_id") =!= col("__rep"))
+      .select(col("__rep").as("a_id"), col("doc_id").as("b_id"))
+    val comp = Dedup.connectedComponents(repPairs.unionByName(memberEdges), "a_id", "b_id")
       .withColumnRenamed("id", "doc_id")
     docs.join(comp, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster_id"))

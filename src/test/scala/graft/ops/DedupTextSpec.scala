@@ -45,6 +45,67 @@ class DedupTextSpec extends SparkSpec {
     assert(!cand.contains((1L, 3L)))
   }
 
+  test("lshCandidates: signature collapse preserves the full pair relation and n_equal") {
+    // a 5-doc EXACT family (50..54), a near-dup of it (55), a distinct doc
+    // (56): the family must reach the band join as ONE representative yet
+    // the expanded output must still carry all 10 within pairs at 8/8
+    val fam = "the quick brown fox jumps over the lazy dog again and again"
+    val df = ((50L to 54L).map(i => (i, fam)) ++ Seq(
+      (55L, "the quick brown fox jumps over the lazy cat again and again"),
+      (56L, "totally unrelated content with none of those words present here")))
+      .toDF("doc_id", "text")
+    val sig = Dedup.minhashSignaturesLocal(df, "doc_id", "text", 3, 8)
+    // reference relation, computed directly from the collected signatures:
+    // candidates share >= 1 band of 2 consecutive minhashes; n_equal counts
+    // agreeing minhashes — the pre-collapse definition, brute-forced
+    val sigs = sig.collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(r.getString).toVector).toMap
+    val expected = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      if (0 until 4).exists(band =>
+        sigs(a)(2 * band) == sigs(b)(2 * band) &&
+          sigs(a)(2 * band + 1) == sigs(b)(2 * band + 1))
+    } yield (a, b) -> (0 until 8).count(j => sigs(a)(j) == sigs(b)(j)).toLong).toMap
+    val rows = Dedup.lshCandidates(sig, "doc_id", 8, 4)
+      .select("a_id", "b_id", "n_equal").as[(Long, Long, Long)].collect().toSeq
+    Caches.releaseAll()
+    assert(rows.size == rows.map(r => (r._1, r._2)).toSet.size) // no dup pair rows
+    assert(rows.map(r => (r._1, r._2) -> r._3).toMap == expected)
+    // and the family itself is fully paired at 8/8
+    for (a <- 50L to 54L; b <- (a + 1) to 54L)
+      assert(expected((a, b)) == 8L, s"within pair ($a,$b)")
+  }
+
+  test("lshRepCandidates bands only distinct signatures; collapsed CC matches expanded CC") {
+    val fam = "the quick brown fox jumps over the lazy dog again and again"
+    val df = ((50L to 54L).map(i => (i, fam)) ++ Seq(
+      (55L, "the quick brown fox jumps over the lazy cat again and again"),
+      (56L, "totally unrelated content with none of those words present here")))
+      .toDF("doc_id", "text")
+    val sig = Dedup.minhashSignaturesLocal(df, "doc_id", "text", 3, 8)
+    val members = Caches.trackPersist(Dedup.sigClusterMembers(sig, "doc_id", 8))
+    // the exact family collapses to rep 50; candidate relation is rep-level
+    val reps = members.select("doc_id", "__rep").as[(Long, Long)].collect().toMap
+    assert((50L to 54L).forall(reps(_) == 50L) && reps(55L) == 55L && reps(56L) == 56L)
+    val repPairs = Dedup.lshRepCandidates(members, "doc_id", 8, 4)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(repPairs.forall { case (a, b) => Set(50L, 55L, 56L)(a) && Set(50L, 55L, 56L)(b) })
+    // components over repPairs + member edges == components over the
+    // expanded pair list (the d14 equivalence)
+    val memberEdges = members.filter(col("doc_id") =!= col("__rep"))
+      .select(col("__rep").as("a_id"), col("doc_id").as("b_id"))
+    val viaCollapsed = Dedup.connectedComponents(
+      Dedup.lshRepCandidates(members, "doc_id", 8, 4)
+        .filter(col("n_equal") >= 6).select("a_id", "b_id").unionByName(memberEdges),
+      "a_id", "b_id").as[(Long, Long)].collect().toMap
+    val viaExpanded = Dedup.connectedComponents(
+      Dedup.lshCandidates(sig, "doc_id", 8, 4)
+        .filter(col("n_equal") >= 6).select("a_id", "b_id"),
+      "a_id", "b_id").as[(Long, Long)].collect().toMap
+    Caches.releaseAll()
+    assert(viaCollapsed == viaExpanded)
+  }
+
   test("sharedSpans finds the maximal shared token span") {
     val spans = Dedup.sharedSpans(docs, "doc_id", "text", 3, 5)
       .select("a_id", "b_id", "a_start", "b_start", "span_len")
