@@ -436,8 +436,14 @@ object Sampling {
       .withColumn("target_share", col("__w") / wSum)
       .withColumn("tokens_target",
         floor(lit(budgetTokens.toDouble) * col("target_share")).cast("long"))
+      // zero-mass guard: tokens_avail = 0 makes the DIV NULL, and least()
+      // SKIPS null arguments in both engines (the documented pitfall) — an
+      // empty stratum would silently plan maxMilliEpochs passes over
+      // nothing instead of 0
       .withColumn("epochs_milli",
-        least(lit(maxMilliEpochs), expr("(1000 * tokens_target) DIV tokens_avail")))
+        when(col("tokens_avail") > 0,
+          least(lit(maxMilliEpochs), expr("(1000 * tokens_target) DIV tokens_avail")))
+          .otherwise(lit(0L)))
       .withColumn("tokens_planned", expr("(tokens_avail * epochs_milli) DIV 1000"))
       .select(strataCol, "n_docs", "tokens_avail", "target_share",
         "tokens_target", "epochs_milli", "tokens_planned")
@@ -470,8 +476,13 @@ object Sampling {
       chunk = chunk,
       idxOut = rankCol,
       cntOut = "__n")
-      .withColumn(bucketCol, expr(s"(($rankCol - 1) * $nBuckets) DIV __n"))
-      .drop("__one", "__s", "__tot", "__n")
+      // caller-supplied names stay OUT of SQL text (a rankCol of "rank"
+      // shadows the window-function keyword; names needing backquotes
+      // would break the parse) — the integer DIV runs on fixed internal
+      // names, the rank enters via Column arithmetic
+      .withColumn("__bknum", (col(rankCol) - 1L) * lit(nBuckets.toLong))
+      .withColumn(bucketCol, expr("__bknum DIV __n"))
+      .drop("__one", "__s", "__tot", "__n", "__bknum")
   }
 
   /** Balanced shard assignment: rows are numbered per stratum in

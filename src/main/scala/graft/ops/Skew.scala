@@ -83,13 +83,20 @@ object Skew {
     * (non-decreasing along the (count, key) order by construction), so a
     * group with millions of keys never funnels through one task.
     *
-    * Determinism: every intermediate is BIGINT (rank·count sums stay well
-    * under 2⁶³ for < ~3·10⁹ keys/group); the Gini is ONE division of two
-    * exact BIGINTs — identical int→double conversion and correctly rounded
-    * division in both engines. Gini = (2·Σᵢ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ)
-    * with x sorted ascending, i the 1-based rank.
+    * Determinism: counts and ranks are BIGINT; the rank-weighted sum
+    * Σᵢ i·xᵢ and the n·Σx denominator are accumulated as DECIMAL(38,0) —
+    * their true bound is n_keys·n_rows (the hottest key at rank n
+    * contributes n·W), which a 100 TB feed with ~10⁷ keys over ~10¹²
+    * rows pushes past 2⁶³, exactly the hot-key regime this audit exists
+    * to flag; a BIGINT accumulator would wrap silently into a garbage
+    * (possibly negative) Gini. The decimals hold n_keys·n_rows < 10³⁸
+    * exactly and convert to double only for the ONE closing division; at
+    * oracle-checked magnitudes (< 2⁵³) that conversion is the identical
+    * exact int→double in both engines. Gini = (2·Σᵢ i·xᵢ − (n+1)·Σxᵢ) /
+    * (n·Σxᵢ) with x sorted ascending, i the 1-based rank.
     */
   def keySkewAudit(df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val cnts = df.groupBy(col(groupCol), col(keyCol)).agg(count(lit(1)).as("__c"))
     val ranked = Windows.chunkedScan(
       cnts,
@@ -106,11 +113,12 @@ object Skew {
         max(col("__nk")).as("n_keys"),
         max(col("__nr")).as("n_rows"),
         max(col("__c")).as("max_key_rows"),
-        sum(col("__i") * col("__c")).as("__siw"))
+        sum(col("__i").cast(dec38) * col("__c")).as("__siw"))
       .withColumn("top_share_ppm", expr("(1000000 * max_key_rows) DIV n_rows"))
       .withColumn("gini",
-        (lit(2L) * col("__siw") - (col("n_keys") + 1L) * col("n_rows")).cast("double") /
-          (col("n_keys") * col("n_rows")).cast("double"))
+        (lit(2L).cast(dec38) * col("__siw")
+          - (col("n_keys") + 1L).cast(dec38) * col("n_rows").cast(dec38)).cast("double") /
+          (col("n_keys").cast(dec38) * col("n_rows").cast(dec38)).cast("double"))
       .select(groupCol, "n_keys", "n_rows", "max_key_rows", "top_share_ppm", "gini")
   }
 }

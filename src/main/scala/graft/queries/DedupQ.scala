@@ -1068,8 +1068,10 @@ object DedupQ {
                      FROM wv, ws),
                t2 AS (SELECT *, CAST(floor(CAST(50000 AS DOUBLE) * target_share) AS BIGINT)
                         AS tokens_target FROM t),
-               t3 AS (SELECT *, least(CAST(4000 AS BIGINT),
-                        (1000 * tokens_target) // tokens_avail) AS epochs_milli FROM t2)
+               t3 AS (SELECT *, CASE WHEN tokens_avail > 0
+                        THEN least(CAST(4000 AS BIGINT),
+                          (1000 * tokens_target) // tokens_avail)
+                        ELSE CAST(0 AS BIGINT) END AS epochs_milli FROM t2)
                SELECT lang, n_docs, tokens_avail, target_share, tokens_target,
                  epochs_milli, (tokens_avail * epochs_milli) // 1000 AS tokens_planned
                FROM t3""")),
