@@ -514,6 +514,46 @@ object Sampling {
       .select(col(keyCol), col(strataCol), col(tokensCol), col(shardCol))
   }
 
+  /** Per-source document cap — the FineWeb-class per-domain gate ("no
+    * source may contribute more than N documents", `source` standing in
+    * for the domain/URL host): rows are ranked per source in deterministic
+    * (hash, key) order and `keep` admits the first `maxDocs` of each. Full
+    * ledger out (key, source, src_rank, keep) so the rejected tail is
+    * auditable, and the admitted set is a pure function of corpus contents
+    * (re-ingest-stable; under growth a source's kept set only rotates as
+    * any hash-ordered cap must).
+    *
+    * The rank rides [[Windows.chunkedScan]] on the hash high bits (the
+    * [[shardAssign]] shape, sources × 256 parallelism) because the LEDGER
+    * keeps every row: a boilerplate-heavy hot source would otherwise
+    * funnel its whole row set through one window task. (A kept-set-only
+    * variant SHOULD instead filter `row_number() <= n` directly over the
+    * window — Spark plans Partial+Final WindowGroupLimit, pre-pruning map
+    * tasks to ≤ n rows per key before the exchange; emitting the full
+    * ledger defeats that pruning, hence the chunked rank here.)
+    *
+    * Funnel integration: this is a corpus-level gate like dedup — slot it
+    * between the per-doc gates and the token budget (gates → dedup →
+    * source cap → budget) so hot-source boilerplate can't eat a stratum's
+    * token budget before diverse sources are seen.
+    */
+  def sourceCapLedger(
+      df: DataFrame,
+      keyCol: String,
+      sourceCol: String,
+      maxDocs: Long): DataFrame = {
+    require(maxDocs > 0, "maxDocs must be positive")
+    Windows.chunkedScan(
+      df.withColumn("__u", hashU24(col(keyCol))).withColumn("__one", lit(1L)),
+      keys = Seq(sourceCol),
+      orderCols = Seq(col("__u"), col(keyCol)),
+      deltaCol = "__one",
+      chunk = expr("__u DIV 65536"),
+      idxOut = "src_rank")
+      .withColumn("keep", (col("src_rank") <= maxDocs).cast("long"))
+      .select(col(keyCol), col(sourceCol), col("src_rank"), col("keep"))
+  }
+
   private def dsirRatiosFromFeatures(
       fb: DataFrame,
       strataCol: String,

@@ -78,7 +78,24 @@ object Text {
       textCol: String,
       langCol: String,
       topK: Int): DataFrame =
-    languageScores(docs, idCol, textCol, langCol, topK)
+    languageIdFrom(languageScores(docs, idCol, textCol, langCol, topK), idCol)
+
+  /** [[languageId]] over a PRE-TOKENIZED frame (`toksCol` an array<string>
+    * column): identical values — `tokens(text)` is deterministic — for
+    * pipelines that tokenize the corpus once and feed several gates from
+    * the shared bag (the `cur_funnel` shape; tokenize is THE per-byte CPU
+    * cost at corpus scale, so it must not run once per gate).
+    */
+  def languageIdFromTokens(
+      docs: DataFrame,
+      idCol: String,
+      toksCol: String,
+      langCol: String,
+      topK: Int): DataFrame =
+    languageIdFrom(languageScoresTok(docs, idCol, col(toksCol), langCol, topK), idCol)
+
+  private def languageIdFrom(scores: DataFrame, idCol: String): DataFrame =
+    scores
       .withColumn(
         "rn",
         row_number().over(
@@ -96,9 +113,17 @@ object Text {
       idCol: String,
       textCol: String,
       langCol: String,
+      topK: Int): DataFrame =
+    languageScoresTok(docs, idCol, tokens(col(textCol)), langCol, topK)
+
+  private def languageScoresTok(
+      docs: DataFrame,
+      idCol: String,
+      toks: Column,
+      langCol: String,
       topK: Int): DataFrame = {
     val tok = spread(docs, idCol)
-      .select(col(idCol), col(langCol), explode(tokens(col(textCol))).as("token"))
+      .select(col(idCol), col(langCol), explode(toks).as("token"))
     tok
       .join(broadcast(profileTable(tok, langCol, topK)), Seq("token"))
       .groupBy(col(idCol), col("profile_lang"))
@@ -154,8 +179,18 @@ object Text {
     * copies previously had to stay expression-identical for the oracle
     * gate).
     */
-  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    qualityScoreTok(df, idCol, tokens(col(textCol)))
+
+  /** [[qualityScore]] over a PRE-TOKENIZED frame — same shared-bag contract
+    * as [[languageIdFromTokens]]; values identical by determinism of
+    * `tokens`.
+    */
+  def qualityScoreFromTokens(df: DataFrame, idCol: String, toksCol: String): DataFrame =
+    qualityScoreTok(df, idCol, col(toksCol))
+
+  private def qualityScoreTok(df: DataFrame, idCol: String, toks: Column): DataFrame = {
+    val tok = df.select(col(idCol), explode(toks).as("token"))
     val g = tok.groupBy(col(idCol)).agg(
       count(lit(1)).as("n_tokens"),
       countDistinct(col("token")).as("n_distinct"),
@@ -376,6 +411,13 @@ object Text {
     * left-to-right exactly as BPE defines; integer counts and binary
     * string tie-breaks end to end, so the unrolled-CTE DuckDB oracle is
     * bit-exact.
+    *
+    * Round-count contract: EACH round is one driver-coordinated Spark job
+    * (vocab-table aggregation + a one-row collect), so `rounds` is bounded
+    * by job-launch overhead, not data size — this operator is for SMALL
+    * learned vocabularies and merge-rule audits (tens to hundreds of
+    * rounds); training a full 32k-merge tokenizer vocabulary (32k
+    * sequential jobs) is out of contract.
     */
   def bpeMerges(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
     require(rounds > 0, "bpeMerges needs at least one round")
@@ -487,8 +529,16 @@ object Text {
     * doc-keyed roll-ups — output is doc-sized, no fitted state, no join
     * against anything corpus-wide.
     */
-  def gopherRepetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toksC = tokens(col(textCol))
+  def gopherRepetition(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    gopherRepetitionTok(df, idCol, tokens(col(textCol)))
+
+  /** [[gopherRepetition]] over a PRE-TOKENIZED frame — same shared-bag
+    * contract as [[languageIdFromTokens]].
+    */
+  def gopherRepetitionFromTokens(df: DataFrame, idCol: String, toksCol: String): DataFrame =
+    gopherRepetitionTok(df, idCol, col(toksCol))
+
+  private def gopherRepetitionTok(df: DataFrame, idCol: String, toksC: Column): DataFrame = {
     val base = spread(df, idCol).filter(size(toksC) >= 3)
     // gram KEYS, not gram strings (the repetitionScore / sharedSpans
     // move): the counts only need the equality relation, and the native

@@ -15,26 +15,35 @@ object CurationQ {
     * `cur_funnel_summary` so the report cannot fork from the ledger.
     * Stage semantics documented at the QDef.
     *
-    * Scan shape: each stage re-reads `documents` pruned to its own 1-2
-    * columns (parquet column pruning makes pass-count a non-multiplier on
-    * IO — the probed Quality-suite result in CLAUDE.md); the post-gate
-    * flag frame IS persisted (one cache, reused by the budget stage and
-    * the final ledger join). On a source WITHOUT column pruning (row
-    * formats, streams) persist a (doc_id, lang, text) projection first.
+    * Scan shape: the corpus is tokenized and fingerprinted ONCE into a
+    * persisted (doc_id, lang, fp, toks) bag, and all four gate stages —
+    * quality, language ID, Gopher repetition, exact dedup — derive from
+    * it via the operators' `FromTokens`/`FromFp` forms (identical values:
+    * `tokens`/`fingerprint` are deterministic projections). Before the
+    * bag, each gate re-derived `Text.tokens` from raw text — parquet
+    * column pruning made the repeated SCANS free, but tokenize CPU is the
+    * per-byte cost driver at corpus scale and it ran 3× (35.3 cpu-s of
+    * the funnel's cost at sf0.1). The post-gate flag frame is persisted
+    * separately (reused by the budget stage and the final ledger join).
     */
   private def funnelLedger(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val docs = t(s, d, "documents")
-    val quality = Text.qualityScore(docs, "doc_id", "text")
+    val bag = Caches.trackPersist(
+      Spread.byKey(docs, col("doc_id")).select(
+        col("doc_id"), col("lang"),
+        Text.fingerprint(col("text")).as("fp"),
+        Text.tokens(col("text")).as("toks")))
+    val quality = Text.qualityScoreFromTokens(bag, "doc_id", "toks")
       .select(col("doc_id"), col("n_tokens"), col("quality_score"))
-    val pred = Text.languageId(docs, "doc_id", "text", "lang", 20)
+    val pred = Text.languageIdFromTokens(bag, "doc_id", "toks", "lang", 20)
       .select(col("doc_id"), col("pred_lang"))
-    val rep = Text.gopherRepetition(docs, "doc_id", "text")
+    val rep = Text.gopherRepetitionFromTokens(bag, "doc_id", "toks")
       .select(col("doc_id"), col("flagged"))
-    val keepers = Dedup.exactGroups(docs, "doc_id", "text")
+    val keepers = Dedup.exactGroupsFromFp(bag, "doc_id", "fp")
       .select(col("fp"), col("keeper_id"))
-    val base = Caches.trackPersist(docs
-      .select(col("doc_id"), col("lang"), Text.fingerprint(col("text")).as("fp"))
+    val base = Caches.trackPersist(bag
+      .select(col("doc_id"), col("lang"), col("fp"))
       .join(quality, "doc_id")
       .join(pred, Seq("doc_id"), "left")
       .join(rep, Seq("doc_id"), "left")
@@ -309,6 +318,31 @@ object CurationQ {
                SELECT coalesce(killed_by, 'kept') AS stage,
                  CAST(count(*) AS BIGINT) AS n_docs,
                  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
-               FROM led GROUP BY 1"""))
+               FROM led GROUP BY 1""")),
+
+    QDef(
+      "cur_source_cap",
+      // per-source document cap — the FineWeb per-domain gate with
+      // `source` as the domain proxy: at most 15 docs per source, admitted
+      // in deterministic (hash, doc_id) order, full ledger (rank + keep)
+      // so the rejected tail is auditable. The rank rides
+      // Windows.chunkedScan on the hash high bits (sources × 256
+      // parallelism — the mix_shards shape) because the ledger keeps every
+      // row of a potentially hot source; the oracle's direct row_number is
+      // bit-identical. Funnel slot: between dedup and the token budget
+      // (Sampling.sourceCapLedger scaladoc)
+      (s, d) => Sampling.sourceCapLedger(
+        t(s, d, "documents").select("doc_id", "source"),
+        "doc_id", "source", maxDocs = 15),
+      Some(s"""WITH g AS (SELECT doc_id, source,
+                  ${Sampling.sqlHashU24("doc_id")} AS u
+                FROM documents)
+               SELECT doc_id, source,
+                 CAST(row_number() OVER (PARTITION BY source ORDER BY u, doc_id)
+                   AS BIGINT) AS src_rank,
+                 CAST(CASE WHEN row_number() OVER (PARTITION BY source
+                     ORDER BY u, doc_id) <= 15
+                   THEN 1 ELSE 0 END AS BIGINT) AS keep
+               FROM g"""))
   )
 }

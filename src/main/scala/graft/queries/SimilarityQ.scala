@@ -30,13 +30,14 @@ object SimilarityQ {
     * `sim_ivfpq_recall` consume the identical pipeline.
     */
   private def exactTopk(
-      s: org.apache.spark.sql.SparkSession, d: String, k: Int = 3, dims: Int = 64) = {
+      s: org.apache.spark.sql.SparkSession, d: String, k: Int = 3, dims: Int = 64,
+      qPred: org.apache.spark.sql.Column = col("vec_id") < 5) = {
     val base = t(s, d, "embeddings")
     val sliced =
       if (dims >= 64) base
       else base.select(col("vec_id"), slice(col("embedding"), 1, dims).as("embedding"))
     val e = withNorm(sliced)
-    val q = e.filter(col("vec_id") < 5)
+    val q = e.filter(qPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("n2").as("qn2"))
     val c = e.select(col("vec_id"), col("embedding").as("ce"), col("n2").as("cn2"))
     // Broadcast the tiny query side and STREAM the corpus: at 100 TB the
@@ -53,12 +54,14 @@ object SimilarityQ {
       .select("query_id", "rnk", "vec_id", "cos")
   }
 
-  private def exactSqlK(k: Int, dims: Int = 64) =
+  private def exactSqlK(
+      k: Int, dims: Int = 64, qWhere: String => String = c => s"$c < 5") =
     s"""WITH n AS (SELECT vec_id,
           CAST(sum(CAST(CAST(embedding[i.i] AS DOUBLE)
             * CAST(embedding[i.i] AS DOUBLE) AS DECIMAL(38,9))) AS DOUBLE) AS n2
           FROM embeddings, unnest(generate_series(1, $dims)) AS i(i) GROUP BY 1),
-        q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+              WHERE ${qWhere("vec_id")}),
         d AS (SELECT q.query_id, c.vec_id,
                 ${Vectors.sqlDotExact("q.qe", "c.embedding", "i.i")} AS dot
               FROM q CROSS JOIN embeddings c, unnest(generate_series(1, $dims)) AS i(i)
@@ -145,8 +148,8 @@ object SimilarityQ {
     per.unionByName(corpus)
   }
 
-  private def recallSql(approxSql: String) =
-    s"""WITH exact AS ($exactSql),
+  private def recallSql(approxSql: String, exactSqlStr: String = exactSql) =
+    s"""WITH exact AS ($exactSqlStr),
         approx AS ($approxSql),
         h AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS hits
               FROM exact e JOIN approx a
@@ -483,6 +486,27 @@ object SimilarityQ {
       // ADC code approximation) the sim_ivfpq_topk comment only describes
       (s, d) => recallOf(exactTopk(s, d), ivfpqTopk(s, d)),
       Some(recallSql(ivfpqSql))),
+
+    QDef(
+      "sim_ivfpq_recall_sampled",
+      // the SAMPLED form of the sim_ivfpq_recall audit — the shape it
+      // runs in when the query side is corpus-sized (audit every vector's
+      // ANN quality, not 5 probes): the SAME deterministic hash-mod gate
+      // (hashU24(vec_id) % 64 < 1, the d15b recipe) selects the query set
+      // on BOTH the exact-truth and IVF-PQ sides before any scoring, so
+      // the exact baseline's query × corpus cost carries the 1/64 factor
+      // while the audited pipeline is the unmodified composition. Recall
+      // concentrates as the sample grows (each query contributes an
+      // independent 0..3 hit count); size the modulus so the sampled
+      // query count stays statistically meaningful
+      (s, d) => {
+        val qp = (Sampling.hashU24(col("vec_id")) % 64) < 1
+        recallOf(exactTopk(s, d, qPred = qp), ivfpqTopk(s, d, qPred = qp))
+      },
+      Some {
+        val qw = (c: String) => s"${Sampling.sqlHashU24(c)} % 64 < 1"
+        recallSql(ivfpqSqlFor(qw), exactSqlK(3, 64, qw))
+      }),
 
     QDef(
       "sim_hard_negatives",
@@ -1354,7 +1378,9 @@ object SimilarityQ {
   /** The `sim_ivfpq_topk` builder (see its QDef comment), factored for
     * the recall audit.
     */
-  private def ivfpqTopk(s: org.apache.spark.sql.SparkSession, d: String) = {
+  private def ivfpqTopk(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      qPred: org.apache.spark.sql.Column = col("vec_id") < 5) = {
     import org.apache.spark.sql.types.DecimalType
     val nSub = 8; val dSub = 8; val kk = 8; val se = 2
     val e = withNorm(t(s, d, "embeddings"))
@@ -1363,7 +1389,7 @@ object SimilarityQ {
       graft.ml.IvfQuantizer.fitRanked(e, "vec_id", "embedding", "n2", 8, 2, sampleEvery = 4))
     val cellsC = rankedC.filter(col("cell_rank") === 1)
       .select(col("vec_id"), col("cell").as("ccell"))
-    val probesC = rankedC.filter(col("vec_id") < 5 && col("cell_rank") <= 2)
+    val probesC = rankedC.filter(qPred && col("cell_rank") <= 2)
       .select(col("vec_id").as("query_id"), col("cell").as("ccell"))
     val cand = cellsC.join(broadcast(probesC), "ccell")
       .filter(col("vec_id") =!= col("query_id"))
@@ -1390,7 +1416,7 @@ object SimilarityQ {
       .groupBy("sub", "cell", "sdim")
       .agg(sum(col("x").cast(DecimalType(38, 9))).cast("double").as("sx"))
     val m = codesP.groupBy("sub", "cell").agg(count(lit(1)).as("m"))
-    val tbl = compo.filter(col("vec_id") < 5)
+    val tbl = compo.filter(qPred)
       .select(col("vec_id").as("query_id"), col("sub"), col("sdim"), col("x").as("qx"))
       .join(cb, Seq("sub", "sdim"))
       .groupBy("query_id", "sub", "cell")
@@ -1418,7 +1444,9 @@ object SimilarityQ {
   }
 
   // lazy: declared after `defs`, which captures it during its own init
-  private lazy val ivfpqSql: String = {
+  private lazy val ivfpqSql: String = ivfpqSqlFor(c => s"$c < 5")
+
+  private def ivfpqSqlFor(qWhere: String => String): String = {
         val nSub = 8; val dSub = 8; val kk = 8; val se = 2
         // full-vector norms for the coarse fit, under a non-colliding name
         // (lloydSqlAt(sfx) reads n{sfx}; PQ sub-fits use ns0..ns7)
@@ -1428,8 +1456,8 @@ object SimilarityQ {
              FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY 1)"""
         val coarseFit = graft.ml.IvfQuantizer.lloydSqlAt(8, 2, 64, 4, "cq", 0)
         val cands =
-          """candq AS (SELECT vec_id AS query_id, cell FROM cellrankscq
-                       WHERE vec_id < 5 AND rn <= 2),
+          s"""candq AS (SELECT vec_id AS query_id, cell FROM cellrankscq
+                       WHERE ${qWhere("vec_id")} AND rn <= 2),
              cp AS (SELECT c.query_id, a.vec_id FROM candq c
                     JOIN assignedcq a ON a.cell = c.cell
                     WHERE a.vec_id <> c.query_id)"""
@@ -1450,7 +1478,7 @@ object SimilarityQ {
               tq$sb AS (SELECT q.vec_id AS query_id, cb.cell,
                   CAST(sum(CAST(q.x * cb.sx AS DECIMAL(38,9))) AS DOUBLE) AS ds
                 FROM comps$sb q JOIN cb$sb cb ON cb.dim = q.dim
-                WHERE q.vec_id < 5 GROUP BY 1, 2),
+                WHERE ${qWhere("q.vec_id")} GROUP BY 1, 2),
               tm$sb AS (SELECT t.query_id, a.vec_id, t.ds / CAST(m.m AS DOUBLE) AS term
                 FROM assigneds$sb a JOIN tq$sb t ON t.cell = a.cell
                      JOIN m$sb m ON m.cell = a.cell)"""

@@ -998,4 +998,97 @@ class StreamingSpec extends SparkSpec {
       assert(got.nonEmpty && !got.exists(_ >= 1000000L), "a re-ingest duplicate survived")
     } finally q.stop()
   }
+
+  test("streaming funnel -> budget handoff: the two-query composition reproduces the batch cur_funnel keep set") {
+    // the full streaming cur_funnel as it actually ships: query 1 = the
+    // stateless gates chained ahead of watermarked exact dedup (one
+    // query), query 2 = tokenBudgetStream over query 1's sink — the
+    // documented SECOND query (`flatMapGroupsWithState` cannot be
+    // followed by another stateful op). Fed in the batch ledger's
+    // per-lang (hash24, doc_id) admission order, the end-to-end keep set
+    // must equal the batch `cur_funnel`'s keep = 1 set exactly — the
+    // handoff contract as a test, not a doc note.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val profiles = graft.ops.Text.languageProfiles(docs, "doc_id", "text", "lang", 20)
+    val batchLedger = graft.SparkEntry.queries("cur_funnel")(spark, sfDir)
+      .select("doc_id", "killed_by", "keep")
+      .as[(Long, Option[String], Long)].collect()
+    graft.ops.Caches.releaseAll()
+    val batchKeep = batchLedger.filter(_._3 == 1L).map(_._1).toSet
+    val gateSurvivors = batchLedger
+      .filter(r => r._2.isEmpty || r._2.contains("budget")).map(_._1).toSet
+
+    // query 1: gates -> dedup (the shipped single-query chain)
+    val in1 = MemoryStream[(Long, String, String, java.sql.Timestamp)]
+    val df1 = in1.toDF().toDF("doc_id", "lang", "text", "ts")
+    val gated = graft.ops.Text.curationGates(
+        df1, "doc_id", "text", profiles, 0.35, carryCols = Seq("lang", "text", "ts"))
+      .filter(
+        coalesce(col("pred_lang") === col("lang"), lit(false)) &&
+          col("quality_ok") && coalesce(col("rep_flagged") === 0L, lit(false)))
+      .withColumn("fp", graft.ops.Text.fingerprint(col("text")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("fp")
+      .select("doc_id", "lang", "n_tokens")
+    val q1 = gated.writeStream.format("memory").queryName("handoff_q1")
+      .outputMode("append").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+      val rows = docs.as[(Long, String, String)].collect().sortBy(_._1)
+        .map(r => (r._1, r._2, r._3, t0))
+      in1.addData(rows.toIndexedSeq); q1.processAllAvailable()
+    } finally q1.stop()
+    val surv = spark.table("handoff_q1").select("doc_id", "lang", "n_tokens")
+      .as[(Long, String, Long)].collect()
+    assert(surv.map(_._1).toSet == gateSurvivors,
+      "query-1 survivors != the batch funnel's four-gate survivors")
+
+    // the handoff: query 1's sink re-injected into query 2 in the batch
+    // ledger's admission order — per lang ascending (hash24(doc_id),
+    // doc_id). tokenBudgetStream sorts each micro-batch slice by docId,
+    // so slices are cut at every docId DESCENT to preserve that order.
+    val u = spark.createDataset(surv.map(_._1).toIndexedSeq).toDF("doc_id")
+      .withColumn("u", graft.ops.Sampling.hashU24(col("doc_id")))
+      .as[(Long, Long)].collect().toMap
+    val queues = scala.collection.mutable.Map(
+      surv.groupBy(_._2).view.mapValues(
+        _.sortBy(r => (u(r._1), r._1)).toList).toSeq: _*)
+    val in2 = MemoryStream[(Long, String, Long)]
+    val df2 = in2.toDF().toDF("doc_id", "lang", "n_tokens")
+    val out2 = Streaming.tokenBudgetStream(df2, "lang", "doc_id", "n_tokens", 2000L)
+    val q2 = out2.writeStream.format("memory").queryName("handoff_q2")
+      .outputMode("append").start()
+    try {
+      while (queues.values.exists(_.nonEmpty)) {
+        val batch = queues.keys.toSeq.sorted.flatMap { l =>
+          queues(l) match {
+            case Nil => Nil
+            case head :: tail =>
+              var pre = List(head)
+              var rest = tail
+              while (rest.nonEmpty && rest.head._1 > pre.head._1) {
+                pre = rest.head :: pre; rest = rest.tail
+              }
+              queues(l) = rest
+              pre.reverse
+          }
+        }
+        in2.addData(batch.toIndexedSeq); q2.processAllAvailable()
+      }
+      val kept = spark.table("handoff_q2").filter(col("keep") === 1L)
+        .select("docId").as[Long].collect().toSet
+      assert(kept == batchKeep,
+        s"end-to-end stream keeps != batch cur_funnel keeps: " +
+          s"extra=${kept.diff(batchKeep)} missing=${batchKeep.diff(kept)}")
+      val budgetKilled = spark.table("handoff_q2").filter(col("keep") === 0L)
+        .select("docId").as[Long].collect().toSet
+      assert(budgetKilled ==
+        batchLedger.filter(_._2.contains("budget")).map(_._1).toSet,
+        "stream budget rejections != batch killed_by = 'budget'")
+    } finally q2.stop()
+  }
 }
