@@ -80,20 +80,6 @@ object Text {
       topK: Int): DataFrame =
     languageIdFrom(languageScores(docs, idCol, textCol, langCol, topK), idCol)
 
-  /** [[languageId]] over a PRE-TOKENIZED frame (`toksCol` an array<string>
-    * column): identical values — `tokens(text)` is deterministic — for
-    * pipelines that tokenize the corpus once and feed several gates from
-    * the shared bag (the `cur_funnel` shape; tokenize is THE per-byte CPU
-    * cost at corpus scale, so it must not run once per gate).
-    */
-  def languageIdFromTokens(
-      docs: DataFrame,
-      idCol: String,
-      toksCol: String,
-      langCol: String,
-      topK: Int): DataFrame =
-    languageIdFrom(languageScoresTok(docs, idCol, col(toksCol), langCol, topK), idCol)
-
   private def languageIdFrom(scores: DataFrame, idCol: String): DataFrame =
     scores
       .withColumn(
@@ -182,15 +168,10 @@ object Text {
   def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame =
     qualityScoreTok(df, idCol, tokens(col(textCol)))
 
-  /** [[qualityScore]] over a PRE-TOKENIZED frame — same shared-bag contract
-    * as [[languageIdFromTokens]]; values identical by determinism of
-    * `tokens`.
-    */
-  def qualityScoreFromTokens(df: DataFrame, idCol: String, toksCol: String): DataFrame =
-    qualityScoreTok(df, idCol, col(toksCol))
+  private def qualityScoreTok(df: DataFrame, idCol: String, toks: Column): DataFrame =
+    qualityAgg(df.select(col(idCol), explode(toks).as("token")), idCol)
 
-  private def qualityScoreTok(df: DataFrame, idCol: String, toks: Column): DataFrame = {
-    val tok = df.select(col(idCol), explode(toks).as("token"))
+  private def qualityAgg(tok: DataFrame, idCol: String): DataFrame = {
     val g = tok.groupBy(col(idCol)).agg(
       count(lit(1)).as("n_tokens"),
       countDistinct(col("token")).as("n_distinct"),
@@ -531,12 +512,6 @@ object Text {
     */
   def gopherRepetition(df: DataFrame, idCol: String, textCol: String): DataFrame =
     gopherRepetitionTok(df, idCol, tokens(col(textCol)))
-
-  /** [[gopherRepetition]] over a PRE-TOKENIZED frame — same shared-bag
-    * contract as [[languageIdFromTokens]].
-    */
-  def gopherRepetitionFromTokens(df: DataFrame, idCol: String, toksCol: String): DataFrame =
-    gopherRepetitionTok(df, idCol, col(toksCol))
 
   private def gopherRepetitionTok(df: DataFrame, idCol: String, toksC: Column): DataFrame = {
     val base = spread(df, idCol).filter(size(toksC) >= 3)

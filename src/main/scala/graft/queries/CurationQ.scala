@@ -15,35 +15,39 @@ object CurationQ {
     * `cur_funnel_summary` so the report cannot fork from the ledger.
     * Stage semantics documented at the QDef.
     *
-    * Scan shape: the corpus is tokenized and fingerprinted ONCE into a
-    * persisted (doc_id, lang, fp, toks) bag, and all four gate stages —
-    * quality, language ID, Gopher repetition, exact dedup — derive from
-    * it via the operators' `FromTokens`/`FromFp` forms (identical values:
-    * `tokens`/`fingerprint` are deterministic projections). Before the
-    * bag, each gate re-derived `Text.tokens` from raw text — parquet
-    * column pruning made the repeated SCANS free, but tokenize CPU is the
-    * per-byte cost driver at corpus scale and it ran 3× (35.3 cpu-s of
-    * the funnel's cost at sf0.1). The post-gate flag frame is persisted
-    * separately (reused by the budget stage and the final ledger join).
+    * Scan shape: each gate re-reads `documents` pruned to its own 1-2
+    * columns and re-derives `Text.tokens` from raw text — KEPT THAT WAY
+    * BY MEASUREMENT, against the "share one token bag" intuition. Both
+    * shared-bag variants were built and benched at sf0.1 under identical
+    * conditions (single-query harness, min of 2 passes): a persisted
+    * (doc_id, lang, fp, toks-array) bag = 71.5 cpu-s, a persisted
+    * EXPLODED (doc_id, lang, token) flat-string bag = 42.8 cpu-s, the
+    * per-gate re-tokenize = 28.3 cpu-s. `split` is codegen-fused into
+    * each gate's own pipeline (scan → tokenize → first aggregation in one
+    * stage, no materialization), while any cached tokenized form pays
+    * columnar-cache encode plus a per-consumer decode that exceeds the
+    * splits it saves — the same lesson as the repo's MapType-lookup note:
+    * measure the cache, don't assume it. Parquet column pruning keeps the
+    * repeated SCANS IO-free; on a source WITHOUT column pruning (row
+    * formats, streams) persist a (doc_id, lang, text) projection first.
+    * The fingerprint is computed once into `fps` and shared by the keeper
+    * election and the ledger join; the post-gate flag frame is persisted
+    * (reused by the budget stage and the final ledger join).
     */
   private def funnelLedger(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val docs = t(s, d, "documents")
-    val bag = Caches.trackPersist(
-      Spread.byKey(docs, col("doc_id")).select(
-        col("doc_id"), col("lang"),
-        Text.fingerprint(col("text")).as("fp"),
-        Text.tokens(col("text")).as("toks")))
-    val quality = Text.qualityScoreFromTokens(bag, "doc_id", "toks")
+    val quality = Text.qualityScore(docs, "doc_id", "text")
       .select(col("doc_id"), col("n_tokens"), col("quality_score"))
-    val pred = Text.languageIdFromTokens(bag, "doc_id", "toks", "lang", 20)
+    val pred = Text.languageId(docs, "doc_id", "text", "lang", 20)
       .select(col("doc_id"), col("pred_lang"))
-    val rep = Text.gopherRepetitionFromTokens(bag, "doc_id", "toks")
+    val rep = Text.gopherRepetition(docs, "doc_id", "text")
       .select(col("doc_id"), col("flagged"))
-    val keepers = Dedup.exactGroupsFromFp(bag, "doc_id", "fp")
+    val fps = docs.select(
+      col("doc_id"), col("lang"), Text.fingerprint(col("text")).as("fp"))
+    val keepers = Dedup.exactGroupsFromFp(fps, "doc_id", "fp")
       .select(col("fp"), col("keeper_id"))
-    val base = Caches.trackPersist(bag
-      .select(col("doc_id"), col("lang"), col("fp"))
+    val base = Caches.trackPersist(fps
       .join(quality, "doc_id")
       .join(pred, Seq("doc_id"), "left")
       .join(rep, Seq("doc_id"), "left")

@@ -363,4 +363,34 @@ class SamplingPackingSpec extends SparkSpec {
       .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
     assert(re == got)
   }
+
+  test("sourceCapLedger: per-source keeps = min(n, cap), ranks a bijection, matches the direct window, partition-stable") {
+    // 3 sources: over-cap (40 docs), exactly-at-cap (15), under-cap (4)
+    val df = ((0L until 40L).map(i => (i, "big")) ++
+      (100L until 115L).map(i => (i, "mid")) ++
+      (200L until 204L).map(i => (i, "tiny"))).toDF("doc_id", "source")
+    val led = Sampling.sourceCapLedger(df, "doc_id", "source", maxDocs = 15)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(led.size == 59) // full ledger: every row present
+    val bySrc = led.groupBy(_._2)
+    assert(bySrc("big").count(_._4 == 1L) == 15 && bySrc("big").count(_._4 == 0L) == 25)
+    assert(bySrc("mid").forall(_._4 == 1L) && bySrc("tiny").forall(_._4 == 1L))
+    // ranks are a 1..n bijection per source, keep <=> rank <= cap
+    bySrc.foreach { case (s, rows) =>
+      assert(rows.map(_._3).sorted == (1L to rows.size).toSeq, s"ranks not dense for $s")
+      assert(rows.forall(r => (r._4 == 1L) == (r._3 <= 15L)), s"keep flag wrong for $s")
+    }
+    // bit-equality with the direct per-source window in (hash, id) order
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(Sampling.hashU24(col("doc_id")), col("doc_id"))
+    val direct = df
+      .withColumn("src_rank", row_number().over(w).cast("long"))
+      .withColumn("keep", (col("src_rank") <= 15L).cast("long"))
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(led.toSet == direct)
+    // repartitioning must not change the admitted set
+    val re = Sampling.sourceCapLedger(df.repartition(7), "doc_id", "source", 15)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(re == led.toSet)
+  }
 }
