@@ -33,6 +33,8 @@ object ProbeScale {
       case "skew" => n => skew(spark, n)
       case "buckets" => n => buckets(spark, n)
       case "funnel" => n => funnel(spark, n)
+      case "lshfam" => n => lshfam(spark, n)
+      case "pprhub" => n => pprhub(spark, n)
       case other => sys.error(s"unknown probe: $other")
     }
     val mins = sizes.map { n =>
@@ -166,6 +168,72 @@ object ProbeScale {
     df.unpersist(true)
     ((System.nanoTime() - t0) / 1e9,
       s"buckets=${r.map(_.getLong(1)).mkString(",")}")
+  }
+
+  /** The d14 collapsed LSH dedup over a synthetic corpus with a PLANTED
+    * exact-dup family: n/3 docs are ONE identical text (the boilerplate
+    * family routine in web corpora), the other 2n/3 are hash-unique.
+    * Claim under test: candidate work is LINEAR in n through the hot
+    * family — identical signatures collapse to one representative BEFORE
+    * the band self-join (`Dedup.sigClusterMembers`), so the family costs
+    * one banded row plus f−1 membership edges at the component stage,
+    * never f²/2 expanded pairs (which at f = 100k would be 5·10⁹ join
+    * rows — the regime BASELINE.md's uncapped jaccardPairs probe measured
+    * as fatal).
+    */
+  private def lshfam(spark: SparkSession, n: Long): (Double, String) = {
+    val fam = n / 3
+    val docs = spark.range(n)
+      .select(
+        col("id").as("doc_id"),
+        when(col("id") < fam,
+          lit("the planted boilerplate family text repeated verbatim across many documents"))
+          .otherwise(concat_ws(" ",
+            transform(sequence(lit(0), lit(11)),
+              i => concat(lit("w"), pmod(hash(col("id"), i), lit(2000000)))))).as("text"))
+      .localCheckpoint(true)
+    val t0 = System.nanoTime()
+    val sig = graft.ops.Dedup.minhashSignaturesLocal(docs, "doc_id", "text", 3, 8)
+    val members = graft.ops.Caches.trackPersist(
+      graft.ops.Dedup.sigClusterMembers(sig, "doc_id", 8))
+    val repPairs = graft.ops.Dedup.lshRepCandidates(members, "doc_id", 8, 4)
+      .filter(col("n_equal") >= 6).select("a_id", "b_id")
+    val memberEdges = members.filter(col("doc_id") =!= col("__rep"))
+      .select(col("__rep").as("a_id"), col("doc_id").as("b_id"))
+    val comp = graft.ops.Dedup.connectedComponents(
+      repPairs.unionByName(memberEdges), "a_id", "b_id")
+    val r = comp.agg(count(lit(1)), countDistinct(col("comp"))).collect()
+    graft.ops.Caches.releaseAll()
+    docs.unpersist(true)
+    ((System.nanoTime() - t0) / 1e9, s"family=$fam [labelled,clusters]=${r(0)}")
+  }
+
+  /** personalizedPagerankScaled at a HUB-SEED regime: n nodes, ~2n edges
+    * (a ring for connectivity + n random chords), plus node 0 as a hub
+    * with n/10 extra out-edges — and node 0 is the ONLY seed. Claim under
+    * test: the seeded-restart join shape costs the same as g1's uniform
+    * PageRank at equal size (the seed frame joins the node frame once per
+    * round; the hub's fan-out rides the same edge-sized shuffles — no
+    * per-seed serialization), so g5's 1M-scale behavior follows from g1's
+    * probe rather than being inferred.
+    */
+  private def pprhub(spark: SparkSession, n: Long): (Double, String) = {
+    val ring = spark.range(n).select(col("id").as("a"), pmod(col("id") + 1, lit(n)).as("b"))
+    val chords = spark.range(n).select(col("id").as("a"),
+      pmod(hash(col("id"), lit(7)).cast("long"), lit(n)).as("b"))
+    val hub = spark.range(n / 10).select(lit(0L).as("a"),
+      pmod(hash(col("id"), lit(13)).cast("long"), lit(n)).as("b"))
+    val pairs = ring.union(chords).union(hub).filter(col("a") =!= col("b"))
+      .localCheckpoint(true)
+    val nodes = spark.range(n).select(col("id").as("node_id")).localCheckpoint(true)
+    val seeds = nodes.filter(col("node_id") === 0L)
+    val t0 = System.nanoTime()
+    val pr = graft.ops.Graph.personalizedPagerankScaled(
+      pairs, nodes, seeds, "a", "b", "node_id", iters = 5, checkpointEvery = 2)
+    val r = pr.agg(sum(col("rank_scaled")), max(col("rank_scaled"))).collect()
+    graft.ops.Caches.releaseAll()
+    pairs.unpersist(true); nodes.unpersist(true)
+    ((System.nanoTime() - t0) / 1e9, s"hubEdges=${n / 10} checksum=${r(0)}")
   }
 
   /** The REGISTERED `cur_funnel` query end-to-end over a synthetic
