@@ -194,8 +194,21 @@ object Dedup {
     * band self-join f²/2 pairs per band (the same hot-key regime the
     * [[jaccardPairs]] df cap and [[simhashNearDups]]' fingerprint
     * pre-collapse exist for) — after the collapse the family enters the
-    * band join as ONE representative row. One window-min shuffle on the
-    * signature; no join back.
+    * band join as ONE representative row.
+    *
+    * Shape: ONE window-min shuffle on the signature, no join back —
+    * MEASURED against the groupBy+join-back alternative (map-side-combined
+    * `groupBy(mh_*).agg(min)` + membership join), which costs two extra
+    * corpus-wide shuffles/sorts on the wide signature key and probed 3×
+    * slower end to end (`lshfam`, 150k docs: 10.8 s window vs 30.0 s
+    * groupBy+join). The window's worst case is a hot family's f member
+    * rows landing in ONE window partition — but that is a LINEAR,
+    * spill-backed single-task scan (a straggler, bounded by f·rowsize
+    * through one sorter), not a blowup, and it only occurs on the
+    * pathological family while the groupBy+join alternative taxes every
+    * corpus row always. At truly extreme family sizes (10⁷+ identical
+    * docs) swap in the groupBy+join form and let AQE split the skewed
+    * membership join.
     */
   def sigClusterMembers(sig: DataFrame, idCol: String, nHashes: Int): DataFrame = {
     val mhCols = (0 until nHashes).map(j => col(s"mh_$j"))
