@@ -572,4 +572,36 @@ object OperatorProps extends Properties("graft.ops") {
         .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1).toSeq
       Prop(got == want) :| s"rows=$rows budget=$budget strata=$nStrata"
     }
+
+  property("lshCandidates == brute-force banded relation on random corpora with dup families") =
+    Prop.forAll(
+      Gen.choose(4, 14),      // distinct texts
+      Gen.choose(1, 4),       // copies of the FIRST text (the planted family)
+      Gen.choose(3, 8),       // tokens per doc
+      Gen.choose(0L, 1000L)   // corpus seed
+    ) { (nTexts, famCopies, docLen, seed) =>
+      // small vocab so near-identical signatures arise naturally; the
+      // planted family exercises the identical-signature collapse path
+      val texts = (0 until nTexts).map { t =>
+        (0 until docLen).map(j => s"w${(seed + t * 31 + j * 7) % 6}").mkString(" ")
+      }
+      val docs = (texts ++ Seq.fill(famCopies)(texts.head)).zipWithIndex
+        .map { case (tx, i) => (i.toLong, tx) }.toDF("doc_id", "text")
+      val sig = graft.ops.Dedup.minhashSignaturesLocal(docs, "doc_id", "text", 3, 8)
+      val sigs = sig.collect()
+        .map(r => r.getLong(0) -> (1 to 8).map(r.getString).toVector).toMap
+      val expected = (for {
+        a <- sigs.keys; b <- sigs.keys if a < b
+        if (0 until 4).exists(band =>
+          sigs(a)(2 * band) == sigs(b)(2 * band) &&
+            sigs(a)(2 * band + 1) == sigs(b)(2 * band + 1))
+      } yield (a, b) -> (0 until 8).count(j => sigs(a)(j) == sigs(b)(j)).toLong).toMap
+      val rows = graft.ops.Dedup.lshCandidates(sig, "doc_id", 8, 4)
+        .select("a_id", "b_id", "n_equal").as[(Long, Long, Long)].collect().toSeq
+      graft.ops.Caches.releaseAll()
+      val noDups = rows.size == rows.map(r => (r._1, r._2)).toSet.size
+      val got = rows.map(r => (r._1, r._2) -> r._3).toMap
+      Prop(noDups && got == expected) :|
+        s"texts=$nTexts fam=$famCopies len=$docLen: got=${got.size} want=${expected.size}"
+    }
 }
