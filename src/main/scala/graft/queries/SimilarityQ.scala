@@ -509,6 +509,25 @@ object SimilarityQ {
       }),
 
     QDef(
+      "sim_pca1_score",
+      // top-principal-direction projection — the embedding-space
+      // whitening/outlier signal (a learned space's dominant axis is
+      // usually an artifact; |pc1_score| ranks vectors extreme along it).
+      // Engine-exact end to end: the covariance fit scans only the
+      // vec_id % 4 systematic sample with trunc-9 decimal sums, the
+      // 6-round power iteration runs in pure integer fixed-point algebra
+      // the oracle unrolls verbatim (fixed v0 = e1, IEEE sqrt + division
+      // per round, first-nonzero-positive sign canonicalization), and
+      // the full-corpus projection is one broadcast (dim, mu, v) join +
+      // decimal dot — fit sample-sized, scoring shuffle-light
+      // (ml/Pca.scala scaladoc for the scale contract)
+      (s, d) => graft.ml.Pca.pc1Scores(
+        t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", dims = 64, iters = 6, sampleEvery = 4),
+      Some(s"""WITH ${graft.ml.Pca.sql("embeddings", 64, 6, 4)}
+               SELECT vec_id, pc1_score FROM pcascore""")),
+
+    QDef(
       "sim_hard_negatives",
       // hard-negative mining for contrastive training: per query vector,
       // the top-3 most-similar candidates with a DIFFERENT label — the
