@@ -114,6 +114,33 @@ object Pca {
     if (k >= 0 && v(k) < 0) v.map(x => -x) else v
   }
 
+  /** The collected fit: per-dimension means, the top direction, and the
+    * covariance cells (1-based (i,j) → value) — the batch half of the
+    * fit/route split ([[pc1Scores]] and the streaming
+    * `pcaScoreStream` both route against it).
+    */
+  final case class Fit(mu: Array[Double], v: Array[Double], cov: Map[(Int, Int), Double])
+
+  /** Fit the sample: means + covariance + `iters`-round top direction. */
+  def fit(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int,
+      iters: Int,
+      sampleEvery: Int): Fit = {
+    val spark: SparkSession = df.sparkSession
+    import spark.implicits._
+    val cells = sampleCov(df, idCol, vecCol, sampleEvery)
+      .as[(Int, Int, Double)].collect().toSeq
+    val mu = sampleMeans(df, idCol, vecCol, sampleEvery)
+      .as[(Int, Double)].collect().toMap
+    Fit(
+      Array.tabulate(dims)(d => mu.getOrElse(d + 1, 0.0)),
+      powerIteration(cells, dims, iters),
+      cells.map { case (i, j, c) => (i, j) -> c }.toMap)
+  }
+
   /** Fit on the sample, score the FULL frame: (idCol, pc1_score) where
     * pc1_score = Σ trunc9((x_d − mu_d)·v_d) / 10⁹ — the signed projection
     * of the centered vector onto the fitted top principal direction.
@@ -129,12 +156,8 @@ object Pca {
       sampleEvery: Int): DataFrame = {
     val spark: SparkSession = df.sparkSession
     import spark.implicits._
-    val cells = sampleCov(df, idCol, vecCol, sampleEvery)
-      .as[(Int, Int, Double)].collect().toSeq
-    val mu = sampleMeans(df, idCol, vecCol, sampleEvery)
-      .as[(Int, Double)].collect().toMap
-    val v = powerIteration(cells, dims, iters)
-    val mv = (1 to dims).map(d => (d, mu.getOrElse(d, 0.0), v(d - 1))).toDF("d", "mu", "v")
+    val f = fit(df, idCol, vecCol, dims, iters, sampleEvery)
+    val mv = (1 to dims).map(d => (d, f.mu(d - 1), f.v(d - 1))).toDF("d", "mu", "v")
     df.select(col(idCol), posexplode(col(vecCol)).as(Seq("d", "xf")))
       .select(col(idCol), (col("d") + 1).as("d"), col("xf").cast("double").as("x"))
       .join(broadcast(mv), "d")
@@ -142,12 +165,47 @@ object Pca {
       .agg(Exact.dsumTrunc9((col("x") - col("mu")) * col("v")).as("pc1_score"))
   }
 
-  /** Oracle CTE chain mirroring the whole pipeline for a DuckDB
-    * `embeddings`-shaped table — sample means, covariance cells, `iters`
-    * unrolled power rounds, sign canonicalization, full-corpus
-    * projection. Ends in `pcascore(vec_id, pc1_score)`.
+  /** One-row variance summary of the fitted direction: lambda1 = the
+    * Rayleigh quotient vᵀCv (v is unit, so no denominator), trace = Σ Cᵢᵢ
+    * (the total variance), var_share = lambda1/trace — "how dominant is
+    * the dominant axis", the number that decides whether whitening or
+    * axis-pruning is worth running at all. All three ride the same
+    * trunc-9 integer algebra as the fit, so the row hashes cross-engine.
     */
-  def sql(table: String, dims: Int, iters: Int, sampleEvery: Int): String = {
+  def pc1Variance(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int,
+      iters: Int,
+      sampleEvery: Int): DataFrame = {
+    val spark: SparkSession = df.sparkSession
+    import spark.implicits._
+    val f = fit(df, idCol, vecCol, dims, iters, sampleEvery)
+    val w = Array.tabulate(dims) { i =>
+      var s = 0L
+      var j = 0
+      while (j < dims) { s += t9(f.cov.getOrElse((i + 1, j + 1), 0.0) * f.v(j)); j += 1 }
+      s / 1e9
+    }
+    var lamI = 0L
+    var trI = 0L
+    var i = 0
+    while (i < dims) {
+      lamI += t9(f.v(i) * w(i))
+      trI += t9(f.cov.getOrElse((i + 1, i + 1), 0.0))
+      i += 1
+    }
+    val lambda1 = lamI / 1e9
+    val trace = trI / 1e9
+    Seq((lambda1, trace, lambda1 / trace)).toDF("lambda1", "trace", "var_share")
+  }
+
+  /** Oracle CTE chain for the FIT — sample means, covariance cells,
+    * `iters` unrolled power rounds, sign canonicalization. Ends in
+    * `vf(d, x)` (plus `mu` and `cov` available to appended stages).
+    */
+  private def fitSql(table: String, dims: Int, iters: Int, sampleEvery: Int): String = {
     val rounds = (1 to iters).map { r =>
       s"""w$r AS (SELECT cov.i AS d, ${Exact.sqlDsumTrunc9(s"cov.c * v.x")} AS w
             FROM cov JOIN v${r - 1} v ON v.d = cov.j GROUP BY 1),
@@ -170,12 +228,31 @@ object Pca {
         sgn AS (SELECT CASE WHEN x < 0 THEN CAST(-1.0 AS DOUBLE)
                   ELSE CAST(1.0 AS DOUBLE) END AS s
                 FROM v$iters WHERE x <> 0 ORDER BY d LIMIT 1),
-        vf AS (SELECT d, x * sgn.s AS x FROM v$iters, sgn),
+        vf AS (SELECT d, x * sgn.s AS x FROM v$iters, sgn)"""
+  }
+
+  /** Oracle CTE chain mirroring the whole scoring pipeline for a DuckDB
+    * `embeddings`-shaped table — the fit plus the full-corpus
+    * projection. Ends in `pcascore(vec_id, pc1_score)`.
+    */
+  def sql(table: String, dims: Int, iters: Int, sampleEvery: Int): String =
+    s"""${fitSql(table, dims, iters, sampleEvery)},
         compall AS (SELECT vec_id, i.i AS d, CAST(embedding[i.i] AS DOUBLE) AS x
                     FROM $table, unnest(generate_series(1, $dims)) AS i(i)),
         pcascore AS (SELECT c.vec_id,
                        ${Exact.sqlDsumTrunc9("(c.x - mu.mu) * vf.x")} AS pc1_score
                      FROM compall c JOIN mu ON mu.d = c.d JOIN vf ON vf.d = c.d
                      GROUP BY 1)"""
-  }
+
+  /** Oracle twin of [[pc1Variance]] — the fit plus the Rayleigh quotient
+    * and trace. Ends in `vstats(lambda1, trace, var_share)`.
+    */
+  def varianceSql(table: String, dims: Int, iters: Int, sampleEvery: Int): String =
+    s"""${fitSql(table, dims, iters, sampleEvery)},
+        wf AS (SELECT cov.i AS d, ${Exact.sqlDsumTrunc9("cov.c * vf.x")} AS w
+               FROM cov JOIN vf ON vf.d = cov.j GROUP BY 1),
+        vstats AS (SELECT l.lambda1, t.trace, l.lambda1 / t.trace AS var_share FROM
+          (SELECT ${Exact.sqlDsumTrunc9("vf.x * wf.w")} AS lambda1
+           FROM vf JOIN wf ON wf.d = vf.d) l,
+          (SELECT ${Exact.sqlDsumTrunc9("c")} AS trace FROM cov WHERE i = j) t)"""
 }

@@ -528,6 +528,20 @@ object SimilarityQ {
                SELECT vec_id, pc1_score FROM pcascore""")),
 
     QDef(
+      "sim_pca1_var",
+      // the PCA fit's ONE-ROW variance summary: lambda1 (Rayleigh vᵀCv
+      // of the fitted unit direction), trace (total variance Σ Cii) and
+      // var_share = lambda1/trace — "how dominant is the dominant axis",
+      // the number that decides whether whitening/axis-pruning is worth
+      // running. Same trunc-9 integer algebra as the fit, so the row
+      // hashes cross-engine (sim_pca1_score's oracle chain + two dots)
+      (s, d) => graft.ml.Pca.pc1Variance(
+        t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", dims = 64, iters = 6, sampleEvery = 4),
+      Some(s"""WITH ${graft.ml.Pca.varianceSql("embeddings", 64, 6, 4)}
+               SELECT lambda1, trace, var_share FROM vstats""")),
+
+    QDef(
       "sim_hard_negatives",
       // hard-negative mining for contrastive training: per query vector,
       // the top-3 most-similar candidates with a DIFFERENT label — the

@@ -546,6 +546,44 @@ object Streaming {
       .withColumn("admit", (col("dsir_logweight") >= threshold).cast("long"))
   }
 
+  /** Streaming PC1 scorer — the embedding-space outlier/whitening signal
+    * at ingest time: arriving vectors are projected STATELESSLY onto a
+    * PRE-FITTED top principal direction ([[graft.ml.Pca.fit]] — the fit
+    * is batch by contract, the same fit/route split as
+    * [[semanticDedupStream]]'s centroids and [[dsirAdmitStream]]'s
+    * log-ratio table). No shuffle, no watermark, no state store — a pure
+    * array-local projection, so the score column is slice-invariant and
+    * BIT-IDENTICAL to the batch `Pca.pc1Scores` (pinned in
+    * `StreamingSpec`): the per-dimension trunc-9 terms are integers, so
+    * the array-order fold here and the batch groupBy's unordered sum
+    * agree exactly (integer associativity), and the closing /10⁹ matches
+    * the batch decimal→double path. Runs identically on a batch frame.
+    */
+  def pcaScoreStream(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      mu: Seq[Double],
+      v: Seq[Double]): DataFrame = {
+    require(mu.nonEmpty && mu.size == v.size, "need matching non-empty mu/v")
+    val dims = mu.size
+    val muL = typedLit(mu)
+    val vL = typedLit(v)
+    def term(d: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val x = (element_at(col(vecCol), d).cast("double") - element_at(muL, d)) *
+        element_at(vL, d)
+      val m = floor(abs(x) * lit(1.0e9d))
+      when(x < 0, -m).otherwise(m).cast("long")
+    }
+    vecs.select(
+      col(idCol),
+      aggregate(
+        sequence(lit(1), lit(dims)),
+        lit(0L),
+        (acc, d) => acc + term(d),
+        acc => acc.cast("double") / lit(1.0e9d)).as("pc1_score"))
+  }
+
   /** Curation gates as a stream — the `cur_funnel` stage prefix at ingest
     * time: arriving documents are scored STATELESSLY against PRE-FITTED
     * broadcast language profiles ([[graft.ops.Text.languageProfiles]] —

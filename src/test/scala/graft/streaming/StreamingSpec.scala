@@ -999,6 +999,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("pcaScoreStream: scores bit-match the batch pc1Scores against the pre-fitted direction") {
+    // fit batch, route stream: the pre-fitted (mu, v) direction scores
+    // arriving vectors in a stateless array-local projection — per-vector
+    // scores must be BIT-identical to the batch Pca.pc1Scores (integer
+    // trunc-9 terms make the array-order fold and the batch groupBy sum
+    // agree exactly), across micro-batch slicing
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val batch = graft.ml.Pca.pc1Scores(emb, "vec_id", "embedding", 64, 6, 4)
+      .as[(Long, Double)].collect().toMap
+    val f = graft.ml.Pca.fit(emb, "vec_id", "embedding", 64, 6, 4)
+    val rows = emb.as[(Long, Array[Float])].collect()
+    val input = MemoryStream[(Long, Array[Float])]
+    val df = input.toDF().toDF("vec_id", "embedding")
+    val out = Streaming.pcaScoreStream(df, "vec_id", "embedding", f.mu.toSeq, f.v.toSeq)
+    val q = out.writeStream.format("memory").queryName("pca_stream")
+      .outputMode("append").start()
+    try {
+      val (h, t2) = rows.splitAt(rows.length / 2)
+      input.addData(h.toIndexedSeq); q.processAllAvailable()
+      input.addData(t2.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("pca_stream").as[(Long, Double)].collect().toMap
+      assert(got.size == rows.length)
+      got.foreach { case (id, s) =>
+        assert(s == batch(id), s"vec $id stream=$s batch=${batch(id)} (must be bit-identical)")
+      }
+    } finally q.stop()
+  }
+
   test("streaming funnel -> budget handoff: the two-query composition reproduces the batch cur_funnel keep set") {
     // the full streaming cur_funnel as it actually ships: query 1 = the
     // stateless gates chained ahead of watermarked exact dedup (one
