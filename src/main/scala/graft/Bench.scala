@@ -85,9 +85,18 @@ object Bench {
         drainTimedOut: Boolean, err: Option[String])
     // SPARK_GRAFT_ONLY=q1,q2 restricts the run to named queries — a local
     // iteration knob (per-query cpuSecs without the full 20-minute sweep);
-    // the driver never sets it, so driver rounds keep the full registry
+    // the driver never sets it, so driver rounds keep the full registry.
+    // Unknown names fail LOUDLY (a typo would otherwise run an empty
+    // bench that reads as a result), and a restricted run writes its
+    // partial artifact to bench_stats_only.json so it can never clobber
+    // the tracked full-registry bench_stats.json diff base
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in the registry: ${unknown.toSeq.sorted.mkString(",")}")
+    }
     def runPass(): Seq[(String, PassRow)] =
       SparkEntry.queries.toSeq.filter(q => only.forall(_.contains(q._1)))
         .sortBy(_._1).map { case (name, fn) =>
@@ -203,7 +212,10 @@ object Bench {
     // bench_result.json stays for compatibility with earlier tooling. A
     // file-write failure (read-only cwd) must not suppress the printed
     // result.
-    for (f <- Seq("bench_stats.json", "bench_result.json"))
+    val statsFiles =
+      if (only.isDefined) Seq("bench_stats_only.json")
+      else Seq("bench_stats.json", "bench_result.json")
+    for (f <- statsFiles)
       try java.nio.file.Files.write(
         java.nio.file.Paths.get(f), (json + "\n").getBytes("UTF-8"))
       catch { case e: Throwable => System.err.println(s"[bench] $f write failed: ${e.getMessage}") }

@@ -569,13 +569,21 @@ object Streaming {
     val dims = mu.size
     val muL = typedLit(mu)
     val vL = typedLit(v)
+    // loud length contract (the batch Pca.checkedVec twin): a vector
+    // shorter than dims would element_at to NULL and fold to a SILENT
+    // NULL score — breaking the documented batch bit-identity without a
+    // trace — so any length drift fails the micro-batch instead
+    val checked = when(size(col(vecCol)) === dims, col(vecCol))
+      .otherwise(raise_error(concat(
+        lit(s"pcaScoreStream: $vecCol length != $dims (got "),
+        size(col(vecCol)).cast("string"), lit(")"))))
     def term(d: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-      val x = (element_at(col(vecCol), d).cast("double") - element_at(muL, d)) *
+      val x = (element_at(col("__v"), d).cast("double") - element_at(muL, d)) *
         element_at(vL, d)
       val m = floor(abs(x) * lit(1.0e9d))
       when(x < 0, -m).otherwise(m).cast("long")
     }
-    vecs.select(
+    vecs.withColumn("__v", checked).select(
       col(idCol),
       aggregate(
         sequence(lit(1), lit(dims)),
