@@ -34,6 +34,7 @@ object ProbeScale {
       case "buckets" => n => buckets(spark, n)
       case "funnel" => n => funnel(spark, n)
       case "lshfam" => n => lshfam(spark, n)
+      case "lshfamgb" => n => lshfam(spark, n, viaGroupBy = true)
       case "pprhub" => n => pprhub(spark, n)
       case other => sys.error(s"unknown probe: $other")
     }
@@ -180,8 +181,16 @@ object ProbeScale {
     * never f²/2 expanded pairs (which at f = 100k would be 5·10⁹ join
     * rows — the regime BASELINE.md's uncapped jaccardPairs probe measured
     * as fatal).
+    *
+    * `lshfamgb` runs the same pipeline with the collapse's
+    * extreme-family escape (`sigClusterMembers(…, viaGroupBy = true)`)
+    * so both regimes of the window-vs-groupBy tradeoff stay measured at
+    * matched sizes (the window form wins while the family fits one
+    * spill-backed task; the groupBy form bounds the 10⁷+-member
+    * straggler).
     */
-  private def lshfam(spark: SparkSession, n: Long): (Double, String) = {
+  private def lshfam(
+      spark: SparkSession, n: Long, viaGroupBy: Boolean = false): (Double, String) = {
     val fam = n / 3
     val docs = spark.range(n)
       .select(
@@ -195,7 +204,7 @@ object ProbeScale {
     val t0 = System.nanoTime()
     val sig = graft.ops.Dedup.minhashSignaturesLocal(docs, "doc_id", "text", 3, 8)
     val members = graft.ops.Caches.trackPersist(
-      graft.ops.Dedup.sigClusterMembers(sig, "doc_id", 8))
+      graft.ops.Dedup.sigClusterMembers(sig, "doc_id", 8, viaGroupBy = viaGroupBy))
     val repPairs = graft.ops.Dedup.lshRepCandidates(members, "doc_id", 8, 4)
       .filter(col("n_equal") >= 6).select("a_id", "b_id")
     val memberEdges = members.filter(col("doc_id") =!= col("__rep"))

@@ -196,23 +196,40 @@ object Dedup {
     * pre-collapse exist for) — after the collapse the family enters the
     * band join as ONE representative row.
     *
-    * Shape: ONE window-min shuffle on the signature, no join back —
-    * MEASURED against the groupBy+join-back alternative (map-side-combined
-    * `groupBy(mh_*).agg(min)` + membership join), which costs two extra
-    * corpus-wide shuffles/sorts on the wide signature key and probed 3×
-    * slower end to end (`lshfam`, 150k docs: 10.8 s window vs 30.0 s
-    * groupBy+join). The window's worst case is a hot family's f member
-    * rows landing in ONE window partition — but that is a LINEAR,
-    * spill-backed single-task scan (a straggler, bounded by f·rowsize
-    * through one sorter), not a blowup, and it only occurs on the
-    * pathological family while the groupBy+join alternative taxes every
-    * corpus row always. At truly extreme family sizes (10⁷+ identical
-    * docs) swap in the groupBy+join form and let AQE split the skewed
-    * membership join.
+    * Shape (default `viaGroupBy = false`): ONE window-min shuffle on the
+    * signature, no join back — MEASURED against the groupBy+join-back
+    * alternative (map-side-combined `groupBy(mh_*).agg(min)` + membership
+    * join), which costs two extra corpus-wide shuffles/sorts on the wide
+    * signature key and probed 3× slower end to end (`lshfam`, 150k docs:
+    * 10.8 s window vs 30.0 s groupBy+join). The window's worst case is a
+    * hot family's f member rows landing in ONE window partition — but
+    * that is a LINEAR, spill-backed single-task scan (a straggler,
+    * bounded by f·rowsize through one sorter), not a blowup, and it only
+    * occurs on the pathological family while the groupBy+join alternative
+    * taxes every corpus row always.
+    *
+    * `viaGroupBy = true` is the EXTREME-FAMILY escape (10⁷+ identical
+    * docs, where the window form's single-task family scan becomes a real
+    * straggler): the rep table comes from a map-side-combined groupBy
+    * (the hot family partial-aggregates to one row per map task before
+    * the exchange — no single task ever holds the family) and membership
+    * joins back on the signature key, where AQE's skew-join split
+    * parallelizes the hot signature. Same output, bit-identical
+    * (`DedupTextSpec` pins the equivalence; the `lshfam`/`lshfamgb`
+    * probes bracket both regimes in BASELINE.md).
     */
-  def sigClusterMembers(sig: DataFrame, idCol: String, nHashes: Int): DataFrame = {
-    val mhCols = (0 until nHashes).map(j => col(s"mh_$j"))
-    sig.withColumn("__rep", min(col(idCol)).over(Window.partitionBy(mhCols: _*)))
+  def sigClusterMembers(
+      sig: DataFrame,
+      idCol: String,
+      nHashes: Int,
+      viaGroupBy: Boolean = false): DataFrame = {
+    val mhNames = (0 until nHashes).map(j => s"mh_$j")
+    val mhCols = mhNames.map(col)
+    if (!viaGroupBy)
+      sig.withColumn("__rep", min(col(idCol)).over(Window.partitionBy(mhCols: _*)))
+    else
+      sig.join(sig.groupBy(mhCols: _*).agg(min(col(idCol)).as("__rep")), mhNames)
+        .select(sig.columns.map(col) :+ col("__rep"): _*)
   }
 
   /** Banded LSH candidates between cluster REPRESENTATIVES only — the

@@ -346,6 +346,102 @@ object Multimodal {
     * frame with frame_idx) — the video-frame / audio-window expansion as a
     * generator, no UDTF needed.
     */
+  /** Cross-modal alignment score — the CLIP/LAION-style curation gate
+    * ("does the text actually describe the paired media?"): each document
+    * is paired with its embedding on the shared id and scored by the
+    * exact cosine between a DETERMINISTIC text-side vector and the
+    * embedding. The text side is a signed hashed bag-of-words (feature
+    * hashing, Weinberger et al. 2009): token t lands in dimension
+    * `hashU24(t) % dims` with sign `±1` from the hash's next bit, counts
+    * summed — an integer vector both engines regenerate from nothing (no
+    * RNG, no shipped artifact), the same no-artifact contract as
+    * `Vectors.randomProject`'s md5 sign matrix. LAION filtered at CLIP
+    * cosine ≥ 0.28; the threshold is the caller's (calibrate it from the
+    * per-source quantiles — `mm8_alignment_calib`).
+    *
+    * Determinism: the text vector is integer (exact sums), the dot is a
+    * trunc-9 fixed-point sum of tv·x products (tie-free, the
+    * `randomProject` rule for raw-float quantization), ‖t‖² is an exact
+    * integer sum, ‖x‖² the proven DECIMAL(38,9) norm recipe, and the
+    * closing cosine is one IEEE sqrt·sqrt·division dag on bit-identical
+    * inputs. NULL when either norm is zero (no tokens that cancel, or a
+    * zero embedding) — callers fail closed.
+    *
+    * Scale: the text vector is one explode + map-side-combined hash agg
+    * (≤ dims rows per doc out); the dot is a co-partitioned equi-join on
+    * the shared id (bucket both sides by id at 100 TB and the shuffle
+    * disappears); nothing is corpus × corpus and no fit is needed at all.
+    * Returns (docIdCol, align_score) for every doc with ≥1 token and a
+    * paired embedding.
+    */
+  def alignmentScores(
+      docs: DataFrame,
+      embs: DataFrame,
+      docIdCol: String,
+      textCol: String,
+      vecIdCol: String,
+      vecCol: String,
+      dims: Int): DataFrame = {
+    require(dims > 0, "dims must be positive")
+    val tv = docs
+      .select(col(docIdCol), explode(Text.tokens(col(textCol))).as("token"))
+      .withColumn("__h", Sampling.hashU24(col("token")))
+      .select(
+        col(docIdCol),
+        (pmod(col("__h"), lit(dims.toLong)) + 1L).as("d"),
+        when(pmod(expr(s"__h DIV $dims"), lit(2L)) === 0L, 1L)
+          .otherwise(-1L).as("s"))
+      .groupBy(col(docIdCol), col("d"))
+      .agg(sum(col("s")).as("tv"))
+    val tn = tv.groupBy(col(docIdCol))
+      .agg(sum(col("tv") * col("tv")).as("__n2t"))
+    val e = embs.select(col(vecIdCol).as("__vid"), col(vecCol).as("__emb"))
+    val dotp = tv.join(e, col(docIdCol) === col("__vid"))
+      .groupBy(col(docIdCol))
+      .agg(Exact.dsumTrunc9(
+        col("tv").cast("double") *
+          element_at(col("__emb"), col("d").cast("int")).cast("double")).as("__dot"))
+    val n2x = embs.select(
+      col(vecIdCol).as("__vid"), Vectors.norm2Exact(col(vecCol)).as("__n2x"))
+    val denom = sqrt(col("__n2t").cast("double")) * sqrt(col("__n2x"))
+    dotp.join(tn, docIdCol)
+      .join(n2x, col(docIdCol) === col("__vid"))
+      .select(
+        col(docIdCol),
+        (col("__dot") / when(denom === 0.0, lit(null)).otherwise(denom))
+          .as("align_score"))
+  }
+
+  /** Oracle twin of [[alignmentScores]] for the DuckDB
+    * documents/embeddings pair: CTE body ending in
+    * `align(doc_id, align_score)`.
+    */
+  def sqlAlignment(dims: Int): String =
+    s"""tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+                FROM documents),
+        th AS (SELECT doc_id, ${Sampling.sqlHashU24("token")} AS h FROM tok),
+        tv AS MATERIALIZED (SELECT doc_id, (h % $dims) + 1 AS d,
+                CAST(sum(CASE WHEN (h // $dims) % 2 = 0 THEN 1 ELSE -1 END)
+                  AS BIGINT) AS tv
+              FROM th GROUP BY 1, 2),
+        tn AS (SELECT doc_id, CAST(sum(tv * tv) AS BIGINT) AS n2t
+               FROM tv GROUP BY 1),
+        en AS (SELECT vec_id,
+                 CAST(sum(CAST(CAST(embedding[i.i] AS DOUBLE)
+                   * CAST(embedding[i.i] AS DOUBLE) AS DECIMAL(38,9))) AS DOUBLE) AS n2x
+               FROM embeddings, unnest(generate_series(1, $dims)) AS i(i)
+               GROUP BY 1),
+        dotp AS (SELECT tv.doc_id,
+                   ${Exact.sqlDsumTrunc9(
+      "CAST(tv.tv AS DOUBLE) * CAST(e.embedding[tv.d] AS DOUBLE)")} AS dot
+                 FROM tv JOIN embeddings e ON e.vec_id = tv.doc_id
+                 GROUP BY 1),
+        align AS (SELECT dp.doc_id,
+                    dp.dot / nullif(sqrt(CAST(tn.n2t AS DOUBLE)) * sqrt(en.n2x),
+                      CAST(0.0 AS DOUBLE)) AS align_score
+                  FROM dotp dp JOIN tn ON tn.doc_id = dp.doc_id
+                       JOIN en ON en.vec_id = dp.doc_id)"""
+
   def sampleFrames(df: DataFrame, idCol: String, frameBytes: Int): DataFrame = {
     val lastFrame = ((octet_length(col("payload")) - 1) / frameBytes).cast("int")
     df.select(

@@ -554,6 +554,43 @@ object Sampling {
       .select(col(keyCol), col(sourceCol), col("src_rank"), col("keep"))
   }
 
+  /** Per-source TOKEN cap — [[sourceCapLedger]] weighted by token mass
+    * instead of document count (how real pipelines actually cap a domain:
+    * a boilerplate domain of many short pages and one of few huge pages
+    * should face the same budget): rows rank per source in deterministic
+    * (hash, key) order, the INCLUSIVE running token sum rides the same
+    * [[Windows.chunkedScan]] (integer deltas → the scan is exact and
+    * chunking-invariant), and `keep` admits a row iff its inclusive
+    * cumulative tokens fit `maxTokens` — the [[budgetedPrefix]] greedy
+    * convention: one over-budget row is not split, and since the cumsum
+    * is non-decreasing (non-negative deltas) every row after the first
+    * rejection is rejected too — the kept set IS a prefix of the
+    * deterministic source order, a pure function of corpus contents
+    * (re-ingest-stable; under growth it rotates as any hash-ordered cap
+    * must, the [[sourceCapLedger]] contract). Full ledger
+    * out: (key, source, tokens, src_rank, src_cum_tokens, keep).
+    * `tokensCol` must be integral and non-NULL (the chunkedScan contract).
+    */
+  def sourceTokenCapLedger(
+      df: DataFrame,
+      keyCol: String,
+      sourceCol: String,
+      tokensCol: String,
+      maxTokens: Long): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    Windows.chunkedScan(
+      df.withColumn("__u", hashU24(col(keyCol))),
+      keys = Seq(sourceCol),
+      orderCols = Seq(col("__u"), col(keyCol)),
+      deltaCol = tokensCol,
+      chunk = expr("__u DIV 65536"),
+      idxOut = "src_rank",
+      sumOut = "src_cum_tokens")
+      .withColumn("keep", (col("src_cum_tokens") <= maxTokens).cast("long"))
+      .select(col(keyCol), col(sourceCol), col(tokensCol),
+        col("src_rank"), col("src_cum_tokens"), col("keep"))
+  }
+
   private def dsirRatiosFromFeatures(
       fb: DataFrame,
       strataCol: String,

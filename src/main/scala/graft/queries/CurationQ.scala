@@ -347,6 +347,38 @@ object CurationQ {
                  CAST(CASE WHEN row_number() OVER (PARTITION BY source
                      ORDER BY u, doc_id) <= 15
                    THEN 1 ELSE 0 END AS BIGINT) AS keep
+               FROM g""")),
+
+    QDef(
+      "cur_source_token_cap",
+      // per-source TOKEN cap — cur_source_cap weighted by token mass (how
+      // real pipelines cap a domain: many short boilerplate pages and a
+      // few huge ones face the same budget): inclusive running token sum
+      // per source in deterministic (hash, doc_id) order, keep while the
+      // cumsum fits 1000 tokens (the budgetedPrefix greedy convention —
+      // non-negative deltas make the kept set a true prefix). Same
+      // chunkedScan shape as cur_source_cap (the ledger keeps every row
+      // of a potentially hot source); the oracle's direct running-sum
+      // window is bit-identical (integer sums)
+      (s, d) => Sampling.sourceTokenCapLedger(
+        t(s, d, "documents").select(
+          col("doc_id"), col("source"),
+          size(Text.tokens(col("text"))).cast("long").as("n_tokens")),
+        "doc_id", "source", "n_tokens", maxTokens = 1000),
+      Some(s"""WITH g AS (SELECT doc_id, source,
+                  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+                  ${Sampling.sqlHashU24("doc_id")} AS u
+                FROM documents)
+               SELECT doc_id, source, n_tokens,
+                 CAST(row_number() OVER (PARTITION BY source ORDER BY u, doc_id)
+                   AS BIGINT) AS src_rank,
+                 CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY u, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS src_cum_tokens,
+                 CAST(CASE WHEN sum(n_tokens) OVER (PARTITION BY source
+                     ORDER BY u, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= 1000
+                   THEN 1 ELSE 0 END AS BIGINT) AS keep
                FROM g"""))
   )
 }

@@ -650,6 +650,86 @@ object TextQ {
               FROM ph JOIN g USING (phash)""")),
 
     QDef(
+      "mm7_alignment_keep",
+      // the CLIP/LAION cross-modal alignment gate — the one standard
+      // training-data filter every image-text corpus build runs (LAION
+      // kept pairs at CLIP cosine >= 0.28): each document pairs with its
+      // embedding on the shared id (vec_id ≡ doc_id, the testdata's
+      // parallel-table convention) and is scored by the exact cosine
+      // between a deterministic signed hashed bag-of-words text vector
+      // (feature hashing — both engines regenerate it from md5, no
+      // artifact) and the embedding; the ledger keeps every doc with its
+      // score and a fail-closed keep flag at τ = 0 (a NULL score — no
+      // paired embedding, zero norm — never passes). Scale: text vector
+      // = one explode + map-side hash agg, dot = a co-partitioned
+      // equi-join on the id (bucket both sides at 100 TB), calibration
+      // of τ is mm8's job — nothing corpus × corpus anywhere
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"), col("source"))
+        val al = Multimodal.alignmentScores(
+          docs, t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+          "doc_id", "text", "vec_id", "embedding", dims = 64)
+        docs.select("doc_id", "source").join(al, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"), col("source"), col("align_score"),
+            coalesce(col("align_score") >= lit(0.0d), lit(false))
+              .cast("long").as("keep"))
+      },
+      Some(s"""WITH ${Multimodal.sqlAlignment(64)}
+               SELECT d.doc_id, d.source, a.align_score,
+                 CAST(coalesce(a.align_score >= CAST(0.0 AS DOUBLE), FALSE)
+                   AS BIGINT) AS keep
+               FROM documents d LEFT JOIN align a ON a.doc_id = d.doc_id""")),
+
+    QDef(
+      "mm8_alignment_calib",
+      // per-source calibration quantiles of the alignment score — how a
+      // real pipeline picks mm7's τ (LAION's 0.28 was exactly such a
+      // calibration): the score is quantized to a 1e-4 grid FIRST
+      // (floor(score·1e4)/1e4 — floor is engine-exact on identical
+      // doubles, the binaryAuc.scoreScale move) so the two-phase
+      // exactQuantiles honors its sub-linear-distinct contract (≤ 2·10⁴
+      // distinct values per source at ANY corpus size, vs all-distinct
+      // raw cosines), then p10/p25/p50/p75/p90 per source
+      (s, d) => {
+        val al = Multimodal.alignmentScores(
+          t(s, d, "documents").select(col("doc_id"), col("text")),
+          t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+          "doc_id", "text", "vec_id", "embedding", dims = 64)
+        val sq = t(s, d, "documents").select(col("doc_id"), col("source"))
+          .join(al, "doc_id")
+          .select(
+            col("source"),
+            (floor(col("align_score") * lit(10000.0d)) / lit(10000.0d))
+              .as("align_q"))
+        Stats.exactQuantiles(sq, Seq("source"), "align_q",
+          Seq(0.1, 0.25, 0.5, 0.75, 0.9))
+      },
+      Some(s"""WITH ${Multimodal.sqlAlignment(64)},
+               sq AS (SELECT d.source,
+                        floor(a.align_score * CAST(10000 AS DOUBLE))
+                          / CAST(10000 AS DOUBLE) AS align_q
+                      FROM align a JOIN documents d ON d.doc_id = a.doc_id
+                      WHERE a.align_score IS NOT NULL),
+               r AS (SELECT source, align_q AS value,
+                       row_number() OVER (PARTITION BY source ORDER BY align_q) AS rn,
+                       count(*) OVER (PARTITION BY source) AS n
+                     FROM sq),
+               qs AS (SELECT CAST(q AS DOUBLE) AS q
+                      FROM (VALUES (0.1), (0.25), (0.5), (0.75), (0.9)) t(q)),
+               p AS (SELECT r.source, qs.q, r.value, r.rn,
+                       CAST(1.0 AS DOUBLE) + CAST(n - 1 AS DOUBLE) * qs.q AS pos
+                     FROM r CROSS JOIN qs)
+               SELECT source, q,
+                 min(CASE WHEN rn = CAST(floor(pos) AS BIGINT) THEN value END)
+                 + (min(CASE WHEN rn = CAST(ceil(pos) AS BIGINT) THEN value END)
+                    - min(CASE WHEN rn = CAST(floor(pos) AS BIGINT) THEN value END))
+                   * min(pos - floor(pos)) AS q_value
+               FROM p WHERE rn = CAST(floor(pos) AS BIGINT)
+                  OR rn = CAST(ceil(pos) AS BIGINT)
+               GROUP BY 1, 2""")),
+
+    QDef(
       "m16_spearman",
       // do two quality filters agree on ORDER? Spearman rank correlation
       // between t2's quality score and t13's unigram log-prob — the

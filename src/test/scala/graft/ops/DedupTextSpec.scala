@@ -106,6 +106,25 @@ class DedupTextSpec extends SparkSpec {
     assert(viaCollapsed == viaExpanded)
   }
 
+  test("sigClusterMembers: the groupBy escape is bit-identical to the window form") {
+    val fam = "the quick brown fox jumps over the lazy dog again and again"
+    val df = ((50L to 54L).map(i => (i, fam)) ++ Seq(
+      (55L, "the quick brown fox jumps over the lazy cat again and again"),
+      (56L, "totally unrelated content with none of those words present here")))
+      .toDF("doc_id", "text")
+    val sig = Dedup.minhashSignaturesLocal(df, "doc_id", "text", 3, 8)
+    def rows(viaGroupBy: Boolean) =
+      Dedup.sigClusterMembers(sig, "doc_id", 8, viaGroupBy = viaGroupBy)
+        .collect().map(_.toSeq).toSet
+    val (win, gb) = (rows(false), rows(true))
+    assert(win == gb, "escape form diverged from the window form")
+    // same column ORDER too (downstream consumers select by position-free
+    // names, but the contract is one relation, two physical plans)
+    assert(
+      Dedup.sigClusterMembers(sig, "doc_id", 8).columns.toSeq ==
+        Dedup.sigClusterMembers(sig, "doc_id", 8, viaGroupBy = true).columns.toSeq)
+  }
+
   test("sharedSpans finds the maximal shared token span") {
     val spans = Dedup.sharedSpans(docs, "doc_id", "text", 3, 5)
       .select("a_id", "b_id", "a_start", "b_start", "span_len")

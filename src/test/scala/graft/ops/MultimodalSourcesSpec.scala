@@ -9,6 +9,66 @@ import java.nio.file.Files
 class MultimodalSourcesSpec extends SparkSpec {
   import spark.implicits._
 
+  // test-side twin of Sampling.hashU24 + the alignment op's feature
+  // hashing: bucket = h % dims (0-based here, 1-based in the op), sign
+  // from the hash's next bit
+  private def hashU24(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    java.lang.Long.parseLong(
+      md.digest(s.getBytes("UTF-8")).take(3).map(b => f"$b%02x").mkString, 16)
+  }
+  private def hashedTextVec(text: String, dims: Int): Array[Long] = {
+    val v = new Array[Long](dims)
+    text.trim.split(" ", -1).foreach { tok =>
+      val h = hashU24(tok)
+      v((h % dims).toInt) += (if ((h / dims) % 2 == 0) 1L else -1L)
+    }
+    v
+  }
+
+  test("alignmentScores: self-aligned text scores ~1, negated ~-1, unpaired absent") {
+    val dims = 16
+    val texts = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "pack my box with five dozen liquor jugs",
+      3L -> "sphinx of black quartz judge my vow")
+    val docs = (texts :+ (9L -> "unpaired document with no embedding row"))
+      .toDF("doc_id", "text")
+    // embeddings = the doc's OWN hashed text vector (doc 2 negated): the
+    // exact cosine must land at ±1 up to trunc-9 quantization
+    val embs = texts.map { case (id, tx) =>
+      val sign = if (id == 2L) -1f else 1f
+      (id, hashedTextVec(tx, dims).map(x => sign * x.toFloat))
+    }.toDF("vec_id", "embedding")
+    val out = Multimodal
+      .alignmentScores(docs, embs, "doc_id", "text", "vec_id", "embedding", dims)
+      .as[(Long, Double)].collect().toMap
+    assert(out.keySet == Set(1L, 2L, 3L), s"unexpected ledger keys: ${out.keySet}")
+    // trunc-9 dot over exact norms can land an ulp past ±1 — bound both sides
+    assert(out(1L) > 1.0 - 1e-6 && out(1L) < 1.0 + 1e-9)
+    assert(out(3L) > 1.0 - 1e-6 && out(3L) < 1.0 + 1e-9)
+    assert(out(2L) < -1.0 + 1e-6 && out(2L) > -1.0 - 1e-9)
+  }
+
+  test("alignmentScores: zero text vector (cancelling signs) yields NULL, not 0") {
+    val dims = 16
+    // find two tokens hashing to the SAME bucket with OPPOSITE signs so
+    // the hashed vector cancels to exactly zero
+    val toks = (0 until 4096).map(i => s"tok$i")
+    val byBucket = toks.groupBy(t => (hashU24(t) % dims).toInt)
+    val pair = byBucket.values.flatMap { ts =>
+      val (pos, neg) = ts.partition(t => (hashU24(t) / dims) % 2 == 0)
+      if (pos.nonEmpty && neg.nonEmpty) Some((pos.head, neg.head)) else None
+    }.head
+    val docs = Seq((1L, s"${pair._1} ${pair._2}")).toDF("doc_id", "text")
+    val embs = Seq((1L, Array.fill(dims)(1.0f))).toDF("vec_id", "embedding")
+    val rows = Multimodal
+      .alignmentScores(docs, embs, "doc_id", "text", "vec_id", "embedding", dims)
+      .collect()
+    assert(rows.length == 1 && rows(0).isNullAt(1),
+      "zero-norm text vector must score NULL (fail-closed), not a number")
+  }
+
   test("multimodal: payload attach + partition-local decode + frame sampling") {
     val df = Seq((1L, "abcdefgh"), (2L, "zzzz")).toDF("id", "raw")
     val withPayload = Multimodal.attachPayload(df, "raw")
