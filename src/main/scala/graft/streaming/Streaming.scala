@@ -564,7 +564,8 @@ object Streaming {
       idCol: String,
       vecCol: String,
       mu: Seq[Double],
-      v: Seq[Double]): DataFrame = {
+      v: Seq[Double],
+      carryCols: Seq[String] = Seq.empty): DataFrame = {
     require(mu.nonEmpty && mu.size == v.size, "need matching non-empty mu/v")
     val dims = mu.size
     val muL = typedLit(mu)
@@ -583,13 +584,16 @@ object Streaming {
       val m = floor(abs(x) * lit(1.0e9d))
       when(x < 0, -m).otherwise(m).cast("long")
     }
+    // carryCols pass through untouched (the curationGates convention) so
+    // the scorer chains ahead of stateful stages — gate on the score,
+    // then dedup on a carried content key, in ONE streaming query
     vecs.withColumn("__v", checked).select(
-      col(idCol),
-      aggregate(
-        sequence(lit(1), lit(dims)),
-        lit(0L),
-        (acc, d) => acc + term(d),
-        acc => acc.cast("double") / lit(1.0e9d)).as("pc1_score"))
+      col(idCol) +: carryCols.map(col) :+
+        aggregate(
+          sequence(lit(1), lit(dims)),
+          lit(0L),
+          (acc, d) => acc + term(d),
+          acc => acc.cast("double") / lit(1.0e9d)).as("pc1_score"): _*)
   }
 
   /** Curation gates as a stream — the `cur_funnel` stage prefix at ingest

@@ -1030,6 +1030,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming PCA gate -> exact dedup chain: ONE query, batch-parity keep set") {
+    // the new fit rides the established fit-batch/route-stream contract
+    // CHAINED: the stateless PC1 outlier gate (|score| <= cap) feeds the
+    // watermarked exact dedup on a carried content fingerprint in one
+    // streaming query (stateless projection + one stateful op — the
+    // curationGates -> dedup shape). Re-ingested copies of gate-passing
+    // vectors must dedup away; copies of gate-FAILING vectors must die at
+    // the gate (same embedding => bit-same score); survivor scores stay
+    // bit-identical to batch.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") < 200)
+    val f = graft.ml.Pca.fit(emb, "vec_id", "embedding", 64, 6, 4)
+    val batchScores = graft.ml.Pca
+      .pc1ScoresFrom(f, emb, "vec_id", "embedding", 64)
+      .as[(Long, Double)].collect().toMap
+    // cap at the 75th percentile of |score|: the gate genuinely splits
+    val cap = batchScores.values.map(math.abs).toSeq.sorted.apply(149)
+    val passing = batchScores.filter { case (_, s) => math.abs(s) <= cap }.keySet
+    assert(passing.nonEmpty && passing.size < 200)
+
+    val rows = emb.as[(Long, Array[Float])].collect().sortBy(_._1)
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val input = MemoryStream[(Long, Array[Float], java.sql.Timestamp)]
+    val df = input.toDF().toDF("vec_id", "embedding", "ts")
+    val chained = Streaming
+      .pcaScoreStream(df, "vec_id", "embedding", f.mu.toSeq, f.v.toSeq,
+        carryCols = Seq("embedding", "ts"))
+      .filter(abs(col("pc1_score")) <= cap)
+      .withColumn("fp", xxhash64(col("embedding")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("fp")
+      .select("vec_id", "pc1_score")
+    val q = chained.writeStream.format("memory").queryName("pca_gate_dedup")
+      .outputMode("append").start()
+    try {
+      // batch 1: the originals (id-ordered); batch 2: +1000000 re-ingest
+      // copies arriving within the watermark — every copy must lose
+      input.addData(rows.map(r => (r._1, r._2, t0)).toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(rows.map(r => (r._1 + 1000000L, r._2, t0)).toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.table("pca_gate_dedup").as[(Long, Double)].collect().toMap
+      assert(got.keySet == passing,
+        "chained survivors != batch gate-passing originals")
+      got.foreach { case (id, s) =>
+        assert(s == batchScores(id), s"vec $id survivor score drifted from batch")
+      }
+    } finally q.stop()
+  }
+
   test("streaming funnel -> budget handoff: the two-query composition reproduces the batch cur_funnel keep set") {
     // the full streaming cur_funnel as it actually ships: query 1 = the
     // stateless gates chained ahead of watermarked exact dedup (one
