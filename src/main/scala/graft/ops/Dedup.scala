@@ -208,15 +208,20 @@ object Dedup {
     * occurs on the pathological family while the groupBy+join alternative
     * taxes every corpus row always.
     *
-    * `viaGroupBy = true` is the EXTREME-FAMILY escape (10⁷+ identical
-    * docs, where the window form's single-task family scan becomes a real
-    * straggler): the rep table comes from a map-side-combined groupBy
-    * (the hot family partial-aggregates to one row per map task before
-    * the exchange — no single task ever holds the family) and membership
-    * joins back on the signature key, where AQE's skew-join split
-    * parallelizes the hot signature. Same output, bit-identical
-    * (`DedupTextSpec` pins the equivalence; the `lshfam`/`lshfamgb`
-    * probes bracket both regimes in BASELINE.md).
+    * `viaGroupBy = true` is the EXTREME-FAMILY escape: the rep table
+    * comes from a map-side-combined groupBy (the hot family
+    * partial-aggregates to one row per map task before the exchange — no
+    * single task ever holds the family) and membership joins back on the
+    * signature key, where AQE's skew-join split parallelizes the hot
+    * signature. Same output, bit-identical (`DedupTextSpec` pins the
+    * equivalence). MEASURED (r13 `lshfam`/`lshfamgb` probes, 3M docs with
+    * a 10⁶-member identical family): window 134 s vs groupBy 413 s — the
+    * window form's single-task family scan is STILL 3× cheaper than
+    * taxing every corpus row with the wide-signature-key join, so the
+    * default holds through 10⁶-member families; the escape is for the
+    * 10⁷–10⁸ regime where one task's linear scan of the family exceeds
+    * the job's straggler tolerance (its cost is family-size-flat by
+    * construction, the window form's grows with f).
     */
   def sigClusterMembers(
       sig: DataFrame,
