@@ -408,10 +408,13 @@ object IvfQuantizer {
       dims: Int,
       sampleEvery: Int,
       sfx: String,
-      dimOffset: Int): String = {
+      dimOffset: Int,
+      srcTable: String = "embeddings"): String = {
+    // srcTable may be any (vec_id, embedding) relation in scope — a CTE of
+    // TRANSFORMED vectors (whitened residuals, slices) fits the same chain
     val sb = new StringBuilder
     sb.append(s"""comp$sfx AS (SELECT vec_id, i.i AS dim, CAST(embedding[i.i + $dimOffset] AS DOUBLE) AS x
-           FROM embeddings, unnest(generate_series(1, $dims)) AS i(i)),
+           FROM $srcTable, unnest(generate_series(1, $dims)) AS i(i)),
          fcomp$sfx AS (SELECT * FROM comp$sfx WHERE vec_id % $sampleEvery = 0),
          cent${sfx}0 AS (SELECT vec_id AS cell, dim, CAST(CAST(x AS DECIMAL(38,9)) AS DOUBLE) AS s
                    FROM fcomp$sfx WHERE vec_id < $kExpr * $sampleEvery)""")

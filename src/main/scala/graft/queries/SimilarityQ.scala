@@ -949,6 +949,101 @@ object SimilarityQ {
            FROM m LEFT JOIN dup ON dup.query_id = m.vec_id""")),
 
     QDef(
+      "sim_semantic_dedup_whitened",
+      // SemDeDup over WHITENED vectors — the registered consumer that ACTS
+      // on sim_pca1_var's var_share signal (production SemDeDup removes/
+      // rescales dominant embedding axes before cosine so one artifact
+      // axis stops deciding every similarity): each vector is replaced by
+      // its AXIS-REMOVED residual r_d = x_d − mu_d − pc_1·v1_d − pc_2·v2_d
+      // (the memoized k=2 PCA fit; a fixed left-assoc IEEE chain per
+      // element, bit-replicable), then the UNCHANGED flat SemDeDup
+      // machinery runs on the residual frame: adaptive-k IVF fit routes,
+      // first-claimant dedup within cells at cosine >= 0.4, full keep
+      // ledger. Residual construction is one broadcast-literal projection
+      // over the corpus (the fit is sample-sized + memoized); candidates
+      // stay cell-bounded — same scale contract as sim_semantic_dedup
+      (s, d) => {
+        val fk = pcaFitFor(s, d)
+        val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val pcs = graft.ml.Pca.whitenScores(fk, emb, "vec_id", "embedding", 64)
+          .select(col("vec_id"), col("pc_1"), col("pc_2"))
+        val muL = typedLit(fk.mu.toSeq)
+        val v1L = typedLit(fk.vs(0).toSeq)
+        val v2L = typedLit(fk.vs(1).toSeq)
+        val resid = emb.join(pcs, "vec_id").select(
+          col("vec_id"),
+          transform(sequence(lit(1), lit(64)), dd =>
+            element_at(col("embedding"), dd).cast("double") - element_at(muL, dd)
+              - col("pc_1") * element_at(v1L, dd)
+              - col("pc_2") * element_at(v2L, dd)).as("embedding"))
+        val e = resid.withColumn("n2", Vectors.norm2Exact(col("embedding")))
+        val k = graft.ml.IvfQuantizer.adaptiveK(t(s, d, "embeddings").count(), 64)
+        val ranked = Caches.trackPersist(graft.ml.IvfQuantizer.fitRanked(
+          e, "vec_id", "embedding", "n2", k, 2, sampleEvery = 4))
+        val cells = ranked.filter(col("cell_rank") === 1).select(col("vec_id"), col("cell"))
+        val m = Caches.trackPersist(e.join(cells, "vec_id"))
+        val a = m.select(col("cell"), col("vec_id").as("query_id"),
+          col("embedding").as("qe"), col("n2").as("qn2"))
+        val c = m.select(col("cell"), col("vec_id"),
+          col("embedding").as("ce"), col("n2").as("cn2"))
+        val dup = c.join(a, Seq("cell"))
+          .filter(col("vec_id") < col("query_id"))
+          .withColumn("cos",
+            Vectors.cosineFrom(Vectors.dotExact(col("qe"), col("ce")), col("qn2"), col("cn2")))
+          .filter(col("cos") >= lit(0.4))
+          .groupBy("query_id")
+          .agg(
+            min(col("vec_id")).as("kept_by"),
+            count(lit(1)).as("n_dup"),
+            max(col("cos")).as("max_cos"))
+          .withColumnRenamed("query_id", "vec_id")
+        m.select(col("vec_id"))
+          .join(dup, Seq("vec_id"), "left")
+          .select(
+            col("vec_id"),
+            col("kept_by").isNull.cast("long").as("keep"),
+            col("kept_by"), col("n_dup"), col("max_cos"))
+      },
+      Some(s"""WITH ${graft.ml.Pca.whitenSql("embeddings", 64, 6, 4, k = 2)},
+           resid AS MATERIALIZED (SELECT e.vec_id,
+                   list(CAST(e.embedding[i.i] AS DOUBLE) - mu.mu
+                     - p.pc_1 * v1.x - p.pc_2 * v2.x ORDER BY i.i) AS embedding
+                 FROM embeddings e
+                   CROSS JOIN unnest(generate_series(1, 64)) AS i(i)
+                   JOIN mu ON mu.d = i.i
+                   JOIN vf1 v1 ON v1.d = i.i
+                   JOIN vf2 v2 ON v2.d = i.i
+                   JOIN pcs p ON p.vec_id = e.vec_id
+                 GROUP BY 1),
+           nw AS MATERIALIZED (SELECT vec_id,
+                   CAST(sum(CAST(CAST(embedding[i.i] AS DOUBLE)
+                     * CAST(embedding[i.i] AS DOUBLE) AS DECIMAL(38,9))) AS DOUBLE) AS n2
+                 FROM resid CROSS JOIN unnest(generate_series(1, 64)) AS i(i)
+                 GROUP BY 1),
+           kparam AS (${graft.ml.IvfQuantizer.sqlAdaptiveK("embeddings", 64)}),
+           ${graft.ml.IvfQuantizer.lloydSqlAtExpr(
+        "(SELECT k FROM kparam)", 2, 64, sampleEvery = 4, sfx = "w",
+        dimOffset = 0, srcTable = "resid")},
+           m AS (SELECT a.vec_id, a.cell, r.embedding
+                 FROM assignedw a JOIN resid r ON r.vec_id = a.vec_id),
+           d AS (SELECT q.vec_id AS query_id, c.vec_id,
+                   ${Vectors.sqlDotExact("q.embedding", "c.embedding", "i.i")} AS dot
+                 FROM m q JOIN m c ON c.cell = q.cell AND c.vec_id < q.vec_id,
+                      unnest(generate_series(1, 64)) AS i(i)
+                 GROUP BY 1, 2),
+           s AS (SELECT d.query_id, d.vec_id,
+                   d.dot / nullif(sqrt(nq.n2) * sqrt(nc.n2), CAST(0.0 AS DOUBLE)) AS cos
+                 FROM d JOIN nw nq ON nq.vec_id = d.query_id
+                      JOIN nw nc ON nc.vec_id = d.vec_id),
+           dup AS (SELECT query_id, CAST(min(vec_id) AS BIGINT) AS kept_by,
+                     CAST(count(*) AS BIGINT) AS n_dup, max(cos) AS max_cos
+                   FROM s WHERE cos >= CAST(0.4 AS DOUBLE) GROUP BY 1)
+           SELECT m.vec_id,
+             CAST(CASE WHEN dup.query_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep,
+             dup.kept_by, dup.n_dup, dup.max_cos
+           FROM m LEFT JOIN dup ON dup.query_id = m.vec_id""")),
+
+    QDef(
       "sim_rrf_fusion",
       // hybrid retrieval: reciprocal-rank fusion of a DENSE ranker (exact
       // cosine over embeddings) and a SPARSE ranker (distinct-token Jaccard
