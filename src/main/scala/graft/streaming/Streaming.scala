@@ -596,6 +596,73 @@ object Streaming {
           acc => acc.cast("double") / lit(1.0e9d)).as("pc1_score"): _*)
   }
 
+  /** Cross-modal alignment gate as a stream — `mm7_alignment_keep` at
+    * ingest time for rows that arrive with BOTH modalities (text +
+    * embedding in one multimodal ingest record): the signed hashed
+    * bag-of-words text vector is built ARRAY-LOCALLY (one md5 per token,
+    * then a dims-slot integer fold — no explode, no shuffle, no state),
+    * and the exact cosine against the row's own embedding uses the same
+    * trunc-9 dot / integer text norm / DECIMAL(38,9) embedding norm as
+    * the batch [[graft.ops.Multimodal.alignmentScores]]. Every per-term
+    * quantity is an integer or an exact decimal, so the array-order folds
+    * here and the batch groupBy's unordered sums agree EXACTLY — scores
+    * are slice-invariant and bit-identical to batch (pinned in
+    * `StreamingSpec`). NULL score (zero either norm, or NULL text) fails
+    * closed downstream, exactly like the batch ledger. Stateless — chain
+    * it ahead of watermarked dedup or a budget stage like
+    * [[pcaScoreStream]]. Runs identically on a batch frame.
+    */
+  def alignmentScoreStream(
+      rows: DataFrame,
+      idCol: String,
+      textCol: String,
+      vecCol: String,
+      dims: Int,
+      carryCols: Seq[String] = Seq.empty): DataFrame = {
+    require(dims > 0, "dims must be positive")
+    val checked = when(size(col(vecCol)) === dims, col(vecCol))
+      .otherwise(raise_error(concat(
+        lit(s"alignmentScoreStream: $vecCol length != $dims (got "),
+        size(col(vecCol)).cast("string"), lit(")"))))
+    val toks = graft.ops.Text.tokens(col(textCol))
+    // one md5 per token: (bucket 0-based, ±1) pairs, then a dims-slot fold
+    val sv = transform(toks, t => {
+      val h = graft.ops.Sampling.hashU24(t)
+      struct(
+        pmod(h, lit(dims.toLong)).as("b"),
+        when(pmod(h.divide(lit(dims)).cast("long"), lit(2L)) === 0L, 1L)
+          .otherwise(-1L).as("s"))
+    })
+    val tvec = transform(sequence(lit(0L), lit(dims - 1L)), d =>
+      aggregate(col("__sv"), lit(0L),
+        (acc, e) => acc + when(e.getField("b") === d, e.getField("s")).otherwise(0L)))
+    val n2t = aggregate(col("__tv"), lit(0L),
+      (acc, v) => acc + v * v).cast("double")
+    def t9(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val m = floor(abs(x) * lit(1.0e9d))
+      when(x < 0, -m).otherwise(m).cast("long")
+    }
+    val dot = aggregate(
+      sequence(lit(1), lit(dims)),
+      lit(0L),
+      (acc, d) => acc + t9(
+        element_at(col("__tv"), d).cast("double") *
+          element_at(col("__v"), d).cast("double")),
+      acc => acc.cast("double") / lit(1.0e9d))
+    val denom = sqrt(col("__n2t")) * sqrt(col("__n2x"))
+    rows
+      .withColumn("__v", checked)
+      .withColumn("__sv", sv)
+      .withColumn("__tv", tvec)
+      .withColumn("__n2t", n2t)
+      .withColumn("__n2x", graft.ops.Vectors.norm2Exact(col("__v")))
+      .withColumn("__dot", dot)
+      .select(
+        col(idCol) +: carryCols.map(col) :+
+          (col("__dot") / when(denom === 0.0, lit(null)).otherwise(denom))
+            .as("align_score"): _*)
+  }
+
   /** Curation gates as a stream — the `cur_funnel` stage prefix at ingest
     * time: arriving documents are scored STATELESSLY against PRE-FITTED
     * broadcast language profiles ([[graft.ops.Text.languageProfiles]] —

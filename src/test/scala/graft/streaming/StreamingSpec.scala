@@ -1083,6 +1083,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("alignmentScoreStream: scores bit-match the batch alignmentScores on paired rows") {
+    // the mm7 gate at ingest for rows arriving with both modalities: the
+    // array-local text-vector fold + trunc-9 dot must reproduce the batch
+    // op's explode/groupBy pipeline BIT-identically (integer folds are
+    // order-free), across micro-batch slicing, NULLs included
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val batch = graft.ops.Multimodal
+      .alignmentScores(docs, embs, "doc_id", "text", "vec_id", "embedding", 64)
+      .as[(Long, Option[Double])].collect().toMap
+    val paired = docs.join(embs, docs("doc_id") === embs("vec_id"))
+      .select(col("doc_id"), col("text"), col("embedding"))
+      .as[(Long, String, Array[Float])].collect()
+    assert(paired.length == batch.size, "pairing mismatch vs the batch ledger")
+    val input = MemoryStream[(Long, String, Array[Float])]
+    val df = input.toDF().toDF("doc_id", "text", "embedding")
+    val out = Streaming.alignmentScoreStream(df, "doc_id", "text", "embedding", 64)
+    val q = out.writeStream.format("memory").queryName("align_stream")
+      .outputMode("append").start()
+    try {
+      val (h, t2) = paired.splitAt(paired.length / 3)
+      input.addData(h.toIndexedSeq); q.processAllAvailable()
+      input.addData(t2.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("align_stream")
+        .as[(Long, Option[Double])].collect().toMap
+      assert(got.size == batch.size)
+      got.foreach { case (id, s) =>
+        assert(s == batch(id), s"doc $id stream=$s batch=${batch(id)} (must be bit-identical)")
+      }
+    } finally q.stop()
+  }
+
   test("streaming funnel -> budget handoff: the two-query composition reproduces the batch cur_funnel keep set") {
     // the full streaming cur_funnel as it actually ships: query 1 = the
     // stateless gates chained ahead of watermarked exact dedup (one
