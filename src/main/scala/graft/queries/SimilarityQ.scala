@@ -961,7 +961,12 @@ object SimilarityQ {
       // first-claimant dedup within cells at cosine >= 0.4, full keep
       // ledger. Residual construction is one broadcast-literal projection
       // over the corpus (the fit is sample-sized + memoized); candidates
-      // stay cell-bounded — same scale contract as sim_semantic_dedup
+      // stay cell-bounded — same scale contract as sim_semantic_dedup.
+      // The scored residual frame is PERSISTED by measurement (it embeds
+      // the pcs AGG result — the cache-agg-results rule, not a projection
+      // cache): solo-benched at sf0.1, warm pass 7.3 s unpersisted vs
+      // 4.1-4.4 s persisted (resid otherwise materializes twice - once
+      // into the quantizer's src cache, once into the pair-stage m)
       (s, d) => {
         val fk = pcaFitFor(s, d)
         val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
@@ -976,7 +981,8 @@ object SimilarityQ {
             element_at(col("embedding"), dd).cast("double") - element_at(muL, dd)
               - col("pc_1") * element_at(v1L, dd)
               - col("pc_2") * element_at(v2L, dd)).as("embedding"))
-        val e = resid.withColumn("n2", Vectors.norm2Exact(col("embedding")))
+        val e = Caches.trackPersist(
+          resid.withColumn("n2", Vectors.norm2Exact(col("embedding"))))
         val k = graft.ml.IvfQuantizer.adaptiveK(t(s, d, "embeddings").count(), 64)
         val ranked = Caches.trackPersist(graft.ml.IvfQuantizer.fitRanked(
           e, "vec_id", "embedding", "n2", k, 2, sampleEvery = 4))
