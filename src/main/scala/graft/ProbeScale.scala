@@ -35,6 +35,7 @@ object ProbeScale {
       case "funnel" => n => funnel(spark, n)
       case "lshfam" => n => lshfam(spark, n)
       case "lshfamgb" => n => lshfam(spark, n, viaGroupBy = true)
+      case "align" => n => align(spark, n)
       case "pprhub" => n => pprhub(spark, n)
       case other => sys.error(s"unknown probe: $other")
     }
@@ -215,6 +216,38 @@ object ProbeScale {
     graft.ops.Caches.releaseAll()
     docs.unpersist(true)
     ((System.nanoTime() - t0) / 1e9, s"family=$fam [labelled,clusters]=${r(0)}")
+  }
+
+  /** The mm7 cross-modal alignment gate over synthetic paired tables: n
+    * docs of 20 tokens from a 50k vocabulary, n 64-dim hash-derived
+    * embeddings on the shared id. Claim under test: LINEAR in n — the
+    * text vector is one explode + map-side hash agg (≤ 64 rows per doc
+    * out), the dot a co-partitioned equi-join on the id, the norms one
+    * agg each; nothing corpus × corpus anywhere.
+    */
+  private def align(spark: SparkSession, n: Long): (Double, String) = {
+    val docs = spark.range(n)
+      .select(
+        col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(19)),
+          i => concat(lit("w"), pmod(hash(col("id"), i), lit(50000))))).as("text"))
+      .localCheckpoint(true)
+    val embs = spark.range(n)
+      .select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(64)),
+          i => (pmod(hash(col("id"), i, lit(7)), lit(1000)).cast("double") / 500.0 - 1.0)
+            .cast("float")).as("embedding"))
+      .localCheckpoint(true)
+    val t0 = System.nanoTime()
+    val al = graft.ops.Multimodal.alignmentScores(
+      docs, embs, "doc_id", "text", "vec_id", "embedding", 64)
+    val r = al.agg(
+      count(lit(1)),
+      sum(when(col("align_score") >= 0, 1L).otherwise(0L))).collect()
+    graft.ops.Caches.releaseAll()
+    docs.unpersist(true); embs.unpersist(true)
+    ((System.nanoTime() - t0) / 1e9, s"[scored,kept>=0]=${r(0)}")
   }
 
   /** personalizedPagerankScaled at a HUB-SEED regime: n nodes, ~2n edges

@@ -333,6 +333,14 @@ object Streaming {
     * can receive very large batches, bound the slice via the source
     * admission knobs (`maxOffsetsPerTrigger` / `maxFilesPerTrigger`)
     * rather than dropping the sort.
+    *
+    * This op keyed by SOURCE is also the streaming per-source cap
+    * (`cur_source_cap` / `cur_source_token_cap` at ingest): pass the
+    * source column as `stratumCol` with `tokensCol` = the doc's token
+    * count (token cap) or a literal 1 column (doc cap) — the inclusive
+    * prefix-quota math is identical, and fed in the batch ledger's
+    * (hash24, key) order it reproduces `Sampling.sourceTokenCapLedger`'s
+    * keep set and cumulative sums exactly (pinned in `StreamingSpec`).
     */
   def tokenBudgetStream(
       docs: DataFrame,

@@ -1120,6 +1120,65 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("tokenBudgetStream keyed by source IS the streaming per-source token cap") {
+    // the cur_source_token_cap contract at ingest: the same inclusive
+    // prefix-quota op, keyed by source, fed in the batch ledger's
+    // (hash24, doc_id) admission order, must reproduce
+    // Sampling.sourceTokenCapLedger's keep set AND cumulative token sums
+    // exactly — no new streaming API, the re-parameterization IS the op
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(
+        col("doc_id"), col("source"),
+        size(graft.ops.Text.tokens(col("text"))).cast("long").as("n_tokens"))
+    val batch = graft.ops.Sampling
+      .sourceTokenCapLedger(docs, "doc_id", "source", "n_tokens", maxTokens = 1000L)
+      .select("doc_id", "src_cum_tokens", "keep")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // per-source queues in the batch's (hash24, doc_id) order; slices cut
+    // at every docId DESCENT so the stream's within-batch docId sort
+    // preserves the admission order (the funnel-handoff recipe)
+    val rows = docs.as[(Long, String, Long)].collect()
+    val u = docs.select(col("doc_id"), graft.ops.Sampling.hashU24(col("doc_id")).as("u"))
+      .as[(Long, Long)].collect().toMap
+    val queues = scala.collection.mutable.Map(
+      rows.groupBy(_._2).view.mapValues(
+        _.sortBy(r => (u(r._1), r._1)).toList).toSeq: _*)
+    val input = MemoryStream[(Long, String, Long)]
+    val df = input.toDF().toDF("doc_id", "source", "n_tokens")
+    val out = Streaming.tokenBudgetStream(df, "source", "doc_id", "n_tokens", 1000L)
+    val q = out.writeStream.format("memory").queryName("src_cap_stream")
+      .outputMode("append").start()
+    try {
+      while (queues.values.exists(_.nonEmpty)) {
+        val batchRows = queues.keys.toSeq.sorted.flatMap { src =>
+          queues(src) match {
+            case Nil => Nil
+            case head :: tail =>
+              var pre = List(head)
+              var rest = tail
+              while (rest.nonEmpty && rest.head._1 > pre.head._1) {
+                pre = rest.head :: pre; rest = rest.tail
+              }
+              queues(src) = rest
+              pre.reverse.map(r => (r._1, r._2, r._3))
+          }
+        }
+        input.addData(batchRows.toIndexedSeq); q.processAllAvailable()
+      }
+      val got = spark.table("src_cap_stream")
+        .selectExpr("docId", "cumTokens", "keep")
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      assert(got.size == batch.size)
+      assert(got == batch,
+        "streamed per-source cap ledger != batch sourceTokenCapLedger")
+      assert(got.values.exists(_._2 == 0L) && got.values.exists(_._2 == 1L),
+        "cap did not split any source (vacuous parity)")
+    } finally q.stop()
+  }
+
   test("streaming funnel -> budget handoff: the two-query composition reproduces the batch cur_funnel keep set") {
     // the full streaming cur_funnel as it actually ships: query 1 = the
     // stateless gates chained ahead of watermarked exact dedup (one
