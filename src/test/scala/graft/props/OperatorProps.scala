@@ -604,4 +604,34 @@ object OperatorProps extends Properties("graft.ops") {
       Prop(noDups && got == expected) :|
         s"texts=$nTexts fam=$famCopies len=$docLen: got=${got.size} want=${expected.size}"
     }
+
+  property("alignmentScores: bit-invariant under token permutation; |score| bounded") =
+    Prop.forAll(
+      Gen.listOfN(8, Gen.nonEmptyListOf(Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta"))),
+      Gen.choose(0L, 1000L)
+    ) { (tokLists, seed) =>
+      // the text vector is an integer bag (order-free sums) and the dot a
+      // trunc-9 integer fold, so permuting a doc's tokens must leave the
+      // score BIT-identical — the determinism the batch/stream parity
+      // relies on; and the exact cosine stays within [-1, 1] + one ulp
+      val dims = 16
+      val rng = new scala.util.Random(seed)
+      val vecs = tokLists.indices
+        .map(i => i.toLong -> Array.fill(dims)(rng.nextFloat() * 2f - 1f))
+      // base docs at id i, token-PERMUTED twins at id i+1000 sharing the
+      // same embedding — one Spark roundtrip compares both
+      val embs = (vecs ++ vecs.map { case (i, v) => (i + 1000L, v) })
+        .toDF("vec_id", "embedding")
+      val docs = (tokLists.zipWithIndex.map { case (ts, i) =>
+        (i.toLong, ts.mkString(" "))
+      } ++ tokLists.zipWithIndex.map { case (ts, i) =>
+        (i + 1000L, new scala.util.Random(seed).shuffle(ts).mkString(" "))
+      }).toDF("doc_id", "text")
+      val got = Multimodal
+        .alignmentScores(docs, embs, "doc_id", "text", "vec_id", "embedding", dims)
+        .as[(Long, Option[Double])].collect().toMap
+      val same = tokLists.indices.forall(i => got(i.toLong) == got(i + 1000L))
+      val bounded = got.values.flatten.forall(s => math.abs(s) <= 1.0 + 1e-9)
+      Prop(same && bounded) :| s"got=$got"
+    }
 }
