@@ -569,7 +569,12 @@ object Sampling {
     * (re-ingest-stable; under growth it rotates as any hash-ordered cap
     * must, the [[sourceCapLedger]] contract). Full ledger
     * out: (key, source, tokens, src_rank, src_cum_tokens, keep).
-    * `tokensCol` must be integral and non-NULL (the chunkedScan contract).
+    * `tokensCol` must be integral, non-NULL and non-negative (the
+    * chunkedScan contract) — enforced LOUDLY per row below: a NULL or
+    * negative token count would silently corrupt the running sums (NULL
+    * poisons every later cumsum in its source; a negative delta breaks the
+    * prefix property `keep` relies on), so the row raise_errors the job
+    * with the offending value instead.
     */
   def sourceTokenCapLedger(
       df: DataFrame,
@@ -578,8 +583,14 @@ object Sampling {
       tokensCol: String,
       maxTokens: Long): DataFrame = {
     require(maxTokens > 0, "maxTokens must be positive")
+    val guarded = df.withColumn(
+      tokensCol,
+      when(col(tokensCol).isNotNull && col(tokensCol) >= 0, col(tokensCol))
+        .otherwise(raise_error(concat(
+          lit(s"sourceTokenCapLedger: $tokensCol must be non-NULL and >= 0, got "),
+          coalesce(col(tokensCol).cast("string"), lit("NULL"))))))
     Windows.chunkedScan(
-      df.withColumn("__u", hashU24(col(keyCol))),
+      guarded.withColumn("__u", hashU24(col(keyCol))),
       keys = Seq(sourceCol),
       orderCols = Seq(col("__u"), col(keyCol)),
       deltaCol = tokensCol,
