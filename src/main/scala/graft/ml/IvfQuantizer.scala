@@ -1,9 +1,9 @@
 package graft.ml
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, StructType}
 
 /** Coarse quantizer for IVF-style ANN: spherical k-means fitted with
   * deterministic Lloyd iterations expressed as DataFrame aggregations, so
@@ -267,6 +267,175 @@ object IvfQuantizer {
     bestCell
   }
 
+  /** A FITTED quantizer collected to the driver: the (grp…, cell,
+    * centroid-sum) rows of the final Lloyd centroid frame plus their exact
+    * schema — sub-linear by the quantizer contract (k rows for a flat fit,
+    * ≤ k·G for a grouped one). [[fitRankedFrom]] rebuilds the identical
+    * centroid frame as a local relation and reruns ONLY the final
+    * full-corpus ranking, BIT-FOR-BIT equal to [[fitRanked]]'s (same
+    * ExactDot scale-9 dots / scale-4 norms on the same double values —
+    * collect round-trips doubles exactly — same (cos desc, cell)
+    * row_number; pinned in `IvfQuantizerSpec`). This is the production
+    * model-reuse shape: fit ONCE per dataset, memoize the k·d-row table,
+    * serve every consumer — the Lloyd passes leave every query plan after
+    * the first, and the per-query cost drops to one broadcast
+    * assignment.
+    */
+  final case class CollectedFit(
+      schema: StructType,
+      rows: Array[Row],
+      grpCols: Seq[String]) {
+    def centFrame(spark: SparkSession): DataFrame =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  /** Run the full Lloyd fit and collect the final centroid frame (rows
+    * ordered by (grp…, cell) for a deterministic driver-side table). Same
+    * fit, seeds and sampling contract as [[fitRanked]] — only the final
+    * full-corpus assignment is deferred to [[fitRankedFrom]].
+    */
+  def fitCollect(
+      e: DataFrame,
+      idCol: String,
+      vecCol: String,
+      n2Col: String,
+      k: Int,
+      iters: Int,
+      sampleEvery: Int = 1,
+      grpCols: Seq[String] = Nil,
+      seedPerGroup: Boolean = false): CollectedFit = {
+    val f = lloydFit(e, idCol, vecCol, n2Col, k, iters, sampleEvery, grpCols, seedPerGroup)
+    val ordered = f.cent.orderBy((grpCols :+ "cell").map(col): _*)
+    CollectedFit(ordered.schema, ordered.collect(), grpCols)
+  }
+
+  /** [[fitRanked]]'s final full-corpus ranking served from a memoized
+    * [[CollectedFit]] instead of an inline fit: (grp…, idCol, cell,
+    * cell_rank), bit-identical to the inline form. No Lloyd pass, no
+    * sample scan, no persist — one broadcast of the k·d local centroid
+    * table and one per-vector argmax window.
+    */
+  def fitRankedFrom(
+      e: DataFrame,
+      idCol: String,
+      vecCol: String,
+      n2Col: String,
+      fit: CollectedFit): DataFrame = {
+    val src = srcView(e, idCol, vecCol, n2Col, fit.grpCols)
+    rankCells(src, fit.centFrame(e.sparkSession), fit.grpCols).select(
+      fit.grpCols.map(col) ++ Seq(
+        col("__id").as(idCol), col("cell"), col("__rn").cast("long").as("cell_rank")): _*)
+  }
+
+  /** [[fitAssign]] from a memoized fit — rank-1 rows of [[fitRankedFrom]]. */
+  def fitAssignFrom(
+      e: DataFrame,
+      idCol: String,
+      vecCol: String,
+      n2Col: String,
+      fit: CollectedFit): DataFrame =
+    fitRankedFrom(e, idCol, vecCol, n2Col, fit)
+      .filter(col("cell_rank") === 1)
+      .select(fit.grpCols.map(col) ++ Seq(col(idCol), col("cell")): _*)
+
+  /** [[fitAssignScored]] from a memoized fit — assignment plus the winning
+    * cosine, bit-identical to the inline form.
+    */
+  def fitAssignScoredFrom(
+      e: DataFrame,
+      idCol: String,
+      vecCol: String,
+      n2Col: String,
+      fit: CollectedFit): DataFrame = {
+    require(fit.grpCols.isEmpty, "fitAssignScoredFrom serves flat fits")
+    val src = srcView(e, idCol, vecCol, n2Col, Nil)
+    rankCells(src, fit.centFrame(e.sparkSession), Nil)
+      .filter(col("__rn") === 1)
+      .select(col("__id").as(idCol), col("cell"), col("__cos").as("cos_centroid"))
+  }
+
+  /** The TWO-LEVEL hierarchical fit collected for memoization: the coarse
+    * flat fit plus the per-coarse-cell grouped sub-fit (grpCols =
+    * Seq("ccell"), per-group seeds). Routing both levels via
+    * [[fitAssignHierFrom]] reproduces [[fitAssignHier]] bit-for-bit (the
+    * coarse assignment is [[fitAssignFrom]]'s, and the level-2 fit runs on
+    * the identical coarse-joined frame).
+    */
+  def fitHierCollect(
+      e: DataFrame,
+      idCol: String,
+      vecCol: String,
+      n2Col: String,
+      k: Int,
+      iters: Int,
+      se1: Int,
+      se2: Int): (CollectedFit, CollectedFit) = {
+    val coarseFit = fitCollect(e, idCol, vecCol, n2Col, k, iters, se1)
+    val coarse = fitAssignFrom(e, idCol, vecCol, n2Col, coarseFit)
+      .withColumnRenamed("cell", "ccell")
+    val withC = e.join(coarse, idCol)
+    val subFit = fitCollect(withC, idCol, vecCol, n2Col, k, iters, se2,
+      grpCols = Seq("ccell"), seedPerGroup = true)
+    (coarseFit, subFit)
+  }
+
+  /** [[fitAssignHier]] served from a memoized [[fitHierCollect]] pair:
+    * (idCol, ccell, scell), bit-identical to the inline form.
+    */
+  def fitAssignHierFrom(
+      e: DataFrame,
+      idCol: String,
+      vecCol: String,
+      n2Col: String,
+      coarseFit: CollectedFit,
+      subFit: CollectedFit): DataFrame = {
+    val coarse = fitAssignFrom(e, idCol, vecCol, n2Col, coarseFit)
+      .withColumnRenamed("cell", "ccell")
+    val withC = e.join(coarse, idCol)
+    fitAssignFrom(withC, idCol, vecCol, n2Col, subFit)
+      .withColumnRenamed("cell", "scell")
+      .select(col(idCol), col("ccell"), col("scell"))
+  }
+
+  /** The (grp?, __id, __v, __n2) corpus view every ranking pass scores. */
+  private def srcView(
+      e: DataFrame,
+      idCol: String,
+      vecCol: String,
+      n2Col: String,
+      grpCols: Seq[String]): DataFrame =
+    e.select(grpCols.map(col) ++ Seq(
+      col(idCol).cast("long").as("__id"), col(vecCol).as("__v"), col(n2Col).as("__n2")): _*)
+
+  /** One assignment pass: every vector's full cell ranking against a
+    * centroid frame. Ungrouped: broadcast nested loop (every vector scores
+    * every cell); grouped: broadcast hash join on the group columns. Both
+    * exact sums run through the native ExactDot codegen expression
+    * (float×double and double×double element paths) — the equivalent
+    * zip_with/aggregate decimal folds are interpreted per element and were
+    * the measured fit bottleneck.
+    */
+  private def rankCells(
+      base: DataFrame, cent: DataFrame, grpCols: Seq[String]): DataFrame = {
+    val g = grpCols.map(col)
+    val withNs = cent.withColumn(
+      "__ns2", graft.functions.ExactDot.ofScale(col("__sv"), col("__sv"), 4))
+    val paired =
+      if (grpCols.isEmpty) base.crossJoin(broadcast(withNs))
+      else base.join(broadcast(withNs), grpCols)
+    paired
+      .withColumn(
+        "__dot", graft.functions.ExactDot.ofScale(col("__v"), col("__sv"), 9))
+      .withColumn("__cos", graft.ops.Vectors.cosineFrom(col("__dot"), col("__n2"), col("__ns2")))
+      .withColumn(
+        "__rn",
+        row_number().over(
+          Window.partitionBy(g :+ col("__id"): _*).orderBy(col("__cos").desc, col("cell"))))
+      // __cos rides along for scored consumers (fitAssignScored); the
+      // plain fitRanked/fitAssign projections drop it unchanged
+      .select(g ++ Seq(col("__id"), col("cell"), col("__rn"), col("__cos")): _*)
+  }
+
   /** Internal Lloyd-fit result: the persisted corpus view, the fitted
     * centroid frame, and the ranking closure binding the fit's group
     * columns.
@@ -291,9 +460,7 @@ object IvfQuantizer {
     val g = grpCols.map(col)
     // corpus view: (grp?, id, vec, n2). Persisted — scanned once per
     // assignment and once per update.
-    val src = graft.ops.Caches.trackPersist(
-      e.select(g ++ Seq(
-        col(idCol).cast("long").as("__id"), col(vecCol).as("__v"), col(n2Col).as("__n2")): _*))
+    val src = graft.ops.Caches.trackPersist(srcView(e, idCol, vecCol, n2Col, grpCols))
     // fit view: the systematic sample the Lloyd passes scan. id-dense
     // corpora get exactly n/sampleEvery fit rows; the FULL corpus is only
     // touched by the single final assignment below.
@@ -322,31 +489,6 @@ object IvfQuantizer {
       .select(g ++ Seq(
         col("__id").as("cell"), expr(s"transform(__v, $quantize)").as("__sv")): _*)
 
-    def rankCells(base: DataFrame, cent: DataFrame): DataFrame = {
-      // both exact sums run through the native ExactDot codegen expression
-      // (float×double and double×double element paths) — the equivalent
-      // zip_with/aggregate decimal folds are interpreted per element and
-      // were the measured fit bottleneck
-      val withNs = cent.withColumn(
-        "__ns2", graft.functions.ExactDot.ofScale(col("__sv"), col("__sv"), 4))
-      // ungrouped: every vector scores every cell (broadcast nested loop);
-      // grouped: vectors score only their group's cells (broadcast hash)
-      val paired =
-        if (grpCols.isEmpty) base.crossJoin(broadcast(withNs))
-        else base.join(broadcast(withNs), grpCols)
-      paired
-        .withColumn(
-          "__dot", graft.functions.ExactDot.ofScale(col("__v"), col("__sv"), 9))
-        .withColumn("__cos", graft.ops.Vectors.cosineFrom(col("__dot"), col("__n2"), col("__ns2")))
-        .withColumn(
-          "__rn",
-          row_number().over(
-            Window.partitionBy(g :+ col("__id"): _*).orderBy(col("__cos").desc, col("cell"))))
-        // __cos rides along for scored consumers (fitAssignScored); the
-        // plain fitRanked/fitAssign projections drop it unchanged
-        .select(g ++ Seq(col("__id"), col("cell"), col("__rn"), col("__cos")): _*)
-    }
-
     def assignFrom(ranked: DataFrame): DataFrame =
       ranked.filter(col("__rn") === 1).select(g ++ Seq(col("__id"), col("cell")): _*)
 
@@ -366,8 +508,8 @@ object IvfQuantizer {
     // by the next stage, so the nested plan evaluates each subtree once —
     // only `src` (scanned by every assignment and update) is cached
     var cent = cent0
-    for (_ <- 1 to iters) cent = update(assignFrom(rankCells(fit, cent)))
-    LloydFitted(src, cent, rankCells)
+    for (_ <- 1 to iters) cent = update(assignFrom(rankCells(fit, cent, grpCols)))
+    LloydFitted(src, cent, (b, c) => rankCells(b, c, grpCols))
   }
 
   /** DuckDB CTE chain mirroring [[fitRanked]] exactly: comp → cent0 →
@@ -460,10 +602,13 @@ object IvfQuantizer {
       sampleEvery: Int,
       sfx: String,
       gmapCte: String,
-      normCte: String): String = {
+      normCte: String,
+      srcTable: String = "embeddings"): String = {
+    // srcTable may be any (vec_id, embedding) relation in scope — a CTE of
+    // TRANSFORMED vectors (whitened residuals) fits the same chain
     val sb = new StringBuilder
     sb.append(s"""comp$sfx AS (SELECT gm.grp, e.vec_id, i.i AS dim, CAST(e.embedding[i.i] AS DOUBLE) AS x
-           FROM embeddings e JOIN $gmapCte gm ON gm.vec_id = e.vec_id,
+           FROM $srcTable e JOIN $gmapCte gm ON gm.vec_id = e.vec_id,
                 unnest(generate_series(1, $dims)) AS i(i)),
          fcomp$sfx AS (SELECT * FROM comp$sfx WHERE vec_id % $sampleEvery = 0),
          seed$sfx AS (SELECT grp, vec_id FROM (

@@ -99,6 +99,63 @@ class IvfQuantizerSpec extends SparkSpec {
         s"${routed.collect { case (id, c) if batch(id) != c => id }.toSeq.sorted}")
   }
 
+  test("fitCollect + fitRankedFrom == fitRanked bit-for-bit (flat, grouped, scored, hier)") {
+    // the memoization contract SimilarityQ's per-dataset fit cache rests
+    // on: serving the final full-corpus assignment from the collected
+    // centroid table must be indistinguishable from the inline fit — same
+    // ranking, same rank-1 assignment, same winning cosine, both flat and
+    // grouped/hierarchical
+    val e = corpus(60, seed = 53)
+    val inline = collectRanked(
+      IvfQuantizer.fitRanked(e, "vec_id", "embedding", "n2", k, iters, sampleEvery = 2))
+    graft.ops.Caches.releaseAll()
+    val fit = IvfQuantizer.fitCollect(e, "vec_id", "embedding", "n2", k, iters, sampleEvery = 2)
+    graft.ops.Caches.releaseAll()
+    val served = collectRanked(
+      IvfQuantizer.fitRankedFrom(e, "vec_id", "embedding", "n2", fit))
+    assert(served == inline, "memoized flat ranking diverged from the inline fit")
+
+    val scoredInline = IvfQuantizer
+      .fitAssignScored(e, "vec_id", "embedding", "n2", k, iters, sampleEvery = 2)
+      .select(col("vec_id").cast("long"), col("cell").cast("long"), col("cos_centroid"))
+      .as[(Long, Long, Double)].collect().toSet
+    graft.ops.Caches.releaseAll()
+    val scoredServed = IvfQuantizer
+      .fitAssignScoredFrom(e, "vec_id", "embedding", "n2", fit)
+      .select(col("vec_id").cast("long"), col("cell").cast("long"), col("cos_centroid"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(scoredServed == scoredInline, "memoized scored assignment diverged")
+
+    // grouped (the PQ-subspace shape): two groups over the same ids
+    val eg = e.withColumn("sub", (col("vec_id") % 2).cast("int"))
+    val gInline = IvfQuantizer
+      .fitAssign(eg, "vec_id", "embedding", "n2", k, iters, sampleEvery = 2,
+        grpCols = Seq("sub"))
+      .select(col("sub").cast("long"), col("vec_id").cast("long"), col("cell").cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    graft.ops.Caches.releaseAll()
+    val gFit = IvfQuantizer.fitCollect(eg, "vec_id", "embedding", "n2", k, iters,
+      sampleEvery = 2, grpCols = Seq("sub"))
+    graft.ops.Caches.releaseAll()
+    val gServed = IvfQuantizer.fitAssignFrom(eg, "vec_id", "embedding", "n2", gFit)
+      .select(col("sub").cast("long"), col("vec_id").cast("long"), col("cell").cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(gServed == gInline, "memoized grouped assignment diverged")
+
+    // hierarchical: two-level fit served from the collected pair
+    val hInline = IvfQuantizer
+      .fitAssignHier(e, "vec_id", "embedding", "n2", k, 1, se1 = 2, se2 = 1)
+      .select(col("vec_id").cast("long"), col("ccell").cast("long"), col("scell").cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    graft.ops.Caches.releaseAll()
+    val (cFit, sFit) = IvfQuantizer.fitHierCollect(e, "vec_id", "embedding", "n2", k, 1, 2, 1)
+    graft.ops.Caches.releaseAll()
+    val hServed = IvfQuantizer.fitAssignHierFrom(e, "vec_id", "embedding", "n2", cFit, sFit)
+      .select(col("vec_id").cast("long"), col("ccell").cast("long"), col("scell").cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(hServed == hInline, "memoized hierarchical assignment diverged")
+  }
+
   test("IVF routing recall: on clustered data every exact neighbor is in a probed cell") {
     // 8 well-separated clusters of 25 vectors in 16 dims: exact cosine
     // top-3 of any vector is inside its own cluster, so nprobe=2 routing
