@@ -730,6 +730,67 @@ object TextQ {
                GROUP BY 1, 2""")),
 
     QDef(
+      "mm9_alignment_keep_calibrated",
+      // the mm8 → mm7 handoff PINNED as one composed query: a real
+      // pipeline doesn't gate at a hand-picked τ — it calibrates τ per
+      // source from the score distribution and feeds it back (LAION's
+      // 0.28 was exactly such a calibration). Here each source's τ is its
+      // own p10 alignment quantile (drop the worst-aligned decile per
+      // source) computed by the EXACT mm8 machinery (1e-4 score grid, so
+      // exactQuantiles keeps its sub-linear-distinct contract), broadcast
+      // back (sources are sub-linear — the fitted-table rule), and the
+      // mm7 ledger keeps a doc iff align_score >= its source's τ —
+      // fail-closed on NULL score AND on a source with no calibration row
+      // (no scored docs). Determinism: the quantile is the proven mm8
+      // value; the comparison is one boolean on bit-identical doubles
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"), col("source"))
+        val al = Multimodal.alignmentScores(
+          docs, t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+          "doc_id", "text", "vec_id", "embedding", dims = 64)
+        val sq = docs.select("doc_id", "source").join(al, "doc_id")
+          .select(
+            col("source"),
+            (floor(col("align_score") * lit(10000.0d)) / lit(10000.0d))
+              .as("align_q"))
+        val tau = Stats.exactQuantiles(sq, Seq("source"), "align_q", Seq(0.1))
+          .select(col("source"), col("q_value").as("tau"))
+        docs.select("doc_id", "source").join(al, Seq("doc_id"), "left")
+          .join(broadcast(tau), Seq("source"), "left")
+          .select(
+            col("doc_id"), col("source"), col("align_score"), col("tau"),
+            coalesce(col("align_score") >= col("tau"), lit(false))
+              .cast("long").as("keep"))
+      },
+      Some(s"""WITH ${Multimodal.sqlAlignment(64)},
+               sq AS (SELECT d.source,
+                        floor(a.align_score * CAST(10000 AS DOUBLE))
+                          / CAST(10000 AS DOUBLE) AS align_q
+                      FROM align a JOIN documents d ON d.doc_id = a.doc_id
+                      WHERE a.align_score IS NOT NULL),
+               r AS (SELECT source, align_q AS value,
+                       row_number() OVER (PARTITION BY source ORDER BY align_q) AS rn,
+                       count(*) OVER (PARTITION BY source) AS n
+                     FROM sq),
+               p AS (SELECT r.source, r.value, r.rn,
+                       CAST(1.0 AS DOUBLE) + CAST(n - 1 AS DOUBLE)
+                         * CAST(0.1 AS DOUBLE) AS pos
+                     FROM r),
+               tau AS (SELECT source,
+                         min(CASE WHEN rn = CAST(floor(pos) AS BIGINT) THEN value END)
+                         + (min(CASE WHEN rn = CAST(ceil(pos) AS BIGINT) THEN value END)
+                            - min(CASE WHEN rn = CAST(floor(pos) AS BIGINT) THEN value END))
+                           * min(pos - floor(pos)) AS tau
+                       FROM p WHERE rn = CAST(floor(pos) AS BIGINT)
+                          OR rn = CAST(ceil(pos) AS BIGINT)
+                       GROUP BY 1)
+               SELECT d.doc_id, d.source, a.align_score, tau.tau,
+                 CAST(coalesce(a.align_score >= tau.tau, FALSE) AS BIGINT) AS keep
+               FROM documents d
+               LEFT JOIN align a ON a.doc_id = d.doc_id
+               LEFT JOIN tau ON tau.source = d.source""")),
+
+    QDef(
       "m16_spearman",
       // do two quality filters agree on ORDER? Spearman rank correlation
       // between t2's quality score and t13's unigram log-prob — the
