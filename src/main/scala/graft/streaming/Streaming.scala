@@ -604,6 +604,130 @@ object Streaming {
           acc => acc.cast("double") / lit(1.0e9d)).as("pc1_score"): _*)
   }
 
+  /** Signed trunc-9 fixed point of a double column — the in-plan twin of
+    * the per-term quantization inside `Exact.dsumTrunc9` (and of
+    * `Pca.t9`): array-local folds over these integers match the batch
+    * groupBy decimal sums exactly (integer addition associates).
+    */
+  private def t9Col(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val m = floor(abs(x) * lit(1.0e9d))
+    when(x < 0, -m).otherwise(m).cast("long")
+  }
+
+  private def checkedLen(
+      vecCol: String, dims: Int, who: String): org.apache.spark.sql.Column =
+    when(size(col(vecCol)) === dims, col(vecCol))
+      .otherwise(raise_error(concat(
+        lit(s"$who: $vecCol length != $dims (got "),
+        size(col(vecCol)).cast("string"), lit(")"))))
+
+  /** One whitened component score pc_c as an array-local fold over the
+    * length-checked `__v`: Σ t9((x_d − mu_d)·v_{c,d}) / 10⁹ — bit-identical
+    * to the batch `Pca.whitenScores` pc_c (same per-dim integer terms, and
+    * integer folds are order-free).
+    */
+  private def pcFold(fk: graft.ml.Pca.FitK, c: Int): org.apache.spark.sql.Column = {
+    val dims = fk.mu.length
+    val muL = typedLit(fk.mu.toSeq)
+    val vL = typedLit(fk.vs(c - 1).toSeq)
+    aggregate(
+      sequence(lit(1), lit(dims)),
+      lit(0L),
+      (acc, d) => acc + t9Col(
+        (element_at(col("__v"), d).cast("double") - element_at(muL, d)) *
+          element_at(vL, d)),
+      acc => acc.cast("double") / lit(1.0e9d))
+  }
+
+  /** Streaming whitened top-k scorer — [[pcaScoreStream]] extended to the
+    * FULL collected [[graft.ml.Pca.FitK]]: arriving vectors are projected
+    * STATELESSLY onto every fitted direction, emitting the raw component
+    * scores pc_1..pc_k and the whitened scores w_c = pc_c / √λ_c — all
+    * BIT-identical to the batch `Pca.whitenScores` (pinned in
+    * `StreamingSpec`): the per-dimension trunc-9 terms are integers (the
+    * array fold and the batch groupBy sum agree exactly) and each w_c is
+    * the same single IEEE division by the same literal √λ_c. No shuffle,
+    * no state; carryCols pass through so the scorer chains ahead of
+    * stateful stages. Runs identically on a batch frame.
+    */
+  def whitenScoreStream(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      fk: graft.ml.Pca.FitK,
+      carryCols: Seq[String] = Seq.empty): DataFrame = {
+    val kk = fk.vs.size
+    require(kk >= 1 && fk.vs.forall(_.length == fk.mu.length) && fk.lambdas.size == kk,
+      "whitenScoreStream needs a consistent FitK")
+    val withPc = (1 to kk).foldLeft(
+      vecs.withColumn("__v", checkedLen(vecCol, fk.mu.length, "whitenScoreStream"))) {
+      (df, c) => df.withColumn(s"pc_$c", pcFold(fk, c))
+    }
+    withPc.select(
+      col(idCol) +: carryCols.map(col)
+        ++: (1 to kk).map(c => col(s"pc_$c"))
+        ++: (1 to kk).map(c =>
+          (col(s"pc_$c") / lit(math.sqrt(fk.lambdas(c - 1)))).as(s"w_$c")): _*)
+  }
+
+  /** The axis-removed RESIDUAL at ingest — the streaming twin of the batch
+    * whitened-SemDeDup residual construction (`sim_semantic_dedup_whitened*`):
+    * r_d = x_d − mu_d − pc_1·v_{1,d} − … − pc_k·v_{k,d} with the pc_c
+    * computed array-locally ([[pcFold]]) and the per-element chain in the
+    * same fixed left-assoc IEEE order as the batch projection — so the
+    * emitted residual array is BIT-identical to the batch residual frame
+    * (pinned in `StreamingSpec`). Stateless; output (idCol, carryCols…,
+    * resid array<double>).
+    */
+  def whitenResidualStream(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      fk: graft.ml.Pca.FitK,
+      carryCols: Seq[String] = Seq.empty): DataFrame = {
+    val kk = fk.vs.size
+    require(kk >= 1 && fk.vs.forall(_.length == fk.mu.length) && fk.lambdas.size == kk,
+      "whitenResidualStream needs a consistent FitK")
+    val dims = fk.mu.length
+    val muL = typedLit(fk.mu.toSeq)
+    val vLs = fk.vs.map(v => typedLit(v.toSeq))
+    val withPc = (1 to kk).foldLeft(
+      vecs.withColumn("__v", checkedLen(vecCol, dims, "whitenResidualStream"))) {
+      (df, c) => df.withColumn(s"__pc_$c", pcFold(fk, c))
+    }
+    val resid = transform(sequence(lit(1), lit(dims)), dd =>
+      (1 to kk).foldLeft(
+        element_at(col("__v"), dd).cast("double") - element_at(muL, dd)) {
+        (acc, c) => acc - col(s"__pc_$c") * element_at(vLs(c - 1), dd)
+      })
+    withPc.select(
+      col(idCol) +: carryCols.map(col) :+ resid.as("resid"): _*)
+  }
+
+  /** Streaming WHITENED SemDeDup admission — the streaming twin of
+    * `sim_semantic_dedup_whitened`, closing the last batch-vs-stream
+    * asymmetry in the fit/route split: arriving vectors are reduced to
+    * their axis-removed residuals ([[whitenResidualStream]] — bit-equal to
+    * the batch residual frame), routed through a PRE-FITTED broadcast
+    * centroid table (fit the quantizer batch-side ON THE BATCH RESIDUAL
+    * frame — `IvfQuantizer.fitCentroids` over the same residuals this
+    * stream computes; both fits are batch by contract), and admitted
+    * against the kept residuals of their cell exactly as
+    * [[semanticDedupStream]] admits raw vectors: first-kept-claimant
+    * attribution, id-ordered greedy semantics, slice-invariant (pinned in
+    * `StreamingSpec`). Same keep-superset-of-batch containment as the raw
+    * stream: stream drops need a KEPT claimant.
+    */
+  def whitenedSemanticDedupStream(
+      vecs: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      fk: graft.ml.Pca.FitK,
+      tau: Double): Dataset[SemOut] =
+    semanticDedupStream(
+      whitenResidualStream(vecs, idCol, vecCol, fk), centroids, idCol, "resid", tau)
+
   /** Cross-modal alignment gate as a stream — `mm7_alignment_keep` at
     * ingest time for rows that arrive with BOTH modalities (text +
     * embedding in one multimodal ingest record): the signed hashed
@@ -633,12 +757,18 @@ object Streaming {
         lit(s"alignmentScoreStream: $vecCol length != $dims (got "),
         size(col(vecCol)).cast("string"), lit(")"))))
     val toks = graft.ops.Text.tokens(col(textCol))
-    // one md5 per token: (bucket 0-based, ±1) pairs, then a dims-slot fold
+    // one md5 per token: (bucket 0-based, ±1) pairs, then a dims-slot fold.
+    // Sign bit = the batch op's `(h DIV dims) % 2 == 0`, expressed without
+    // any division at all: for h >= 0, (h DIV dims) is even iff
+    // h mod 2·dims < dims (h = q·dims + r ⇒ h mod 2dims = (q mod 2)·dims + r)
+    // — pure integer modulus, exact at ANY hash width or dims magnitude,
+    // unlike the float-divide-then-truncate form it replaces (which only
+    // matched integer division because hashU24 < 2^24 ≪ 2^53)
     val sv = transform(toks, t => {
       val h = graft.ops.Sampling.hashU24(t)
       struct(
         pmod(h, lit(dims.toLong)).as("b"),
-        when(pmod(h.divide(lit(dims)).cast("long"), lit(2L)) === 0L, 1L)
+        when(pmod(h, lit(2L * dims)) < lit(dims.toLong), 1L)
           .otherwise(-1L).as("s"))
     })
     val tvec = transform(sequence(lit(0L), lit(dims - 1L)), d =>

@@ -1083,6 +1083,159 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("whitenScoreStream + whitenResidualStream bit-match the batch whitening pipeline") {
+    // fit batch (k=2 FitK), route stream: the array-local pc folds and the
+    // fixed left-assoc residual chain must reproduce Pca.whitenScores and
+    // the batch residual frame BIT-identically, across micro-batch slicing
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val fk = graft.ml.Pca.fitK(emb, "vec_id", "embedding", 64, 6, 4, k = 2)
+    val batchW = graft.ml.Pca.whitenScores(fk, emb, "vec_id", "embedding", 64)
+      .as[(Long, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val muL = typedLit(fk.mu.toSeq)
+    val v1L = typedLit(fk.vs(0).toSeq)
+    val v2L = typedLit(fk.vs(1).toSeq)
+    val batchResid = emb
+      .join(graft.ml.Pca.whitenScores(fk, emb, "vec_id", "embedding", 64)
+        .select(col("vec_id"), col("pc_1"), col("pc_2")), "vec_id")
+      .select(col("vec_id"),
+        transform(sequence(lit(1), lit(64)), dd =>
+          element_at(col("embedding"), dd).cast("double") - element_at(muL, dd)
+            - col("pc_1") * element_at(v1L, dd)
+            - col("pc_2") * element_at(v2L, dd)).as("resid"))
+      .as[(Long, Array[Double])].collect().toMap
+    graft.ops.Caches.releaseAll()
+    val rows = emb.as[(Long, Array[Float])].collect()
+
+    val input = MemoryStream[(Long, Array[Float])]
+    val df = input.toDF().toDF("vec_id", "embedding")
+    val out = Streaming.whitenScoreStream(df, "vec_id", "embedding", fk)
+    val q = out.writeStream.format("memory").queryName("whiten_stream")
+      .outputMode("append").start()
+    try {
+      val (h, t2) = rows.splitAt(rows.length / 2)
+      input.addData(h.toIndexedSeq); q.processAllAvailable()
+      input.addData(t2.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("whiten_stream")
+        .as[(Long, Double, Double, Double, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      assert(got.size == rows.length)
+      got.foreach { case (id, w) =>
+        assert(w == batchW(id), s"vec $id stream=$w batch=${batchW(id)} (must be bit-identical)")
+      }
+    } finally q.stop()
+
+    val input2 = MemoryStream[(Long, Array[Float])]
+    val df2 = input2.toDF().toDF("vec_id", "embedding")
+    val out2 = Streaming.whitenResidualStream(df2, "vec_id", "embedding", fk)
+    val q2 = out2.writeStream.format("memory").queryName("whitenresid_stream")
+      .outputMode("append").start()
+    try {
+      input2.addData(rows.toIndexedSeq); q2.processAllAvailable()
+      val got = spark.table("whitenresid_stream")
+        .as[(Long, Array[Double])].collect().toMap
+      assert(got.size == rows.length)
+      got.foreach { case (id, r) =>
+        assert(r.sameElements(batchResid(id)),
+          s"vec $id stream residual diverged from the batch residual frame")
+      }
+    } finally q2.stop()
+  }
+
+  test("whitenedSemanticDedupStream: greedy whitened admission, slice-invariant, keep ⊇ batch") {
+    // the streaming twin of sim_semantic_dedup_whitened, the same three
+    // contracts as the raw semanticDedupStream test: (1) the ledger equals
+    // a driver-side greedy reference over the BATCH residuals (stream
+    // residuals are bit-equal, pinned above); (2) slicing-invariant;
+    // (3) stream keep set contains the batch whitened keep set
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val tau = 0.4
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val fk = graft.ml.Pca.fitK(emb, "vec_id", "embedding", 64, 6, 4, k = 2)
+    val muL = typedLit(fk.mu.toSeq)
+    val v1L = typedLit(fk.vs(0).toSeq)
+    val v2L = typedLit(fk.vs(1).toSeq)
+    val residDf = emb
+      .join(graft.ml.Pca.whitenScores(fk, emb, "vec_id", "embedding", 64)
+        .select(col("vec_id"), col("pc_1"), col("pc_2")), "vec_id")
+      .select(col("vec_id"),
+        transform(sequence(lit(1), lit(64)), dd =>
+          element_at(col("embedding"), dd).cast("double") - element_at(muL, dd)
+            - col("pc_1") * element_at(v1L, dd)
+            - col("pc_2") * element_at(v2L, dd)).as("resid"))
+      .withColumn("n2", graft.ops.Vectors.norm2Exact(col("resid")))
+    val n = emb.count()
+    val k = graft.ml.IvfQuantizer.adaptiveK(n, 64)
+    // the batch half of the split: quantizer fitted ON THE BATCH RESIDUALS
+    val centDf = graft.ml.IvfQuantizer
+      .fitCentroids(residDf, "vec_id", "resid", "n2", k, 2, sampleEvery = 4)
+    val cents = graft.ml.IvfQuantizer.collectCentroids(centDf)
+    val resids = residDf.select(col("vec_id"), col("resid"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    graft.ops.Caches.releaseAll()
+
+    import graft.functions.ExactDot
+    val keptPerCell = scala.collection.mutable.Map
+      .empty[Long, List[(Long, Array[Double], Double)]]
+    val expected = resids.map { case (id, v) =>
+      val vN2: Double = ExactDot.computeArrays(v, v, 9)
+      val cell = graft.ml.IvfQuantizer.routeVector(v, vN2, cents)
+      val kept = keptPerCell.getOrElse(cell, Nil)
+      val claims = kept.flatMap { case (kid, kv, kn2) =>
+        val dot = ExactDot.computeArrays(v, kv, 9)
+        val den = math.sqrt(vN2) * math.sqrt(kn2)
+        if (dot != null && den != 0.0 && dot.doubleValue() / den >= tau)
+          Some((kid, dot.doubleValue() / den))
+        else None
+      }
+      if (claims.isEmpty) {
+        keptPerCell(cell) = kept :+ ((id, v, vN2))
+        (id, cell, 1L, None: Option[Long], None: Option[Long], None: Option[Double])
+      } else
+        (id, cell, 0L, Some(claims.map(_._1).min), Some(claims.size.toLong),
+          Some(claims.map(_._2).max))
+    }.toSet
+
+    val rows = emb.as[(Long, Array[Float])].collect().sortBy(_._1)
+    def runStream(slices: Int, name: String): Set[(Long, Long, Long, Option[Long], Option[Long], Option[Double])] = {
+      val input = MemoryStream[(Long, Array[Float])]
+      val df = input.toDF().toDF("vec_id", "embedding")
+      val out = Streaming.whitenedSemanticDedupStream(
+        df, centDf, "vec_id", "embedding", fk, tau)
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        rows.grouped(math.max(1, rows.length / slices)).foreach { chunk =>
+          input.addData(chunk.toSeq); q.processAllAvailable()
+        }
+        spark.table(name)
+          .select("vecId", "cell", "keep", "keptBy", "nDup", "maxCos")
+          .as[(Long, Long, Long, Option[Long], Option[Long], Option[Double])]
+          .collect().toSet
+      } finally q.stop()
+    }
+    val one = runStream(1, "wsemdedup_par1")
+    val three = runStream(3, "wsemdedup_par3")
+    graft.ops.Caches.releaseAll()
+    assert(one == three, "micro-batch slicing changed the whitened ledger")
+    assert(one == expected,
+      s"whitened stream diverged from the greedy reference: ${one.diff(expected).take(5)} vs ${expected.diff(one).take(5)}")
+
+    val batchKeep = graft.SparkEntry.queries("sim_semantic_dedup_whitened")(spark, sfDir)
+      .filter(col("keep") === 1L).select(col("vec_id"))
+      .as[Long].collect().toSet
+    graft.ops.Caches.releaseAll()
+    val streamKeep = one.collect { case (id, _, 1L, _, _, _) => id }
+    assert(batchKeep.subsetOf(streamKeep),
+      s"whitened stream keep set lost batch keeps: ${batchKeep.diff(streamKeep).take(10)}")
+  }
+
   test("alignmentScoreStream: scores bit-match the batch alignmentScores on paired rows") {
     // the mm7 gate at ingest for rows arriving with both modalities: the
     // array-local text-vector fold + trunc-9 dot must reproduce the batch
