@@ -139,15 +139,40 @@ class RegistryPlanLintSpec extends SparkSpec {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val failures = scala.collection.mutable.ListBuffer.empty[String]
-      val rows = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-        val out =
-          try {
-            val qe = fn(spark, sfDir).queryExecution
-            Some((name, signature(expandedPlans(qe.executedPlan)),
-              rawFloatAggs(qe.analyzed), nondetExprs(qe.analyzed)))
-          } catch { case e: Throwable => failures += s"$name: ${e.getMessage}"; None }
-        graft.ops.Caches.releaseAll()
-        out
+      // FIT-PIPELINE pseudo-queries: the PCA covariance fit and the IVF
+      // Lloyd fits are collected EAGERLY at query-build time by the
+      // memoized per-dataset caches (Pca.fitK via pcaFitFor; SimilarityQ's
+      // ivfFits/hierFits), so the registered queries' signatures contain
+      // only the post-fit routing plan — a fit-plan regression (lost
+      // broadcast, new exchange, un-pruned scan) would be invisible there.
+      // Planning the fit frames directly closes that blind spot: they are
+      // fully lazy DataFrames (collect happens only inside fitK/fitCollect),
+      // so this costs a plan, not a job.
+      val fitFrames: Seq[(String, org.apache.spark.sql.DataFrame)] = {
+        import org.apache.spark.sql.functions.col
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+        val eN = emb.withColumn("n2", graft.ops.Vectors.norm2Exact(col("embedding")))
+        Seq(
+          "__fit_pca_cov" ->
+            graft.ml.Pca.sampleCov(emb, "vec_id", "embedding", 64, 4),
+          "__fit_ivf_flat" ->
+            graft.ml.IvfQuantizer.fitRanked(eN, "vec_id", "embedding", "n2", 8, 2, sampleEvery = 4),
+          "__fit_ivf_hier" ->
+            graft.ml.IvfQuantizer.fitAssignHier(eN, "vec_id", "embedding", "n2", 3, 1, se1 = 4, se2 = 2))
+      }
+      val rows = (graft.SparkEntry.queries.toSeq.sortBy(_._1).map {
+        case (name, fn) => (name, () => fn(spark, sfDir))
+      } ++ fitFrames.map { case (name, df) => (name, () => df) }).flatMap {
+        case (name, build) =>
+          val out =
+            try {
+              val qe = build().queryExecution
+              Some((name, signature(expandedPlans(qe.executedPlan)),
+                rawFloatAggs(qe.analyzed), nondetExprs(qe.analyzed)))
+            } catch { case e: Throwable => failures += s"$name: ${e.getMessage}"; None }
+          graft.ops.Caches.releaseAll()
+          out
       }
       Sweep(
         rows.map(r => r._1 -> r._2).toMap,
