@@ -36,6 +36,7 @@ object ProbeScale {
       case "lshfam" => n => lshfam(spark, n)
       case "lshfamgb" => n => lshfam(spark, n, viaGroupBy = true)
       case "align" => n => align(spark, n)
+      case "alignmiss" => n => alignMiss(spark, n)
       case "pprhub" => n => pprhub(spark, n)
       case other => sys.error(s"unknown probe: $other")
     }
@@ -248,6 +249,47 @@ object ProbeScale {
     graft.ops.Caches.releaseAll()
     docs.unpersist(true); embs.unpersist(true)
     ((System.nanoTime() - t0) / 1e9, s"[scored,kept>=0]=${r(0)}")
+  }
+
+  /** The alignment gate at the NON-parallel-id regime (mm7 assumes
+    * vec_id ≡ doc_id only because the testdata ships parallel tables):
+    * n docs with ids 0..n−1, n embeddings keyed vec_id = 2·id — so only
+    * EVEN doc ids find a paired embedding (n/2 pairs), half the docs have
+    * no pair at all, and half the embeddings (vec_id ≥ n) match no doc.
+    * Runs the full mm7 ledger (docs LEFT JOIN scores, fail-closed keep).
+    * Claims under test: (1) the unpaired-doc path is the documented
+    * fail-closed NULL → keep=0, counted in the note; (2) cost stays the
+    * parallel-id probe's — the dot is still one equi-join on the id
+    * (co-partitioned/bucketed at 100 TB), and missing ids only SHRINK the
+    * join output; nothing degenerates toward corpus × corpus.
+    */
+  private def alignMiss(spark: SparkSession, n: Long): (Double, String) = {
+    val docs = spark.range(n)
+      .select(
+        col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(19)),
+          i => concat(lit("w"), pmod(hash(col("id"), i), lit(50000))))).as("text"))
+      .localCheckpoint(true)
+    val embs = spark.range(n)
+      .select(
+        (col("id") * 2L).as("vec_id"),
+        transform(sequence(lit(1), lit(64)),
+          i => (pmod(hash(col("id"), i, lit(7)), lit(1000)).cast("double") / 500.0 - 1.0)
+            .cast("float")).as("embedding"))
+      .localCheckpoint(true)
+    val t0 = System.nanoTime()
+    val al = graft.ops.Multimodal.alignmentScores(
+      docs, embs, "doc_id", "text", "vec_id", "embedding", 64)
+    val ledger = docs.select(col("doc_id"))
+      .join(al, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("align_score") >= lit(0.0d), lit(false)).cast("long").as("keep"))
+    val r = ledger.agg(
+      count(lit(1)), sum(col("keep")),
+      sum(when(col("keep") === 0L, 1L).otherwise(0L))).collect()
+    graft.ops.Caches.releaseAll()
+    docs.unpersist(true); embs.unpersist(true)
+    ((System.nanoTime() - t0) / 1e9, s"[docs,kept,failclosed]=${r(0)}")
   }
 
   /** personalizedPagerankScaled at a HUB-SEED regime: n nodes, ~2n edges

@@ -71,6 +71,19 @@ object SimilarityQ {
         e, "vec_id", vecCol, n2Col, k, iters, se, grpCols, seedPerGroup)
     }
 
+  /** TEST hook: clear the per-dataset fit memos. The plan a consumer
+    * query builds depends on memo WARMTH — a cold build runs the fit job,
+    * which MATERIALIZES the consumer's persisted input frames, giving the
+    * planner real (small) size stats and broadcast joins; a warm build
+    * plans against unmaterialized caches (estimate stats → SMJ, which AQE
+    * re-plans at runtime). `RegistryPlanLintSpec` resets before its sweep
+    * so the blessed signatures pin the deterministic cold-build shape
+    * regardless of which suites ran earlier in the JVM.
+    */
+  private[queries] def resetFitMemos(): Unit = {
+    pcaFits.clear(); ivfFits.clear(); hierFits.clear()
+  }
+
   /** The two-level hierarchical fits, memoized per (dataset, tag). */
   private val hierFits = new java.util.concurrent.ConcurrentHashMap[
     (String, String),

@@ -137,6 +137,11 @@ class RegistryPlanLintSpec extends SparkSpec {
     */
   private lazy val sweep: Sweep = {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // cold fit memos: a pre-warmed memo (another suite ran registered
+    // queries first) changes plan-time cache-materialization stats and
+    // flips broadcast-vs-SMJ choices — reset so the sweep is
+    // deterministic under ANY suite order (see SimilarityQ.resetFitMemos)
+    SimilarityQ.resetFitMemos()
     try {
       val failures = scala.collection.mutable.ListBuffer.empty[String]
       // FIT-PIPELINE pseudo-queries: the PCA covariance fit and the IVF
