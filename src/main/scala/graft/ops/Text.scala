@@ -116,6 +116,45 @@ object Text {
       .agg(count(lit(1)).as("score"))
   }
 
+  /** [[languageScores]] routed against a PRE-FITTED collected profile
+    * table (the serve half of the fit/route split — fit once per dataset
+    * via [[languageProfiles]], memoize, serve every consumer): the scoring
+    * join and integer counts are identical to the inline form because the
+    * rebuilt (profile_lang, token) local relation carries the exact rows
+    * the inline fit broadcasts — strings, no float surface at all.
+    */
+  def languageScoresWith(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      profiles: Seq[(String, Seq[String])]): DataFrame = {
+    val tok = spread(docs, idCol)
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    tok
+      .join(broadcast(profileFrame(docs.sparkSession, profiles)), Seq("token"))
+      .groupBy(col(idCol), col("profile_lang"))
+      .agg(count(lit(1)).as("score"))
+  }
+
+  /** [[languageId]] routed against a PRE-FITTED collected profile table. */
+  def languageIdWith(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      profiles: Seq[(String, Seq[String])]): DataFrame =
+    languageIdFrom(languageScoresWith(docs, idCol, textCol, profiles), idCol)
+
+  /** The (profile_lang, token) routing frame rebuilt from a collected
+    * [[languageProfiles]] table.
+    */
+  def profileFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      profiles: Seq[(String, Seq[String])]): DataFrame = {
+    import spark.implicits._
+    profiles.flatMap { case (l, ts) => ts.map(t => (l, t)) }
+      .toDF("profile_lang", "token")
+  }
+
   /** The fitted (profile_lang, token) table behind [[languageScores]]:
     * each language's `topK` most frequent tokens (count desc, token asc
     * tie-break), from an exploded (lang, token) frame.

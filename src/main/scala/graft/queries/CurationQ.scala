@@ -39,7 +39,7 @@ object CurationQ {
     val docs = t(s, d, "documents")
     val quality = Text.qualityScore(docs, "doc_id", "text")
       .select(col("doc_id"), col("n_tokens"), col("quality_score"))
-    val pred = Text.languageId(docs, "doc_id", "text", "lang", 20)
+    val pred = Text.languageIdWith(docs, "doc_id", "text", Q.langProfiles(s, d))
       .select(col("doc_id"), col("pred_lang"))
     val rep = Text.gopherRepetition(docs, "doc_id", "text")
       .select(col("doc_id"), col("flagged"))

@@ -64,4 +64,16 @@ object Q {
 
   val usPerHour: Long = 3600L * 1000000L
   val usPerDay: Long = 24L * usPerHour
+
+  /** The corpus language-profile table (|langs|·20 rows, bounded),
+    * fitted ONCE per dataset dir and memoized ([[graft.ops.Fits]]) — seven
+    * registry sites (t3, m11/m13/m12-family, t15-entropy, cur_funnel,
+    * cur_funnel_summary) previously each refit it with a full corpus-bag
+    * aggregation; the collected table is strings only, so serving it back
+    * through `Text.languageScoresWith` is trivially bit-identical.
+    */
+  def langProfiles(s: SparkSession, d: String): Seq[(String, Seq[String])] =
+    graft.ops.Fits.memo(d, "langprof:lang:20") {
+      graft.ops.Text.languageProfiles(t(s, d, "documents"), "doc_id", "text", "lang", 20)
+    }
 }

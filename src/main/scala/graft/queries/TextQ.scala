@@ -106,7 +106,10 @@ object TextQ {
 
     QDef(
       "t3_lang_id",
-      (s, d) => Text.languageId(t(s, d, "documents"), "doc_id", "text", "lang", 20),
+      // the profile fit is memoized per dataset (Q.langProfiles) — the
+      // t3 scoring itself is unchanged and the oracle refits inline
+      (s, d) => Text.languageIdWith(
+        t(s, d, "documents"), "doc_id", "text", Q.langProfiles(s, d)),
       Some("""WITH tok AS (SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS token FROM documents),
               cnts AS (SELECT lang, token, count(*) AS cnt FROM tok GROUP BY 1, 2),
               prof AS (SELECT lang AS profile_lang, token FROM
@@ -128,7 +131,7 @@ object TextQ {
       // ratios, sklearn zero_division=0 guards — engine-exact
       (s, d) => {
         val docs = t(s, d, "documents")
-        val pred = Text.languageId(docs, "doc_id", "text", "lang", 20)
+        val pred = Text.languageIdWith(docs, "doc_id", "text", Q.langProfiles(s, d))
           .select(col("doc_id"), col("pred_lang"))
         val scored = docs.select(col("doc_id"), col("lang").as("actual"))
           .join(pred, Seq("doc_id"), "left")
@@ -177,7 +180,7 @@ object TextQ {
       // intermediate an integer, one closing division
       (s, d) => {
         val docs = t(s, d, "documents")
-        val sc = Text.languageScores(docs, "doc_id", "text", "lang", 20)
+        val sc = Text.languageScoresWith(docs, "doc_id", "text", Q.langProfiles(s, d))
           .filter(col("profile_lang") === "en")
           .select(col("doc_id"), col("score"))
         val scored = docs
@@ -262,7 +265,7 @@ object TextQ {
       // division, never a partition-order-dependent double sum
       (s, d) => {
         val docs = t(s, d, "documents")
-        val sc = Text.languageScores(docs, "doc_id", "text", "lang", 20)
+        val sc = Text.languageScoresWith(docs, "doc_id", "text", Q.langProfiles(s, d))
           .withColumnRenamed("profile_lang", "class")
         val classes = docs.select(col("lang").as("class")).distinct()
         val scored = docs.select(col("doc_id"), col("lang"))
@@ -1309,7 +1312,8 @@ object TextQ {
       // docs with zero profile-token hits are absent by t3's contract
       (s, d) => {
         import graft.functions.MathLn
-        val sc = Text.languageScores(t(s, d, "documents"), "doc_id", "text", "lang", 20)
+        val sc = Text.languageScoresWith(
+          t(s, d, "documents"), "doc_id", "text", Q.langProfiles(s, d))
         val terms = sc
           .withColumn("t", sum("score").over(Window.partitionBy("doc_id")))
           .withColumn("p", col("score").cast("double") / col("t").cast("double"))

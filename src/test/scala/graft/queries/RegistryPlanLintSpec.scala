@@ -142,6 +142,7 @@ class RegistryPlanLintSpec extends SparkSpec {
     // flips broadcast-vs-SMJ choices — reset so the sweep is
     // deterministic under ANY suite order (see SimilarityQ.resetFitMemos)
     SimilarityQ.resetFitMemos()
+    graft.ops.Fits.reset()
     try {
       val failures = scala.collection.mutable.ListBuffer.empty[String]
       // FIT-PIPELINE pseudo-queries: the PCA covariance fit and the IVF
