@@ -397,6 +397,40 @@ object IvfQuantizer {
       .select(col(idCol), col("ccell"), col("scell"))
   }
 
+  /** [[collectCentroids]]-shaped driver routing table off a collected
+    * FLAT fit: (cell, centroid, ns2) ascending by cell — ns2 the scale-4
+    * exact self-dot the batch ranking uses. Feed to [[routeVector]].
+    */
+  def routingTable(fit: CollectedFit): Array[(Long, Array[Double], Double)] = {
+    require(fit.grpCols.isEmpty, "routingTable serves flat fits; use routingTables for grouped")
+    fit.rows.map { r =>
+      val sv = r.getSeq[Double](r.fieldIndex("__sv")).toArray
+      (r.getLong(r.fieldIndex("cell")), sv,
+        graft.functions.ExactDot.computeArrays(sv, sv, 4): Double)
+    }.sortBy(_._1)
+  }
+
+  /** Per-group driver routing tables off a collected GROUPED fit with ONE
+    * long group column (the hierarchical level-2 shape, grpCols =
+    * Seq("ccell")): group → its (cell, centroid, ns2) table ascending by
+    * cell. Routing a vector with [[routeVector]] against its group's
+    * table reproduces the grouped batch rank's `(cos desc, cell)` argmax
+    * bit-for-bit — the same per-group math, pinned via the hier streaming
+    * parity spec. Groups with no fit-sample members have no table (the
+    * batch contract DROPS their vectors; stream callers fail loudly).
+    */
+  def routingTables(fit: CollectedFit): Map[Long, Array[(Long, Array[Double], Double)]] = {
+    require(fit.grpCols.size == 1, "routingTables serves single-group-column fits")
+    val g = fit.grpCols.head
+    fit.rows.groupBy(r => r.getLong(r.fieldIndex(g))).map { case (grp, rows) =>
+      grp -> rows.map { r =>
+        val sv = r.getSeq[Double](r.fieldIndex("__sv")).toArray
+        (r.getLong(r.fieldIndex("cell")), sv,
+          graft.functions.ExactDot.computeArrays(sv, sv, 4): Double)
+      }.sortBy(_._1)
+    }
+  }
+
   /** The (grp?, __id, __v, __n2) corpus view every ranking pass scores. */
   private def srcView(
       e: DataFrame,

@@ -488,6 +488,96 @@ object Streaming {
       }
   }
 
+  /** A two-level-routed vector awaiting its per-leaf admission decision. */
+  final case class SemRoutedHier(
+      vecId: Long, ccell: Long, scell: Long, vec: Array[Double], n2: Double)
+
+  /** One ledger row of [[semanticDedupStreamHier]] — the leaf key is the
+    * (ccell, scell) PAIR, like the batch hier ledgers.
+    */
+  final case class SemOutHier(
+      vecId: Long, ccell: Long, scell: Long, keep: Long,
+      keptBy: Option[Long], nDup: Option[Long], maxCos: Option[Double])
+
+  /** [[semanticDedupStream]] through the TWO-LEVEL hierarchical quantizer
+    * — the streaming twin of `sim_semantic_dedup_hier` (and, fed the
+    * residual stream, of `sim_semantic_dedup_whitened_hier`), for the
+    * regime where the flat adaptive-k centroid table itself stops
+    * broadcasting: per row, route to the argmax coarse cell, then to the
+    * argmax sub-cell WITHIN that coarse cell's table — 2k centroid
+    * scorings instead of k², exactly the batch `fitAssignHier` assignment
+    * (both levels ride [[graft.ml.IvfQuantizer.routeVector]]'s
+    * exact-arithmetic closure, which the per-group batch rank shares —
+    * parity pinned in `StreamingSpec`). Admission then runs the unchanged
+    * greedy per-LEAF logic with state keyed by (ccell, scell); same
+    * keep-superset-of-batch containment, arrival-order semantics, and
+    * tau-packing state bound as the flat stream (per-leaf now, target ~64
+    * with hierK). Pass [[graft.ml.IvfQuantizer.fitHierCollect]]'s pair;
+    * a vector routed to a coarse cell with NO level-2 fit (se2 too
+    * coarse — the batch contract silently DROPS such vectors) fails the
+    * micro-batch loudly instead.
+    */
+  def semanticDedupStreamHier(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      coarseFit: graft.ml.IvfQuantizer.CollectedFit,
+      subFit: graft.ml.IvfQuantizer.CollectedFit,
+      tau: Double): Dataset[SemOutHier] = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    import graft.functions.ExactDot
+    val coarse = graft.ml.IvfQuantizer.routingTable(coarseFit)
+    val subs = graft.ml.IvfQuantizer.routingTables(subFit)
+    require(coarse.nonEmpty && subs.nonEmpty,
+      "semanticDedupStreamHier needs fitted coarse + sub centroid tables")
+    val bcC = spark.sparkContext.broadcast(coarse)
+    val bcS = spark.sparkContext.broadcast(subs)
+    vecs
+      .select(
+        col(idCol).cast("long").as("vecId"),
+        col(vecCol).cast("array<double>").as("vec"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        val n2: Double = ExactDot.computeArrays(v, v, 9)
+        val ccell = graft.ml.IvfQuantizer.routeVector(v, n2, bcC.value)
+        val sub = bcS.value.getOrElse(ccell, throw new IllegalStateException(
+          s"semanticDedupStreamHier: coarse cell $ccell has no level-2 fit " +
+            "(pick se2 so every coarse cell keeps fit samples)"))
+        SemRoutedHier(id, ccell, graft.ml.IvfQuantizer.routeVector(v, n2, sub), v, n2)
+      }
+      .groupByKey(r => (r.ccell, r.scell))
+      .flatMapGroupsWithState[SemState, SemOutHier](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (leaf: (Long, Long), rows: Iterator[SemRoutedHier], state: GroupState[SemState]) =>
+          var kept = state.getOption.map(_.kept).getOrElse(Nil)
+          val out = rows.toSeq.sortBy(_.vecId).map { r =>
+            var keptBy = Option.empty[Long]
+            var maxCos = Option.empty[Double]
+            var nDup = 0L
+            kept.foreach { km =>
+              val dot = ExactDot.computeArrays(r.vec, km.vec, 9)
+              val den = math.sqrt(r.n2) * math.sqrt(km.n2)
+              if (dot != null && den != 0.0) {
+                val cos = dot.doubleValue() / den
+                if (cos >= tau) {
+                  nDup += 1
+                  if (keptBy.forall(_ > km.vecId)) keptBy = Some(km.vecId)
+                  if (maxCos.forall(_ < cos)) maxCos = Some(cos)
+                }
+              }
+            }
+            if (keptBy.isEmpty) {
+              kept = kept :+ SemKept(r.vecId, r.vec, r.n2)
+              SemOutHier(r.vecId, leaf._1, leaf._2, 1L, None, None, None)
+            } else SemOutHier(r.vecId, leaf._1, leaf._2, 0L, keptBy, Some(nDup), maxCos)
+          }
+          state.update(SemState(kept))
+          out.iterator
+      }
+  }
+
   /** Streaming DSIR admission — the ingest-time analog of the batch
     * `mix_dsir` selection: score each arriving document's hashed
     * unigram+bigram profile against a PRE-FITTED broadcast bucket

@@ -1236,6 +1236,93 @@ class StreamingSpec extends SparkSpec {
       s"whitened stream keep set lost batch keeps: ${batchKeep.diff(streamKeep).take(10)}")
   }
 
+  test("semanticDedupStreamHier: two-level routing == batch hier assignment; greedy, slice-invariant, keep ⊇ batch") {
+    // the hierarchical twin of the flat semanticDedupStream contracts:
+    // (1) per-row two-level routeVector routing equals the batch
+    //     fitAssignHierFrom (ccell, scell) assignment bit-for-bit;
+    // (2) the ledger equals a driver-side greedy per-LEAF reference;
+    // (3) slicing-invariant; (4) keep set contains the batch
+    //     sim_semantic_dedup_hier keep set
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val tau = 0.4
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("n2", graft.ops.Vectors.norm2Exact(col("embedding")))
+    val k = graft.ml.IvfQuantizer.hierK(e.count(), 64)
+    val (cFit, sFit) = graft.ml.IvfQuantizer
+      .fitHierCollect(e, "vec_id", "embedding", "n2", k, 1, 4, 2)
+    val batchLeaf = graft.ml.IvfQuantizer
+      .fitAssignHierFrom(e, "vec_id", "embedding", "n2", cFit, sFit)
+      .select(col("vec_id").cast("long"), col("ccell").cast("long"), col("scell").cast("long"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val rows = e.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    graft.ops.Caches.releaseAll()
+
+    // driver-side routing + greedy per-leaf reference
+    import graft.functions.ExactDot
+    val coarse = graft.ml.IvfQuantizer.routingTable(cFit)
+    val subs = graft.ml.IvfQuantizer.routingTables(sFit)
+    val keptPerLeaf = scala.collection.mutable.Map
+      .empty[(Long, Long), List[(Long, Array[Double], Double)]]
+    val expected = rows.map { case (id, vf) =>
+      val v = vf.map(_.toDouble)
+      val vN2: Double = ExactDot.computeArrays(v, v, 9)
+      val ccell = graft.ml.IvfQuantizer.routeVector(v, vN2, coarse)
+      val scell = graft.ml.IvfQuantizer.routeVector(v, vN2, subs(ccell))
+      assert(batchLeaf(id) == ((ccell, scell)),
+        s"vec $id: closure routing ($ccell,$scell) != batch ${batchLeaf(id)}")
+      val leaf = (ccell, scell)
+      val kept = keptPerLeaf.getOrElse(leaf, Nil)
+      val claims = kept.flatMap { case (kid, kv, kn2) =>
+        val dot = ExactDot.computeArrays(v, kv, 9)
+        val den = math.sqrt(vN2) * math.sqrt(kn2)
+        if (dot != null && den != 0.0 && dot.doubleValue() / den >= tau)
+          Some((kid, dot.doubleValue() / den))
+        else None
+      }
+      if (claims.isEmpty) {
+        keptPerLeaf(leaf) = kept :+ ((id, v, vN2))
+        (id, ccell, scell, 1L, None: Option[Long], None: Option[Long], None: Option[Double])
+      } else
+        (id, ccell, scell, 0L, Some(claims.map(_._1).min), Some(claims.size.toLong),
+          Some(claims.map(_._2).max))
+    }.toSet
+
+    def runStream(slices: Int, name: String): Set[(Long, Long, Long, Long, Option[Long], Option[Long], Option[Double])] = {
+      val input = MemoryStream[(Long, Array[Float])]
+      val df = input.toDF().toDF("vec_id", "embedding")
+      val out = Streaming.semanticDedupStreamHier(df, "vec_id", "embedding", cFit, sFit, tau)
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        rows.grouped(math.max(1, rows.length / slices)).foreach { chunk =>
+          input.addData(chunk.toSeq); q.processAllAvailable()
+        }
+        spark.table(name)
+          .select("vecId", "ccell", "scell", "keep", "keptBy", "nDup", "maxCos")
+          .as[(Long, Long, Long, Long, Option[Long], Option[Long], Option[Double])]
+          .collect().toSet
+      } finally q.stop()
+    }
+    val one = runStream(1, "hsemdedup_par1")
+    val three = runStream(3, "hsemdedup_par3")
+    graft.ops.Caches.releaseAll()
+    assert(one == three, "micro-batch slicing changed the hier ledger")
+    assert(one == expected,
+      s"hier stream diverged from the greedy reference: ${one.diff(expected).take(5)} vs ${expected.diff(one).take(5)}")
+
+    val batchKeep = graft.SparkEntry.queries("sim_semantic_dedup_hier")(spark, sfDir)
+      .filter(col("keep") === 1L).select(col("vec_id"))
+      .as[Long].collect().toSet
+    graft.ops.Caches.releaseAll()
+    val streamKeep = one.collect { case (id, _, _, 1L, _, _, _) => id }
+    assert(batchKeep.subsetOf(streamKeep),
+      s"hier stream keep set lost batch keeps: ${batchKeep.diff(streamKeep).take(10)}")
+  }
+
   test("alignmentScoreStream: scores bit-match the batch alignmentScores on paired rows") {
     // the mm7 gate at ingest for rows arriving with both modalities: the
     // array-local text-vector fold + trunc-9 dot must reproduce the batch
