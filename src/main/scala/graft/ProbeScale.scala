@@ -37,6 +37,7 @@ object ProbeScale {
       case "lshfamgb" => n => lshfam(spark, n, viaGroupBy = true)
       case "align" => n => align(spark, n)
       case "alignmiss" => n => alignMiss(spark, n)
+      case "ivfserve" => n => ivfServe(spark, n)
       case "pprhub" => n => pprhub(spark, n)
       case other => sys.error(s"unknown probe: $other")
     }
@@ -290,6 +291,39 @@ object ProbeScale {
     graft.ops.Caches.releaseAll()
     docs.unpersist(true); embs.unpersist(true)
     ((System.nanoTime() - t0) / 1e9, s"[docs,kept,failclosed]=${r(0)}")
+  }
+
+  /** The memoized fit/route split at scale: ONE IvfQuantizer.fitCollect
+    * (k=8, 2 Lloyd iters, vec_id % 4 sample — the sim-family shape) vs ONE
+    * full-corpus fitRankedFrom assignment served from the collected table.
+    * Claims under test: the fit is sample-sized (its wall tracks n/4, not
+    * consumer count), the serve is one broadcast assignment (linear, no
+    * Lloyd passes), and at the memoized steady state each ADDITIONAL
+    * consumer pays only the serve — the round-14 memoization's 100×-scale
+    * cost model, measured instead of argued.
+    */
+  private def ivfServe(spark: SparkSession, n: Long): (Double, String) = {
+    val e = spark.range(n)
+      .select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(64)),
+          i => (pmod(hash(col("id"), i, lit(7)), lit(1000)).cast("double") / 500.0 - 1.0)
+            .cast("float")).as("embedding"))
+      .withColumn("n2", graft.ops.Vectors.norm2Exact(col("embedding")))
+      .localCheckpoint(true)
+    val t0 = System.nanoTime()
+    val fit = graft.ml.IvfQuantizer.fitCollect(e, "vec_id", "embedding", "n2", 8, 2, sampleEvery = 4)
+    val tFit = (System.nanoTime() - t0) / 1e9
+    graft.ops.Caches.releaseAll()
+    val t1 = System.nanoTime()
+    val cells = graft.ml.IvfQuantizer
+      .fitRankedFrom(e, "vec_id", "embedding", "n2", fit)
+      .filter(col("cell_rank") === 1)
+      .groupBy("cell").agg(count(lit(1)).as("m")).collect()
+    val tServe = (System.nanoTime() - t1) / 1e9
+    e.unpersist(true)
+    ((System.nanoTime() - t0) / 1e9,
+      f"fit=$tFit%.2f s serve=$tServe%.2f s cells=${cells.length}%d")
   }
 
   /** personalizedPagerankScaled at a HUB-SEED regime: n nodes, ~2n edges
