@@ -30,6 +30,14 @@ object Fits {
     cells.computeIfAbsent((dataset, tag), _ => new Cell[Any](() => fit))
       .value.asInstanceOf[A]
 
-  /** TEST hook (plan-sweep determinism — see SimilarityQ.resetFitMemos). */
+  /** TEST hook: clear every fit memo. The plan a consumer query builds
+    * depends on memo WARMTH — a cold build runs the fit job, which
+    * MATERIALIZES the consumer's persisted input frames, giving the
+    * planner real (small) size stats and broadcast joins; a warm build
+    * plans against unmaterialized caches (estimate stats → static SMJ,
+    * which AQE re-plans at runtime). `RegistryPlanLintSpec` resets before
+    * its sweep so the blessed signatures pin the deterministic cold-build
+    * shape regardless of which suites ran earlier in the JVM.
+    */
   private[graft] def reset(): Unit = cells.clear()
 }

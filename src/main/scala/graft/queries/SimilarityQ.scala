@@ -15,32 +15,17 @@ import graft.ops._
 object SimilarityQ {
   import Q._
 
-  /** Lazy memo cell: `computeIfAbsent` only ever constructs the cheap
-    * holder INSIDE the map's bin lock; the Spark fit itself runs on first
-    * `.value` access OUTSIDE it (the `lazy val` synchronizes on the cell,
-    * so concurrent first-callers of the SAME key serialize on each other —
-    * correct — while different keys never share a lock even when they
-    * collide into one bin).
-    */
-  private final class Memo[A](thunk: () => A) { lazy val value: A = thunk() }
-  private def memo[K, A](
-      m: java.util.concurrent.ConcurrentHashMap[K, Memo[A]], k: K)(f: => A): A =
-    m.computeIfAbsent(k, _ => new Memo(() => f)).value
-
   /** One PCA fit per dataset dir: sim_pca1_score / sim_pca1_var /
     * sim_pca_whiten all route against the SAME collected FitK (fitted at
     * k = 2 — component 1 of the deflation chain is bit-identical to the
-    * k = 1 fit, so the top-1 consumers are unchanged). Keyed by the sf
-    * dir: valid for the one-dataset-per-JVM lifecycle Verify/Bench run;
-    * a dataset REGENERATED at the same path within one JVM would serve a
-    * stale fit — the standard fitted-model-cache caveat, stated here (it
-    * applies to every fitted-table memo below).
+    * k = 1 fit, so the top-1 consumers are unchanged). Memoized in the
+    * engine-wide [[graft.ops.Fits]] registry (keyed by the sf dir; the
+    * lock-scope and stale-fit caveats live there and apply to every
+    * fitted-table memo below).
     */
-  private val pcaFits =
-    new java.util.concurrent.ConcurrentHashMap[String, Memo[graft.ml.Pca.FitK]]()
   private def pcaFitFor(
       s: org.apache.spark.sql.SparkSession, d: String): graft.ml.Pca.FitK =
-    memo(pcaFits, d) {
+    graft.ops.Fits.memo(d, "pca:k2:i6:se4") {
       graft.ml.Pca.fitK(
         t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
         "vec_id", "embedding", dims = 64, iters = 6, sampleEvery = 4, k = 2)
@@ -58,41 +43,23 @@ object SimilarityQ {
     * whitened "resid", PQ subspace slices) since the frames differ; the
     * stale-fit caveat above applies.
     */
-  private val ivfFits = new java.util.concurrent.ConcurrentHashMap[
-    (String, String), Memo[graft.ml.IvfQuantizer.CollectedFit]]()
   private def ivfFitFor(
       d: String, tag: String, k: Int, iters: Int, se: Int,
       grpCols: Seq[String] = Nil, seedPerGroup: Boolean = false)(
       e: => org.apache.spark.sql.DataFrame,
       vecCol: String = "embedding", n2Col: String = "n2")
       : graft.ml.IvfQuantizer.CollectedFit =
-    memo(ivfFits, (d, s"$tag:$k:$iters:$se")) {
+    graft.ops.Fits.memo(d, s"ivf:$tag:$k:$iters:$se") {
       graft.ml.IvfQuantizer.fitCollect(
         e, "vec_id", vecCol, n2Col, k, iters, se, grpCols, seedPerGroup)
     }
 
-  /** TEST hook: clear the per-dataset fit memos. The plan a consumer
-    * query builds depends on memo WARMTH — a cold build runs the fit job,
-    * which MATERIALIZES the consumer's persisted input frames, giving the
-    * planner real (small) size stats and broadcast joins; a warm build
-    * plans against unmaterialized caches (estimate stats → SMJ, which AQE
-    * re-plans at runtime). `RegistryPlanLintSpec` resets before its sweep
-    * so the blessed signatures pin the deterministic cold-build shape
-    * regardless of which suites ran earlier in the JVM.
-    */
-  private[queries] def resetFitMemos(): Unit = {
-    pcaFits.clear(); ivfFits.clear(); hierFits.clear()
-  }
-
   /** The two-level hierarchical fits, memoized per (dataset, tag). */
-  private val hierFits = new java.util.concurrent.ConcurrentHashMap[
-    (String, String),
-    Memo[(graft.ml.IvfQuantizer.CollectedFit, graft.ml.IvfQuantizer.CollectedFit)]]()
   private def hierFitFor(
       d: String, tag: String, k: Int, iters: Int, se1: Int, se2: Int)(
       e: => org.apache.spark.sql.DataFrame)
       : (graft.ml.IvfQuantizer.CollectedFit, graft.ml.IvfQuantizer.CollectedFit) =
-    memo(hierFits, (d, s"$tag:$k:$iters:$se1:$se2")) {
+    graft.ops.Fits.memo(d, s"ivfhier:$tag:$k:$iters:$se1:$se2") {
       graft.ml.IvfQuantizer.fitHierCollect(e, "vec_id", "embedding", "n2", k, iters, se1, se2)
     }
 

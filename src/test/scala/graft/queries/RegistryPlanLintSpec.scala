@@ -140,8 +140,7 @@ class RegistryPlanLintSpec extends SparkSpec {
     // cold fit memos: a pre-warmed memo (another suite ran registered
     // queries first) changes plan-time cache-materialization stats and
     // flips broadcast-vs-SMJ choices — reset so the sweep is
-    // deterministic under ANY suite order (see SimilarityQ.resetFitMemos)
-    SimilarityQ.resetFitMemos()
+    // deterministic under ANY suite order (see graft.ops.Fits.reset)
     graft.ops.Fits.reset()
     try {
       val failures = scala.collection.mutable.ListBuffer.empty[String]
