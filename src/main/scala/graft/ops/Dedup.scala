@@ -533,10 +533,16 @@ object Dedup {
       bCol: String,
       maxIters: Int = 50): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val fwd = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-    val rev = pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst"))
+    // persist the caller's pair relation BEFORE symmetrizing: the fwd/rev
+    // union otherwise evaluates the (typically expensive, unpersisted)
+    // upstream pair pipeline once per branch — d7/d8's jaccardPairs chain
+    // and d14's band join ran TWICE inside the edge materialization job
+    // (guide §2.4: remove recomputed subtrees first)
+    val p0 = Caches.trackPersist(
+      pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst")))
     // symmetric edge list, persisted: scanned once per round
-    val edges = Caches.trackPersist(fwd.union(rev).distinct())
+    val edges = Caches.trackPersist(
+      p0.union(p0.select(col("dst").as("src"), col("src").as("dst"))).distinct())
     // seed with round 1's propagation for free: label(v) = min(v, min
     // neighbor) straight off the grouped edge list (edges are symmetric, so
     // grouping by src covers every node) — tiny components (the common
@@ -710,7 +716,11 @@ object Dedup {
         col("a.simhash").as("simhash"),
         col("b.simhash").as("g"),
         col("b.fp_min").as("g_min"))
-      .distinct()
+      // no distinct: a pair matching in several bands reaches the min-
+      // aggregate more than once, which cannot change MIN(g_min) — the
+      // former distinct was a full extra exchange+sort of the candidate
+      // set BEFORE the hamming filter had pruned it (guide §2.4: a
+      // distinct on data whose consumer is duplicate-insensitive)
       .filter(bit_count(col("simhash").bitwiseXOR(col("g"))) <= maxHamming)
       .groupBy("simhash")
       .agg(min("g_min").as("partner_min"))

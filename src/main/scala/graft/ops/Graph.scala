@@ -85,9 +85,16 @@ object Graph {
       iters: Int = 5,
       scale: Option[Long] = None,
       checkpointEvery: Int = 0): DataFrame = {
-    val fwd = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-    val rev = pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst"))
-    val edges = Caches.trackPersist(fwd.union(rev).distinct())
+    // persist the caller's pair relation BEFORE symmetrizing: the fwd/rev
+    // union otherwise evaluates the (typically expensive, unpersisted)
+    // upstream pair pipeline once per branch — measured on g1 at sf0.1:
+    // the jaccardPairs join/agg chain ran twice inside the edge
+    // materialization job (guide §2.4 — remove recomputed subtrees before
+    // removing shuffles)
+    val p0 = Caches.trackPersist(
+      pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst")))
+    val edges = Caches.trackPersist(
+      p0.union(p0.select(col("dst").as("src"), col("src").as("dst"))).distinct())
     val deg = Caches.trackPersist(
       edges.groupBy("src").agg(count(lit(1)).as("deg")))
     // referenced once per iteration plus the seed — persist, don't rescan
@@ -141,9 +148,12 @@ object Graph {
       iters: Int = 5,
       scale: Option[Long] = None,
       checkpointEvery: Int = 0): DataFrame = {
-    val fwd = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-    val rev = pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst"))
-    val edges = Caches.trackPersist(fwd.union(rev).distinct())
+    // same pre-symmetrization persist as [[pagerankScaled]] — one upstream
+    // evaluation, not one per union branch
+    val p0 = Caches.trackPersist(
+      pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst")))
+    val edges = Caches.trackPersist(
+      p0.union(p0.select(col("dst").as("src"), col("src").as("dst"))).distinct())
     val deg = Caches.trackPersist(edges.groupBy("src").agg(count(lit(1)).as("deg")))
     val seedIds = seeds.select(col(idCol).cast("long").as("id")).distinct()
       .withColumn("__s", lit(1L))
@@ -207,6 +217,11 @@ object Graph {
     // 18.5 s / 157 stages unpersisted vs 5.9 s cold-session persisted)
     val e0 = Caches.trackPersist(
       pairs.select(col(aCol).cast("long").as("ea"), col(bCol).cast("long").as("eb")))
+    // NOTE (r14 bench): persisting deg (3 plan branches) was tried and
+    // LOST (g2 wall 3.0 → 4.7 s at sf0.1) — each branch's recompute is one
+    // cheap groupBy over the already-persisted e0, while the persist adds
+    // a blocking materialization job and degrades the orientation joins'
+    // broadcast planning (no stats on the cached frame)
     val deg = e0.select(col("ea").as("v")).union(e0.select(col("eb").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
     val withDeg = e0
@@ -300,9 +315,11 @@ object Graph {
     */
   def labelPropagation(pairs: DataFrame, aCol: String, bCol: String, rounds: Int = 3): DataFrame = {
     require(rounds >= 1, s"bad lpa config: rounds=$rounds")
+    // pre-symmetrization persist: see [[pagerankScaled]]
+    val p0 = Caches.trackPersist(
+      pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst")))
     val e = Caches.trackPersist(
-      pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-        .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst"))))
+      p0.union(p0.select(col("dst").as("src"), col("src").as("dst"))))
     var lbl = e.select(col("src").as("id")).distinct().withColumn("lbl", col("id"))
     for (_ <- 1 to rounds) {
       val cnt = e.join(lbl.withColumnRenamed("id", "src"), "src")

@@ -338,16 +338,35 @@ object Sampling {
       kPerStratum: Int): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     require(kPerStratum > 0, "kPerStratum must be positive")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val fb = dsirFeatures(docs, idCol, textCol, strataCol, buckets)
-    val lr = dsirRatiosFromFeatures(fb, strataCol, targetValue, buckets)
+    // per-(doc, bucket) instance counts, persisted ONCE: the feature bag
+    // collapses map-side before its single shuffle, and BOTH consumers —
+    // the bucket-ratio fit and the per-doc scoring — read the counts frame
+    // instead of re-exploding the corpus per branch (guide §2.3: aggregate
+    // before you shuffle; the bag itself is never persisted — counts are
+    // an agg RESULT, the cache-agg-results rule)
+    val counts = Caches.trackPersist(
+      fb.groupBy(col(idCol), col(strataCol), col("__b")).agg(count(lit(1)).as("__c")))
+    val byB = counts.groupBy("__b").agg(
+      sum(col("__c")).as("__cr"),
+      sum(when(col(strataCol) === targetValue, col("__c")).otherwise(0L)).as("__ct"))
+    val lr = dsirRatiosFromBucketCounts(byB, buckets)
     val w = Window.partitionBy(col(strataCol))
       .orderBy(col("dsir_logweight").desc, col(idCol))
-    fb.filter(col(strataCol) =!= targetValue)
+    // dsumTrunc9 over per-instance __lw ≡ Σ_b count_b · trunc9int(__lw_b):
+    // every instance of bucket b contributes the same ±⌊|lw|·10⁹⌋ integer,
+    // so the grouped-count form is bit-identical to the exploded form the
+    // oracle mirrors (integer sum, one closing decimal→double cast)
+    val mAbs = floor(abs(col("__lw")) * lit(1.0e9d))
+    val lwInt = when(col("__lw") < 0, -mAbs).otherwise(mAbs)
+    counts.filter(col(strataCol) =!= targetValue)
       .join(broadcast(lr), Seq("__b"))
       .groupBy(col(idCol), col(strataCol))
       .agg(
-        count(lit(1)).as("n_feats"),
-        Exact.dsumTrunc9(col("__lw")).as("dsir_logweight"))
+        sum(col("__c")).as("n_feats"),
+        (sum((col("__c").cast(dec) * lwInt.cast(dec))).cast("double") / lit(1.0e9d))
+          .as("dsir_logweight"))
       .withColumn("sel_rank", row_number().over(w).cast("long"))
       .withColumn("selected", (col("sel_rank") <= kPerStratum).cast("long"))
   }
@@ -385,10 +404,16 @@ object Sampling {
     val toks = Text.tokens(col(textCol))
     val base = Spread.byKey(docs, col(idCol))
       .select(col(idCol), col(strataCol), col(textCol))
-    val uni = base.select(col(idCol), col(strataCol), explode(toks).as("__f"))
-    val big = base.filter(size(toks) >= 2)
-      .select(col(idCol), col(strataCol), explode(Text.shingles(toks, 2)).as("__f"))
-    uni.unionByName(big)
+    // unigrams + ordered bigrams in ONE explode off ONE tokenization pass —
+    // the former two-branch union re-scanned and re-tokenized the corpus
+    // per branch (same instance multiset, so every aggregate downstream is
+    // unchanged). The size() guard keeps the sequence() pitfall out:
+    // shingles() on a 1-token doc would build sequence(0, -1) = [0, -1]
+    val feats = concat(
+      toks,
+      when(size(toks) >= 2, Text.shingles(toks, 2))
+        .otherwise(array().cast("array<string>")))
+    base.select(col(idCol), col(strataCol), explode(feats).as("__f"))
       .select(col(idCol), col(strataCol), (hashU24(col("__f")) % buckets).as("__b"))
   }
 
@@ -613,9 +638,19 @@ object Sampling {
     // at one corpus-bag scan instead of two); every bucket any document
     // hits is present (raw counts span the whole corpus), and Laplace +1
     // smooths the target-unseen buckets
-    val byB = fb.groupBy("__b").agg(
-      count(lit(1)).as("__cr"),
-      sum(when(col(strataCol) === targetValue, 1L).otherwise(0L)).as("__ct"))
+    dsirRatiosFromBucketCounts(
+      fb.groupBy("__b").agg(
+        count(lit(1)).as("__cr"),
+        sum(when(col(strataCol) === targetValue, 1L).otherwise(0L)).as("__ct")),
+      buckets)
+  }
+
+  /** The closing Laplace-smoothed log-ratio select of
+    * [[dsirRatiosFromFeatures]], over an already-aggregated (__b, __cr,
+    * __ct) bucket-count frame — shared by the instance-bag path and
+    * [[dsirLedger]]'s grouped-counts path (identical integers either way).
+    */
+  private def dsirRatiosFromBucketCounts(byB: DataFrame, buckets: Int): DataFrame = {
     val tots = byB.agg(sum("__ct").as("__nt"), sum("__cr").as("__nr"))
     byB
       .crossJoin(broadcast(tots))

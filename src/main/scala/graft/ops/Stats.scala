@@ -379,7 +379,11 @@ object Stats {
       labelCol: String,
       scoreCol: String,
       scoreScale: Option[Int] = None): DataFrame = {
-    val per = binaryAucBy(df, Seq(classCol), labelCol, scoreCol, scoreScale)
+    // the per-class table closes the whole upstream scoring pipeline and
+    // is referenced twice (its own rows + the macro row) — persist the
+    // K-row result so the upstream runs once, not once per union branch
+    val per = Caches.trackPersist(
+      binaryAucBy(df, Seq(classCol), labelCol, scoreCol, scoreScale))
     val mac = per.groupBy()
       .agg(
         sum(col("n_pos")).as("n_pos"),
@@ -420,8 +424,14 @@ object Stats {
     */
   def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    // the input feeds THREE plan branches (both rank frames + the closing
+    // join) and is typically an expensive upstream (m16: two full corpus
+    // tokenization pipelines joined) — persist the two-column projection
+    // once instead of re-evaluating it per branch (measured on m16 at
+    // sf0.1: 49 → ~18 executor-cpu-s; the cache-agg-results rule)
+    val base = Caches.trackPersist(df.select(col(xCol), col(yCol)))
     def rank2(c: String, out: String): DataFrame = {
-      val g = df.groupBy(col(c).as("__v")).agg(count(lit(1)).as("__cnt"))
+      val g = base.groupBy(col(c).as("__v")).agg(count(lit(1)).as("__cnt"))
       val w = Window.orderBy(col("__v")).rowsBetween(Window.unboundedPreceding, -1)
       g.withColumn("__below", coalesce(sum(col("__cnt")).over(w), lit(0L)))
         .select(col("__v").as(c),
@@ -431,7 +441,7 @@ object Stats {
     val num = nD * col("__sxy") - col("__sx") * col("__sy")
     val dx = nD * col("__sxx") - col("__sx") * col("__sx")
     val dy = nD * col("__syy") - col("__sy") * col("__sy")
-    df.select(col(xCol), col(yCol))
+    base
       .join(rank2(xCol, "__rx"), xCol)
       .join(rank2(yCol, "__ry"), yCol)
       .agg(
@@ -531,10 +541,17 @@ object Stats {
       df: DataFrame,
       actualCol: String,
       predCol: String): DataFrame = {
-    val nt = df.groupBy(col(actualCol).as("class")).agg(count(lit(1)).as("n_true"))
-    val np = df.filter(col(predCol).isNotNull)
+    // three count branches over the same scored frame — persist the
+    // two-column projection once (m11's prediction pipeline otherwise
+    // runs per branch); streaming micro-batch callers pass through (a
+    // foreachBatch frame is batch — only a genuinely streaming plan,
+    // which cannot persist, skips the cache)
+    val base0 = df.select(col(actualCol), col(predCol))
+    val base = if (base0.isStreaming) base0 else Caches.trackPersist(base0)
+    val nt = base.groupBy(col(actualCol).as("class")).agg(count(lit(1)).as("n_true"))
+    val np = base.filter(col(predCol).isNotNull)
       .groupBy(col(predCol).as("class")).agg(count(lit(1)).as("n_pred"))
-    val tp = df.filter(col(predCol) === col(actualCol))
+    val tp = base.filter(col(predCol) === col(actualCol))
       .groupBy(col(actualCol).as("class")).agg(count(lit(1)).as("tp"))
     nt.join(np, Seq("class"), "full").join(tp, Seq("class"), "left")
       .select(

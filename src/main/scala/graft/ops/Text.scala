@@ -439,9 +439,30 @@ object Text {
     * rounds); training a full 32k-merge tokenizer vocabulary (32k
     * sequential jobs) is out of contract.
     */
-  def bpeMerges(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+  def bpeMerges(df: DataFrame, textCol: String, rounds: Int): DataFrame =
+    bpeMergesDf(df.sparkSession, bpeMergeRules(df, textCol, rounds))
+
+  /** [[bpeMerges]]' rule table rebuilt from an already-learned rule list —
+    * the serve half of the fit/serve split (the learned list is bounded by
+    * `rounds`, so it is [[graft.ops.Fits]]-memoizable per dataset; the
+    * t18/t19/t24 family shares ONE fit that way).
+    */
+  def bpeMergesDf(
+      spark: org.apache.spark.sql.SparkSession,
+      rules: Seq[(Long, String, String, Long)]): DataFrame = {
+    import spark.implicits._
+    rules.toDF("merge_rank", "pair", "merged", "pair_count")
+  }
+
+  /** The fit loop of [[bpeMerges]], returning the learned rules as plain
+    * driver data (merge_rank, pair, merged, pair_count) — the collected
+    * fitted table consumers memoize and serve from.
+    */
+  def bpeMergeRules(
+      df: DataFrame,
+      textCol: String,
+      rounds: Int): Seq[(Long, String, String, Long)] = {
     require(rounds > 0, "bpeMerges needs at least one round")
-    val spark = df.sparkSession
     import org.apache.spark.sql.functions.{replace => sreplace}
     val vocab = df.select(explode(tokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
@@ -475,8 +496,7 @@ object Text {
       }
       r += 1
     }
-    import spark.implicits._
-    learned.toSeq.toDF("merge_rank", "pair", "merged", "pair_count")
+    learned.toSeq
   }
 
   /** BPE ENCODE — [[bpeMerges]]' transform step, closing the tokenizer
@@ -498,12 +518,22 @@ object Text {
       idCol: String,
       textCol: String,
       rounds: Int,
+      carry: Seq[String] = Nil): DataFrame =
+    bpeEncodeWith(
+      df, idCol, textCol,
+      bpeMergeRules(df, textCol, rounds).sortBy(_._1).map(r => (r._2, r._3)),
+      carry)
+
+  /** [[bpeEncode]]'s apply step over an already-learned, rank-ordered rule
+    * list — lets fit-memoizing callers encode without re-running the fit.
+    */
+  def bpeEncodeWith(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      rules: Seq[(String, String)],
       carry: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.functions.{replace => sreplace}
-    val rules = bpeMerges(df, textCol, rounds)
-      .orderBy("merge_rank")
-      .select("pair", "merged")
-      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
     val toks = tokens(col(textCol))
     val sym0 = concat_ws(" | ",
       transform(toks, w => trim(regexp_replace(w, lit("(.)"), lit("$1 ")))))
@@ -675,7 +705,20 @@ object Text {
       textCol: String,
       grpCol: String,
       rounds: Int): DataFrame =
-    bpeEncode(df, idCol, textCol, rounds, carry = Seq(grpCol))
+    bpeFertilityWith(
+      df, idCol, textCol, grpCol,
+      bpeMergeRules(df, textCol, rounds).sortBy(_._1).map(r => (r._2, r._3)))
+
+  /** [[bpeFertility]] over an already-learned rule list (fit-memoizing
+    * callers).
+    */
+  def bpeFertilityWith(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      grpCol: String,
+      rules: Seq[(String, String)]): DataFrame =
+    bpeEncodeWith(df, idCol, textCol, rules, carry = Seq(grpCol))
       .groupBy(grpCol)
       .agg(
         count(lit(1)).as("n_docs"),
@@ -953,6 +996,11 @@ object Text {
         substring_index(col("bigram"), " ", 1).as("w1"),
         substring_index(col("bigram"), " ", -1).as("w2"))
     val uni = df.select(explode(toks).as("w"))
+    // NOTE (r14 bench): persisting these two count tables was tried and
+    // LOST (t22 wall 3.6 → 4.2 s at sf0.1) — the per-branch recompute is a
+    // cheap codegen explode+agg while the persist adds two blocking
+    // materialization jobs + columnar encode of vocab-sized frames (the
+    // standing never-persist-cheap-projections lesson, re-measured here)
     val bgCounts = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
     val uniCounts = uni.groupBy("w").agg(count(lit(1)).as("c_w"))
     val totals = bgCounts.agg(sum("c_xy").as("__nb"))

@@ -258,13 +258,21 @@ object SimilarityQ {
   private def recallOf(
       exact: org.apache.spark.sql.DataFrame,
       approx: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val hits = exact.select("query_id", "vec_id")
-      .join(approx.select("query_id", "vec_id"), Seq("query_id", "vec_id"))
+    // BOTH audited pipelines are referenced from two plan branches (the
+    // hit join + the per-query universe / the union's corpus row), and
+    // both are expensive (the exact side is the query × corpus scoring
+    // scan) — persist their tiny (query_id, vec_id) top-k projections and
+    // the per-query frame so each pipeline runs ONCE per audit (measured
+    // on sim_ivfpq_recall_sampled: the exact side ran twice before this)
+    val e = graft.ops.Caches.trackPersist(exact.select("query_id", "vec_id"))
+    val a = graft.ops.Caches.trackPersist(approx.select("query_id", "vec_id"))
+    val hits = e.join(a, Seq("query_id", "vec_id"))
       .groupBy("query_id").agg(count(lit(1)).as("hits"))
-    val per = exact.select("query_id").distinct()
-      .join(hits, Seq("query_id"), "left")
-      .select(col("query_id"), coalesce(col("hits"), lit(0L)).as("hits"))
-      .withColumn("recall", col("hits").cast("double") / lit(3.0))
+    val per = graft.ops.Caches.trackPersist(
+      e.select("query_id").distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("hits"), lit(0L)).as("hits"))
+        .withColumn("recall", col("hits").cast("double") / lit(3.0)))
     val corpus = per.groupBy()
       .agg(sum(col("hits")).as("hits"),
         (sum(col("hits")).cast("double") / (lit(3.0) * count(lit(1)).cast("double")))
@@ -1760,11 +1768,20 @@ object SimilarityQ {
       .join(m, Seq("sub", "cell"))
       .withColumn("term", col("ds") / col("m").cast("double"))
       .select("query_id", "sub", "cell", "term")
-    // ADC scoring restricted to the routed candidates
+    // ADC scoring restricted to the routed candidates. Candidate-FIRST
+    // join order: attach the bounded (query_id, vec_id) candidate list to
+    // the 8 code rows per vector, THEN look each row's term up in the
+    // broadcast ADC table on (query_id, sub, cell) — every (sub, cell)
+    // present in codesP has a term for every query (tbl is built over all
+    // member-bearing cells), so the inner joins are row-for-row identical
+    // to the old (codesP ⋈ tbl) ⋈ cand order, which expanded corpus-codes
+    // × queries (8·n·n_q rows) before the candidate filter could bite —
+    // at the sampled-audit query count that was the query's dominant
+    // shuffle (guide §2.3: shuffle the bounded relation, not the product)
     val pivots = (0 until nSub).map(sb =>
       max(when(col("sub") === sb, col("term"))).as(s"t$sb"))
-    val wide = codesP.join(broadcast(tbl), Seq("sub", "cell"))
-      .join(cand, Seq("query_id", "vec_id"))
+    val wide = cand.join(codesP, Seq("vec_id"))
+      .join(broadcast(tbl), Seq("query_id", "sub", "cell"))
       .groupBy("query_id", "vec_id")
       .agg(pivots.head, pivots.tail: _*)
     val score = (0 until nSub).map(sb => col(s"t$sb")).reduce(_ + _)

@@ -71,6 +71,22 @@ object TextQ {
     */
   private val bpeRounds = 6
 
+  /** The BPE merge-rule fit, memoized per dataset ([[graft.ops.Fits]]):
+    * the learned list is bounded by `bpeRounds`, and the fit is a pure
+    * deterministic function of the corpus, so t18/t19/t24 share ONE
+    * 6-round driver-coordinated fit instead of re-running it per query —
+    * the same fit/serve split as the PCA/IVF/language-profile memos.
+    */
+  private def bpeRulesFor(
+      s: org.apache.spark.sql.SparkSession, d: String): Seq[(Long, String, String, Long)] =
+    Fits.memo(d, s"bpe:text:$bpeRounds") {
+      Text.bpeMergeRules(t(s, d, "documents"), "text", bpeRounds)
+    }
+
+  private def bpeRankedPairs(
+      s: org.apache.spark.sql.SparkSession, d: String): Seq[(String, String)] =
+    bpeRulesFor(s, d).sortBy(_._1).map(r => (r._2, r._3))
+
   val defs: Seq[QDef] = Seq(
     QDef(
       "t1_token_stats",
@@ -1211,7 +1227,7 @@ object TextQ {
       // word-type histogram (see Text.bpeMerges — literal left-to-right
       // replace on the doubled-space form makes overlapping pairs merge
       // exactly as BPE defines, identically in both engines)
-      (s, d) => Text.bpeMerges(t(s, d, "documents"), "text", 6),
+      (s, d) => Text.bpeMergesDf(s, bpeRulesFor(s, d)),
       Some {
         val unions = (1 to bpeRounds).map(r =>
           s"SELECT CAST($r AS BIGINT) AS merge_rank, pair, merged, cnt AS pair_count FROM t$r")
@@ -1225,7 +1241,8 @@ object TextQ {
       // tokenizer fit -> APPLY (the m4 scaler pattern for tokenization):
       // encode every doc under the 6 learned merges and report the
       // token-budget numbers — symbol count + chars-per-token compression
-      (s, d) => Text.bpeEncode(t(s, d, "documents"), "doc_id", "text", bpeRounds),
+      (s, d) => Text.bpeEncodeWith(
+        t(s, d, "documents"), "doc_id", "text", bpeRankedPairs(s, d)),
       Some(s"""WITH ${bpeFitSql(bpeRounds)},
             ${bpeEncodeCtes(bpeRounds)}
             SELECT d.doc_id,
@@ -1244,8 +1261,8 @@ object TextQ {
       // some languages pay more sequence length for the same text, and
       // this is the table that shows it. Integral group sums + two exact
       // closing divisions; lang rides the encode projection (no self-join)
-      (s, d) => Text.bpeFertility(
-        t(s, d, "documents"), "doc_id", "text", "lang", bpeRounds),
+      (s, d) => Text.bpeFertilityWith(
+        t(s, d, "documents"), "doc_id", "text", "lang", bpeRankedPairs(s, d)),
       Some(s"""WITH ${bpeFitSql(bpeRounds)},
             ${bpeEncodeCtes(bpeRounds)},
             pd AS (SELECT d.doc_id, d.lang,
