@@ -32,6 +32,12 @@ object PlanDump {
     spark.sparkContext.setLogLevel("WARN")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     names.foreach { name =>
+      // cold-memo plans: without the reset, a fit-consumer query dumped
+      // after another fit-family query captures the warm-memo shape
+      // (estimates → static SMJ) and the committed plan evidence becomes
+      // dump-order-dependent — RegistryPlanLintSpec pins the cold shape,
+      // so the dumps must match it
+      graft.ops.Fits.reset()
       val df = SparkEntry.queries(name)(spark, sfDir)
       val txt = df.queryExecution.explainString(FormattedMode)
       java.nio.file.Files.write(

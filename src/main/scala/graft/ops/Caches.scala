@@ -15,6 +15,15 @@ object Caches {
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
+  /** [[trackPersist]] that passes a STREAMING plan through unpersisted —
+    * persist on a streaming frame throws AnalysisException, and the ops
+    * that cache multi-branch inputs (spearman, macroAuc,
+    * classificationCounts) are legitimate micro-batch citizens whose
+    * foreachBatch frames ARE batch; only a genuinely streaming plan skips.
+    */
+  def trackPersistBatch(df: DataFrame): DataFrame =
+    if (df.isStreaming) df else trackPersist(df)
+
   def releaseAll(): Unit = synchronized {
     persisted.foreach(_.unpersist(blocking = false))
     persisted.clear()

@@ -540,15 +540,22 @@ object Dedup {
     // (guide §2.4: remove recomputed subtrees first)
     val p0 = Caches.trackPersist(
       pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst")))
-    // symmetric edge list, persisted: scanned once per round
+    // symmetric edge list, persisted AND pre-partitioned on dst: each
+    // round's min-pull joins edges on dst, so the cached hashpartitioning
+    // replaces a per-round edge-sized exchange (guide §2.4 — the one
+    // repartition at materialization amortizes over every round); the
+    // only edge-sized shuffle left per round is the groupBy-src transpose
     val edges = Caches.trackPersist(
-      p0.union(p0.select(col("dst").as("src"), col("src").as("dst"))).distinct())
+      p0.union(p0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+        .repartition(col("dst")))
     // seed with round 1's propagation for free: label(v) = min(v, min
-    // neighbor) straight off the grouped edge list (edges are symmetric, so
-    // grouping by src covers every node) — tiny components (the common
+    // neighbor) straight off the grouped edge list — grouped by DST so the
+    // seed groupBy reuses the cached dst-partitioning with no exchange;
+    // the edge set is symmetric, so {(dst, min src)} ≡ {(src, min dst)}
+    // row-for-row and every node appears. Tiny components (the common
     // dedup case: pairs/triples) then converge on the FIRST loop round
-    var labels = edges.groupBy(col("src").as("id"))
-      .agg(min(col("dst")).as("__m"))
+    var labels = edges.groupBy(col("dst").as("id"))
+      .agg(min(col("src")).as("__m"))
       .select(col("id"), least(col("id"), col("__m")).as("comp"))
       .localCheckpoint()
     def labelSum(l: DataFrame): Option[java.math.BigDecimal] =

@@ -93,12 +93,25 @@ object Graph {
     // removing shuffles)
     val p0 = Caches.trackPersist(
       pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst")))
+    // the edge list is PRE-PARTITIONED on src before persisting (guide
+    // §2.4: two operations keyed the same way share one exchange): every
+    // iteration joins edges on src, so the cached hashpartitioning makes
+    // the per-round contribution join reuse the layout instead of
+    // re-exchanging the edge list once per iteration — the only edge-sized
+    // shuffle left per round is the unavoidable transpose (groupBy dst).
+    // The repartition costs ONE extra exchange at materialization,
+    // amortized over `iters` rounds; deg inherits the partitioning for
+    // free (groupBy src over a src-partitioned cache plans no exchange)
     val edges = Caches.trackPersist(
-      p0.union(p0.select(col("dst").as("src"), col("src").as("dst"))).distinct())
+      p0.union(p0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+        .repartition(col("src")))
     val deg = Caches.trackPersist(
       edges.groupBy("src").agg(count(lit(1)).as("deg")))
-    // referenced once per iteration plus the seed — persist, don't rescan
-    val ids = Caches.trackPersist(nodes.select(col(idCol).cast("long").as("id")))
+    // referenced once per iteration plus the seed — persist, don't rescan;
+    // partitioned on id so the per-round resurrect join (ids ⋈ contrib,
+    // contrib already partitioned by id from its groupBy) is exchange-free
+    val ids = Caches.trackPersist(
+      nodes.select(col(idCol).cast("long").as("id")).repartition(col("id")))
     val n = math.max(ids.count(), 1L)
     val sc = scale.getOrElse(derivedScale(n))
     require(
@@ -108,10 +121,18 @@ object Graph {
     val base = 15L * sc / 100 // 0.15, exact: sc is a multiple of 100
     var ranks = ids.withColumn("rank_scaled", lit(sc))
     (1 to iters).foreach { i =>
-      val contrib = edges
-        .join(deg, "src")
+      // per-SOURCE contribution first (rank DIV deg depends only on the
+      // node): the deg join runs over the node-sized rank frame, not once
+      // per edge — identical integers per edge, node-sized shuffle bytes
+      // (guide §2.3 "shuffle fewer bytes"); both deg and edges read their
+      // cached src-partitioning, so the only exchanges in this round are
+      // the node-sized ranks relocation and the edge-sized transpose
+      val srcC = deg
         .join(ranks.select(col("id").as("src"), col("rank_scaled")), "src")
-        .select(col("dst").as("id"), expr("rank_scaled DIV deg").as("c"))
+        .select(col("src"), expr("rank_scaled DIV deg").as("c"))
+      val contrib = edges
+        .join(srcC, "src")
+        .select(col("dst").as("id"), col("c"))
         .groupBy("id")
         .agg(sum(col("c")).as("s"))
       ranks = ids
@@ -148,20 +169,26 @@ object Graph {
       iters: Int = 5,
       scale: Option[Long] = None,
       checkpointEvery: Int = 0): DataFrame = {
-    // same pre-symmetrization persist as [[pagerankScaled]] — one upstream
-    // evaluation, not one per union branch
+    // same pre-symmetrization persist + src pre-partitioning as
+    // [[pagerankScaled]] — one upstream evaluation, and the per-round
+    // contribution join reads the cached layout instead of re-exchanging
+    // the edge list every iteration
     val p0 = Caches.trackPersist(
       pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst")))
     val edges = Caches.trackPersist(
-      p0.union(p0.select(col("dst").as("src"), col("src").as("dst"))).distinct())
+      p0.union(p0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+        .repartition(col("src")))
     val deg = Caches.trackPersist(edges.groupBy("src").agg(count(lit(1)).as("deg")))
     val seedIds = seeds.select(col(idCol).cast("long").as("id")).distinct()
       .withColumn("__s", lit(1L))
-    // (id, is_seed) — referenced once per iteration plus the seed frame
+    // (id, is_seed) — referenced once per iteration plus the seed frame;
+    // id-partitioned so the per-round resurrect join is exchange-free
+    // (see pagerankScaled)
     val ids = Caches.trackPersist(
       nodes.select(col(idCol).cast("long").as("id"))
         .join(seedIds, Seq("id"), "left")
-        .select(col("id"), coalesce(col("__s"), lit(0L)).as("is_seed")))
+        .select(col("id"), coalesce(col("__s"), lit(0L)).as("is_seed"))
+        .repartition(col("id")))
     val n = math.max(ids.count(), 1L)
     val sc = scale.getOrElse(derivedScale(n))
     require(
@@ -173,10 +200,14 @@ object Graph {
       col("id"),
       when(col("is_seed") === 1L, lit(sc)).otherwise(lit(0L)).as("rank_scaled"))
     (1 to iters).foreach { i =>
-      val contrib = edges
-        .join(deg, "src")
+      // node-sized deg join + src-partitioned edge join — see
+      // pagerankScaled (identical per-edge integers, fewer shuffled bytes)
+      val srcC = deg
         .join(ranks.select(col("id").as("src"), col("rank_scaled")), "src")
-        .select(col("dst").as("id"), expr("rank_scaled DIV deg").as("c"))
+        .select(col("src"), expr("rank_scaled DIV deg").as("c"))
+      val contrib = edges
+        .join(srcC, "src")
+        .select(col("dst").as("id"), col("c"))
         .groupBy("id")
         .agg(sum(col("c")).as("s"))
       ranks = ids
@@ -232,7 +263,11 @@ object Graph {
         col("ea")).otherwise(col("eb")).as("u"),
       when(col("da") < col("db") || (col("da") === col("db") && col("ea") < col("eb")),
         col("eb")).otherwise(col("ea")).as("v"))
-    val oP = Caches.trackPersist(o)
+    // pre-partitioned on u: the wedge enumeration self-joins oP on u, so
+    // both sides read the cached layout and the join plans NO exchange
+    // (guide §2.4) — before this, each side of the self-join re-exchanged
+    // the oriented edge list
+    val oP = Caches.trackPersist(o.repartition(col("u")))
     val wedges = oP.as("e1")
       .join(oP.as("e2"), col("e1.u") === col("e2.u") && col("e1.v") =!= col("e2.v"))
       .select(col("e1.v").as("x"), col("e2.v").as("y"))
@@ -315,11 +350,15 @@ object Graph {
     */
   def labelPropagation(pairs: DataFrame, aCol: String, bCol: String, rounds: Int = 3): DataFrame = {
     require(rounds >= 1, s"bad lpa config: rounds=$rounds")
-    // pre-symmetrization persist: see [[pagerankScaled]]
+    // pre-symmetrization persist: see [[pagerankScaled]]; src-partitioned
+    // for the same reason — each round joins e on src, so the cached
+    // layout replaces a per-round edge-sized exchange (the label seed's
+    // distinct also rides it for free)
     val p0 = Caches.trackPersist(
       pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst")))
     val e = Caches.trackPersist(
-      p0.union(p0.select(col("dst").as("src"), col("src").as("dst"))))
+      p0.union(p0.select(col("dst").as("src"), col("src").as("dst")))
+        .repartition(col("src")))
     var lbl = e.select(col("src").as("id")).distinct().withColumn("lbl", col("id"))
     for (_ <- 1 to rounds) {
       val cnt = e.join(lbl.withColumnRenamed("id", "src"), "src")

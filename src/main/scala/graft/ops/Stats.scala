@@ -382,7 +382,9 @@ object Stats {
     // the per-class table closes the whole upstream scoring pipeline and
     // is referenced twice (its own rows + the macro row) — persist the
     // K-row result so the upstream runs once, not once per union branch
-    val per = Caches.trackPersist(
+    // (streaming plans pass through unpersisted, same contract as
+    // classificationCounts)
+    val per = Caches.trackPersistBatch(
       binaryAucBy(df, Seq(classCol), labelCol, scoreCol, scoreScale))
     val mac = per.groupBy()
       .agg(
@@ -428,8 +430,11 @@ object Stats {
     // join) and is typically an expensive upstream (m16: two full corpus
     // tokenization pipelines joined) — persist the two-column projection
     // once instead of re-evaluating it per branch (measured on m16 at
-    // sf0.1: 49 → ~18 executor-cpu-s; the cache-agg-results rule)
-    val base = Caches.trackPersist(df.select(col(xCol), col(yCol)))
+    // sf0.1: 49 → ~18 executor-cpu-s; the cache-agg-results rule).
+    // Streaming plans pass through unpersisted (classificationCounts
+    // contract) — the rank windows would reject them anyway, but the
+    // failure should name the window, not the persist.
+    val base = Caches.trackPersistBatch(df.select(col(xCol), col(yCol)))
     def rank2(c: String, out: String): DataFrame = {
       val g = base.groupBy(col(c).as("__v")).agg(count(lit(1)).as("__cnt"))
       val w = Window.orderBy(col("__v")).rowsBetween(Window.unboundedPreceding, -1)

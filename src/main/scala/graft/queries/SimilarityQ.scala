@@ -254,6 +254,10 @@ object SimilarityQ {
     * counts and ONE closing IEEE division each, so the pinned recall
     * numbers hash cross-engine. The oracle twin ([[recallSql]]) wraps the
     * two component oracles as nested CTEs unchanged.
+    *
+    * BATCH-ONLY (registry audits are batch by construction): the persists
+    * below would throw on a streaming plan — a streaming recall audit
+    * would need the classificationCounts pass-through treatment.
     */
   private def recallOf(
       exact: org.apache.spark.sql.DataFrame,
