@@ -69,6 +69,12 @@ object Dedup {
     // millions of shingles) is the accepted trade. Persisted because it
     // feeds three plan branches.
     val allSh = Text.shingleKeySet(df, idCol, textCol, k)
+    // NOTE (r15 bench): persisting this pre-partitioned on sk (the
+    // g2_triangles self-join move) was tried and LOST — the self-join here
+    // plans as a BROADCAST hash join (zero shuffle; broadcast bytes don't
+    // appear as exchanges), so the repartition added a full bag exchange
+    // for nothing (d2 shuffle 1.7 → 37.6 MB, cpu 13.8 → 24.2). The
+    // co-partition move only pays when the self-join actually exchanges
     val sh = Caches.trackPersist(
       if (maxShingleDf == Int.MaxValue) allSh
       else {
@@ -116,6 +122,8 @@ object Dedup {
       minContainment: Double,
       maxShingleDf: Int = Int.MaxValue): DataFrame = {
     val allSh = Text.shingleKeySet(df, idCol, textCol, k)
+    // no sk pre-partition here either — the self-join broadcasts (see the
+    // jaccardPairs r15 note)
     val sh = Caches.trackPersist(
       if (maxShingleDf == Int.MaxValue) allSh
       else {
@@ -391,7 +399,7 @@ object Dedup {
       .select(
         col(idCol),
         posexplode(graft.functions.ShingleKeys(toks, k)).as(Seq("pos", "gram")))
-    val grams =
+    val grams0 =
       if (maxGramDf == Int.MaxValue) allGrams
       else {
         // persisted: feeds the df aggregation AND the anti-join input
@@ -402,6 +410,13 @@ object Dedup {
           .select("gram")
         g.join(broadcast(hot), Seq("gram"), "left_anti")
       }
+    // NOTE (r15 bench): persisting this pre-partitioned on gram (the
+    // g2_triangles self-join move) was tried and LOST (shuffle 12.6 →
+    // 120 MB, wall 2.13 → 2.62 s) — the position self-join broadcasts one
+    // side, so the repartition was a pure added exchange of the position
+    // bag. Left unpersisted: each join side's anti-join over the cached g
+    // is cheap
+    val grams = grams0
     val a = grams.select(col(idCol).as("a_id"), col("pos").as("a_pos"), col("gram"))
     val b = grams.select(col(idCol).as("b_id"), col("pos").as("b_pos"), col("gram"))
     val pairs = a.join(b, Seq("gram")).filter(col("a_id") < col("b_id"))
@@ -653,12 +668,23 @@ object Dedup {
     // leading hex chars of md5(token), parsed char-by-char with the same
     // instr arithmetic DuckDB's strpos reproduces (no engine-specific hash)
     val hexDigit = (p: Int) => s"(instr('0123456789abcdef', substr(md, $p, 1)) - 1)"
-    val tok = Text.tokenSet(df, idCol, textCol).withColumn("md", md5(col("token")))
-    val h = tok.withColumn(
-      "h",
-      expr((1 to nChars)
-        .map(p => s"CAST(${hexDigit(p)} AS BIGINT) * ${1L << (4 * (nChars - p))}")
-        .mkString(" + ")))
+    val tok = Text.tokenSet(df, idCol, textCol)
+    // h per DISTINCT token, joined back (the t16 fitted-table move): the
+    // md5 + nChars instr/substr parses run |vocab| times on the sub-linear
+    // token table instead of once per (doc, token) bag row — the joined h
+    // is the identical BIGINT, so downstream votes are untouched. The
+    // vocab is a fresh aggregate (no stats), so it broadcasts explicitly
+    // (the unigramLogProb lesson); the bag is touched exactly twice —
+    // the vocab agg and the scoring join — and never persisted (cheap
+    // shuffle-free explode; the never-persist-projections rule)
+    val vocabH = tok.select(col("token")).distinct()
+      .withColumn("md", md5(col("token")))
+      .select(
+        col("token"),
+        expr((1 to nChars)
+          .map(p => s"CAST(${hexDigit(p)} AS BIGINT) * ${1L << (4 * (nChars - p))}")
+          .mkString(" + ")).as("h"))
+    val h = tok.join(broadcast(vocabH), "token")
     val votes = (0 until bits).map { i =>
       sum((expr(s"h DIV ${1L << i}") % 2) * 2 - 1).as(s"s_$i")
     }

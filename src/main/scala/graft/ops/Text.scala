@@ -1003,8 +1003,15 @@ object Text {
     // standing never-persist-cheap-projections lesson, re-measured here)
     val bgCounts = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
     val uniCounts = uni.groupBy("w").agg(count(lit(1)).as("c_w"))
-    val totals = bgCounts.agg(sum("c_xy").as("__nb"))
-      .crossJoin(uniCounts.agg(sum("c_w").as("__nu")))
+    // the two scalar totals are plain instance counts — Σc_xy over the
+    // bigram table is Σ(len−1) over docs with ≥2 tokens and Σc_w is
+    // Σlen, so ONE scan-side aggregate replaces two full explode+groupBy
+    // pipelines (guide §2.3 — aggregate before you shuffle; the sums are
+    // the identical BIGINTs, including the both-NULL empty-corpus case:
+    // sum skips the under-2-token rows the bigram bag never emits)
+    val totals = df.agg(
+      sum(when(size(toks) >= 2, (size(toks) - 1).cast("long"))).as("__nb"),
+      sum(size(toks).cast("long")).as("__nu"))
     val ln = graft.functions.MathLn
     bgCounts
       .filter(col("c_xy") >= minCount)
