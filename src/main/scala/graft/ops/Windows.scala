@@ -66,6 +66,13 @@ object Windows {
       .withColumn("__li", row_number().over(wLoc).cast("long"))
       .withColumn("__ls",
         sum(col(deltaCol)).over(wLoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // NOTE (r15): grouping totals off `local` (to share the window's
+    // exchange via ReuseExchange) is a NO-OP — Catalyst prunes the unused
+    // __li/__ls window columns under the aggregate and rewrites the branch
+    // back to a groupBy over q (verified: operator-identical plans).
+    // Callers whose input is an expensive pipeline must persist it before
+    // calling (the multi-branch rule); q itself is never persisted here —
+    // it is frequently a cheap scan projection
     val totals = q.groupBy(kCols :+ col("__chk"): _*)
       .agg(sum(col(deltaCol)).as("__ct"), count(lit(1)).as("__cc"))
     val wChk = Window.partitionBy(kCols: _*).orderBy(col("__chk"))

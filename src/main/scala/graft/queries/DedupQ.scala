@@ -739,7 +739,7 @@ object DedupQ {
         // diverge from the oracle — pinning turns that into the plan-time
         // overflow require instead (the Graph scaladoc's mirror contract)
         Graph.pagerankScaled(pairs, docs, "a_id", "b_id", "doc_id", iters = 5,
-          scale = Some(Graph.Scale))
+          scale = Some(Graph.Scale), checkpointEvery = 1)
           .withColumnRenamed("id", "doc_id")
       },
       Some {
@@ -874,7 +874,8 @@ object DedupQ {
           .select("a_id", "b_id")
         Graph.personalizedPagerankScaled(
           pairs, docs, docs.filter(pmod(col("doc_id"), lit(50)) === 0),
-          "a_id", "b_id", "doc_id", iters = 5, scale = Some(Graph.Scale))
+          "a_id", "b_id", "doc_id", iters = 5, scale = Some(Graph.Scale),
+          checkpointEvery = 1)
           .withColumnRenamed("id", "doc_id")
       },
       Some {

@@ -589,6 +589,13 @@ object EventsQ {
       // two-phase scan (Segments.peakConcurrency — no per-key single-task
       // sort; day-bucket chunks). Touching intervals count as concurrent
       (s, d) => {
+        // NOTE (r15 bench): persisting this interval frame (it feeds the
+        // +1/−1 scatter's two union branches and chunkedScan's three
+        // consumers) was tried and LOST — wall 2.07 → 3.98 s, cpu 4.4 →
+        // 14.1 at sf0.1: the recompute is one cheap window+groupBy chain
+        // while the persist added a blocking materialization and degraded
+        // the scan joins' broadcast planning (the never-persist-cheap-aggs
+        // rule, re-measured here)
         val sess = Segments.gapSessions(
           events(s, d), Seq("user_id", "event_type"), "ts_us", 30L * 60L * 1000000L,
           order = Seq(col("ts_us"), col("event_id")))
