@@ -668,23 +668,22 @@ object Dedup {
     // leading hex chars of md5(token), parsed char-by-char with the same
     // instr arithmetic DuckDB's strpos reproduces (no engine-specific hash)
     val hexDigit = (p: Int) => s"(instr('0123456789abcdef', substr(md, $p, 1)) - 1)"
-    val tok = Text.tokenSet(df, idCol, textCol)
-    // h per DISTINCT token, joined back (the t16 fitted-table move): the
-    // md5 + nChars instr/substr parses run |vocab| times on the sub-linear
-    // token table instead of once per (doc, token) bag row — the joined h
-    // is the identical BIGINT, so downstream votes are untouched. The
-    // vocab is a fresh aggregate (no stats), so it broadcasts explicitly
-    // (the unigramLogProb lesson); the bag is touched exactly twice —
-    // the vocab agg and the scoring join — and never persisted (cheap
-    // shuffle-free explode; the never-persist-projections rule)
-    val vocabH = tok.select(col("token")).distinct()
-      .withColumn("md", md5(col("token")))
-      .select(
-        col("token"),
-        expr((1 to nChars)
-          .map(p => s"CAST(${hexDigit(p)} AS BIGINT) * ${1L << (4 * (nChars - p))}")
-          .mkString(" + ")).as("h"))
-    val h = tok.join(broadcast(vocabH), "token")
+    // NOTE (r15 bench): hashing per DISTINCT token and broadcast-joining h
+    // back (the t16 fitted-table move) was tried and REVERTED — a warm
+    // restricted run showed d17 28 → 5.6 cpu-s, but both end-of-round FULL
+    // runs showed the opposite: d4 wall 0.48 → 0.81 s / cpu 3.8 → 7-8 and
+    // d17 wall 2.11 → 2.45 s with cpu only 28 → 22-26 (the extra distinct
+    // + broadcast build stages cost more than the md5 they hoist at this
+    // bag-to-vocab ratio; the restricted reading was first-in-JVM JIT
+    // mirage — the standing cold-probe lesson). Inline per-bag-row hashing
+    // stays; at a corpus where the bag/vocab ratio is large the hoist is
+    // worth re-probing WITH a full-run measurement.
+    val tok = Text.tokenSet(df, idCol, textCol).withColumn("md", md5(col("token")))
+    val h = tok.withColumn(
+      "h",
+      expr((1 to nChars)
+        .map(p => s"CAST(${hexDigit(p)} AS BIGINT) * ${1L << (4 * (nChars - p))}")
+        .mkString(" + ")))
     val votes = (0 until bits).map { i =>
       sum((expr(s"h DIV ${1L << i}") % 2) * 2 - 1).as(s"s_$i")
     }
